@@ -1,0 +1,79 @@
+"""Materialization strategies (SURVEY.md §2.9 M1-M4).
+
+The reference's write surface is dbt materializations on Snowflake:
+views (default), incremental ``delete+insert`` keyed on ``unique_key``,
+and append-only COPY loads with load-history replay protection. Spark
+restatement: temp/catalog views, anti-join + append (idempotent keyed
+upsert), and the ingest ledger (``sources/ledger.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def as_view(df: DataFrame, name: str) -> None:
+    """M1 view materialization (reference ``dbt_project.yml:36``
+    default; mart at ``seasonal_metrics_agg.sql:1-6``). Catalyst
+    inlines views, so predicates on the view push into the plan."""
+    df.createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """dbt's ``is_incremental()`` check — "does the target exist"."""
+    return spark.catalog.tableExists(name)
+
+
+def incremental_insert(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str = "unique_key",
+) -> int:
+    """M2 incremental keyed insert (reference ``games.sql:2-13`` etc.):
+    on first run, full load; on reruns, append only source rows whose
+    ``key`` is absent from the target.
+
+    The reference uses ``NOT IN (SELECT unique_key FROM this)`` —
+    which silently returns zero rows if the target ever holds a NULL
+    key. We standardize on ``left_anti`` (null-safe, and Catalyst
+    compiles it to a broadcast/shuffled hash anti-join; SURVEY.md
+    §2.3 J3). Returns the number of rows appended.
+
+    Scale: the anti-join shuffles only on ``key``; with AQE the build
+    side broadcasts when the existing-keys projection is small. For a
+    true 100TB lakehouse target this maps 1:1 to Delta
+    ``MERGE WHEN NOT MATCHED THEN INSERT`` — same logical op.
+    """
+    if not table_exists(spark, table):
+        df.write.saveAsTable(table)
+        return spark.table(table).count()
+    existing = spark.table(table).select(key)
+    # Materialize the anti-join BEFORE appending: the plan is lazy, so
+    # counting afterwards would re-evaluate it against the already-
+    # updated target and always report 0.
+    new_rows = df.join(existing, on=key, how="left_anti").persist()
+    try:
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").saveAsTable(table)
+    finally:
+        new_rows.unpersist()
+    return n
+
+
+def overwrite_table(df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    """M3-style named table materialization with optional partitioning
+    (100TB stance: partition raw/staging by date/season so downstream
+    reads prune, SURVEY.md §7.4.7)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1 SQL ``UNION`` parity helper: positional-safe union by name,
+    then distinct (reference ``seasonal_metrics_agg.sql:47``)."""
+    return a.unionByName(b).distinct()
