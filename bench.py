@@ -1,0 +1,56 @@
+"""Benchmark harness: run the suite's queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with total + per-query wall-clock seconds.
+
+Execution is forced with the ``noop`` sink — full computation, no
+driver-side collect, so timings measure the engine, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from nhl_data_warehouse_spark.session import get_spark
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    spark = get_spark(app_name="bench")
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_total = time.time()
+    for name, spec in REGISTRY.items():
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — beyond-reference temporal operator.
+
+The reference has no temporal joins (SURVEY.md §2.3: "as-of/range
+become beyond-reference extensions"); this supplies the standard
+"latest right-side row at or before each left timestamp" join that
+feature-store / training-data pipelines need.
+
+Spark-first design: NOT a per-row lookup and NOT a non-equi join
+explosion. Both sides are tagged and unioned, shuffled ONCE on the
+join key, sorted by event time within each key partition, and the
+right-side payload is propagated forward with
+``last(..., ignorenulls=True)`` over a running window. Cost is one
+shuffle + one sort — the same profile as a sort-merge join — and it
+scales linearly with rows per key regardless of how many right rows
+precede each left row (the naive theta-join is quadratic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payloads: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right-side ``payloads``
+    with ``right_time <= left_time`` (``<`` when ``strict``) for the
+    same key. Left rows with no prior right row get NULL payloads
+    (left-outer as-of semantics).
+
+    Tie handling at equal timestamps is deterministic: right rows sort
+    before left rows (inclusive) or after (strict). If multiple right
+    rows share the same (key, time), the propagated payload is the one
+    that sorts last among them by input order of ``payloads`` values —
+    callers that need full determinism under such ties should pass a
+    time-unique right side (e.g. pre-aggregated) or include the
+    matched ``right_time`` in outputs instead of a tied attribute.
+    """
+    # __src orders right rows before (inclusive) / after (strict) left
+    # rows at equal time, which is what implements <= vs <.
+    l_tagged = left.withColumn("__k", F.col(left_on)).withColumn(
+        "__t", F.col(left_time)
+    ).withColumn("__src", F.lit(1))
+    r_tagged = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0 if not strict else 2).alias("__src"),
+        *[F.col(c).alias(f"__p_{c}") for c in payloads],
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in payloads
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__f_{c}").alias(f"asof_{c}") for c in payloads
+    ]
+    return filled.filter(F.col("__src") == 1).select(*out_cols)

@@ -1,0 +1,55 @@
+"""Batch sessionization — gap-based sessions without streaming state.
+
+Streaming sessionization lives in ``streaming/windows.py``
+(``session_window``); this is the batch twin expressed with plain
+window functions so it is SQL-oracle-checkable and runs anywhere:
+a session breaks when the gap to the previous event (per key) exceeds
+the threshold; session ids are running counts of breaks.
+
+One shuffle (partition by key) + one sort — the minimal cost for any
+order-dependent per-key computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize_batch(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """One row per session: key, session_id (1-based per key), event
+    count, start/end timestamps. Ordering ties broken by ``id_col``
+    so results are deterministic."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w_order = Window.partitionBy(key).orderBy(F.col(time_col), F.col(id_col))
+    with_break = events.select(
+        key,
+        time_col,
+        id_col,
+        F.when(
+            F.unix_micros(time_col)
+            - F.unix_micros(F.lag(time_col).over(w_order))
+            > F.lit(gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_break"),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    with_session = with_break.select(
+        key,
+        time_col,
+        (F.sum("is_break").over(w_run) + 1).alias("session_id"),
+    )
+    return with_session.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+    )

@@ -1,0 +1,27 @@
+"""Operator exercise suite — the driver-facing correctness surface.
+
+Every operator from SURVEY.md §2 (and each beyond-reference operator)
+is registered here as a named query over the driver's testdata tables,
+paired with an ANSI-SQL oracle that DuckDB executes on the same
+parquet. ``__spark_entry__.py`` re-exports this registry.
+
+Cross-engine determinism rules used throughout (so Spark's unordered
+distributed aggregation and DuckDB's sequential one agree bit-for-bit):
+
+- Reductions over DOUBLE columns cast per-row to DECIMAL first
+  (exact arithmetic in both engines); averages divide the exact sum
+  once, as DOUBLE, after aggregation.
+- Per-row double arithmetic is fine (IEEE ops are deterministic);
+  so are min/max.
+- Every computed column is aliased identically in Spark and SQL.
+- Order-dependent ops (windows, as-of, top-k) always carry a unique
+  tie-break column.
+"""
+
+from nhl_data_warehouse_spark.suite.registry import REGISTRY, QuerySpec, register
+
+# importing the modules populates the registry
+from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
+from nhl_data_warehouse_spark.suite import training  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

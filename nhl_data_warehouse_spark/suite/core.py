@@ -1,0 +1,535 @@
+"""Core suite: every reference operator (SURVEY.md §2) exercised on the
+driver's TPC-H-ish tables, with DuckDB oracles.
+
+Mapping of reference ops to testdata (FIXTURES.md "Mapping onto driver
+testdata"): the NHL-domain transforms run on NHL-shaped fixtures in
+``tests/``; here the same operators run on ``orders``/``customer``/
+``lineitem``/... so the external driver can hash-compare against SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.functions.cleaning import md5_key, null_out_like
+from nhl_data_warehouse_spark.operators.asof import as_of_join
+from nhl_data_warehouse_spark.operators.rangejoin import range_join_pairs
+from nhl_data_warehouse_spark.operators.sessions import sessionize_batch
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# aggregations / scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    op_ids="A2,S6,P3 (+§2.5 hash agg, partial+final)",
+    description="TPC-H Q1-shaped grouped aggregation with exact decimal sums",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC4)
+            ).alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "clean_cast_project",
+    op_ids="P1,P3,P4,P5,S6",
+    description="positional projection + trim/replace cleaning + permissive casts",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               TRIM(REPLACE(l_returnflag, '"', '')) AS returnflag_clean,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(l_quantity AS BIGINT) AS qty_long,
+               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(9,4)) AS gross_price
+        FROM lineitem
+    """,
+)
+def clean_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    from nhl_data_warehouse_spark.functions.cleaning import clean_scraped
+
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        clean_scraped("l_returnflag").alias("returnflag_clean"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_quantity").cast("long").alias("qty_long"),
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1) + F.col("l_tax")).cast(DEC4)
+        ).alias("gross_price"),
+    )
+
+
+@register(
+    "md5_lineage_key",
+    op_ids="P6,P7,S8",
+    description="md5(concat(...)) lineage keys — the reference's UNIQUE_KEY",
+    oracle="""
+        SELECT o_orderkey,
+               MD5(CAST(o_orderkey AS VARCHAR) || o_orderstatus || o_orderpriority) AS unique_key
+        FROM orders
+    """,
+)
+def md5_lineage_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        md5_key("o_orderkey", "o_orderstatus", "o_orderpriority").alias("unique_key"),
+    )
+
+
+@register(
+    "case_nullout_filter",
+    op_ids="P8,P9,P10,P13",
+    description="CASE-WHEN null-out of marker rows + conjunctive NOT NULL filter "
+    "(the team_statistics division-header cleaner on part.p_type)",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price
+        FROM (
+            SELECT p_brand, p_retailprice,
+                   CASE WHEN UPPER(p_type) LIKE '%PROMO%' THEN NULL ELSE p_type END AS type_clean
+            FROM part
+        )
+        WHERE type_clean IS NOT NULL
+        GROUP BY p_brand
+    """,
+)
+def case_nullout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load(spark, sf_dir, "part")
+    cleaned = part.select(
+        "p_brand",
+        "p_retailprice",
+        null_out_like("p_type", "%PROMO%").alias("type_clean"),
+    )
+    return (
+        cleaned.na.drop(subset=["type_clean"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(DEC)).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "json_extract",
+    op_ids="P11,P12,S7",
+    description="JSON field extraction from a text column (VARIANT parity)",
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "null_count_quality",
+    op_ids="A1",
+    description="single-pass null-count quality gate aggregate",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+               SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+               SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source
+        FROM documents
+    """,
+)
+def null_count_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        F.sum(F.col("source").isNull().cast("long")).alias("null_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    op_ids="J1,J2",
+    description="inner equi-join to a broadcast dimension (mart's games x team_stats)",
+    oracle="""
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "regional_revenue",
+    op_ids="J1,J2,A2 (multi-hop star join)",
+    description="TPC-H Q5-shaped snowflake join: revenue by region, dims broadcast",
+    oracle="""
+        SELECT r.r_name AS region,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, region = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC4)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "anti_join_incremental",
+    op_ids="J3,M2",
+    description="left-anti incremental filter (dbt NOT-IN dedup, null-safe form)",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+        )
+    """,
+)
+def anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    negative = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(F.broadcast(negative), on="o_custkey", how="left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "explode_tokens",
+    op_ids="J4,J5",
+    description="lateral array unnest (Snowflake FLATTEN -> explode) + token agg",
+    oracle="""
+        SELECT tok AS token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "union_distinct_branches",
+    op_ids="U1",
+    description="SQL UNION (distinct) of two overlapping filtered branches — "
+    "the mart's visitor-branch ∪ home-branch",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_totalprice > 50000
+    """,
+)
+def union_distinct_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(cols)
+    big = orders.filter(F.col("o_totalprice") > 50000).select(cols)
+    return urgent.unionByName(big).distinct()
+
+
+# ---------------------------------------------------------------------------
+# windows / ordering / grouping extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topn",
+    op_ids="§2.6 (window rank, beyond-reference)",
+    description="top-3 orders per priority class by price, deterministic tie-break",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice, rn
+        FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    op_ids="§2.6 (running aggregate window)",
+    description="per-customer running revenue ordered by order date",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("running_revenue"),
+    )
+
+
+@register(
+    "rollup_region_nation",
+    op_ids="§2.5 (rollup grouping sets, beyond-reference)",
+    description="customer counts by region/nation with rollup subtotals",
+    oracle="""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, region = load(spark, sf_dir, "customer", "nation", "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@register(
+    "monthly_order_stats",
+    op_ids="S6,A2 (date-truncated rollup)",
+    description="orders per month: count + exact revenue + min/max price",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal operators (beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_orders",
+    op_ids="beyond-reference as-of join (union+sort, single shuffle)",
+    description="each event matched to the latest order of the same key at-or-before it",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderdate AS asof_o_orderdate
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = load(spark, sf_dir, "events", "orders")
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payloads=["o_orderdate"],
+    )
+
+
+@register(
+    "range_join_pairs",
+    op_ids="beyond-reference range join (bucketed equi-join, O(matches))",
+    description="pairs of same-user events within a 5-minute window",
+    oracle="""
+        SELECT e1.user_id AS user_id, e1.event_id AS a_id, e2.event_id AS b_id,
+               CAST(epoch_us(e2.ts) - epoch_us(e1.ts) AS DOUBLE) / 1000000.0 AS gap_seconds
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+    """,
+)
+def range_join_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return range_join_pairs(events, key="user_id", gap_minutes=5)
+
+
+@register(
+    "sessionize_events",
+    op_ids="beyond-reference sessionization (batch twin of session_window)",
+    description="gap-based sessions per user: 30-minute inactivity threshold",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_break) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return sessionize_batch(events, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke query (``entry()``): the snowflake-join revenue
+    rollup — scans the big fact, joins the full dimension chain with
+    broadcasts, aggregates exactly."""
+    return regional_revenue(spark, sf_dir)
