@@ -1,0 +1,154 @@
+"""Multimodal (binary) column operators.
+
+Images/audio/video are opaque ``BinaryType`` payloads with a typed
+metadata struct; heavy per-item work (decode, resize, feature
+extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` —
+the one place Python belongs in this engine, because codec libraries
+are Python/C anyway. The Spark-side contract (schemas, batch shapes,
+partition behavior) is real and tested; the codec call itself is
+stubbed behind ``try/except ImportError`` with a deterministic fake,
+clearly marked, since image/audio libs aren't in this container.
+
+Scale notes: mapInPandas streams Arrow batches — peak memory is one
+batch, not one partition; binary-heavy tables should set
+``spark.sql.files.maxPartitionBytes`` so (payload x batch) fits
+executor memory, and payloads should live in their own parquet column
+chunk (they do, by being a separate column) so metadata-only queries
+never read the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoded_real", T.BooleanType()),
+    ]
+)
+
+
+def as_media_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Wrap any table into the canonical media shape by encoding a
+    column as the binary payload (stand-in for image/audio bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_dimensions(payload: bytes) -> tuple[int, int, bool]:
+    """Decode payload dimensions.
+
+    REAL DECODE IS STUBBED: PIL/ffmpeg are not available in this
+    environment. When they are, replace the fake branch with e.g.
+    ``PIL.Image.open(io.BytesIO(payload)).size``. The fake is
+    deterministic in the payload bytes so tests are stable.
+    """
+    try:
+        import PIL.Image  # type: ignore  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode path not wired up in this environment"
+        )
+    except ImportError:
+        # deterministic fake: derive pseudo-dimensions from content
+        w = 1 + (sum(payload[:16]) % 1024) if payload else 0
+        h = 1 + (len(payload) % 768)
+        return w, h, False
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload:
+    byte stats (real) + decoded dimensions (stubbed fake). The
+    mapInPandas iterator contract keeps memory at one Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                w, h, real = _decode_dimensions(b)
+                out.append(
+                    (
+                        int(media_id),
+                        len(b),
+                        float(arr.mean()) if len(arr) else 0.0,
+                        w,
+                        h,
+                        real,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing: passes payloads through mapInPandas with the
+    target size in the plan; the pixel work is the stubbed decode.
+    Returns the media shape with meta.mime retagged."""
+    import pandas as pd
+
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            # STUB: real implementation decodes, resizes to max_dim,
+            # re-encodes. Fake keeps bytes, truncated deterministically
+            # to simulate a smaller artifact.
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                bytes(p)[: max(1, len(bytes(p)) // 2)] if p is not None else None
+                for p in pdf["payload"]
+            ]
+            pdf["meta"] = [
+                {
+                    "mime": "text/plain;resized",
+                    "n_bytes": len(p) if p is not None else 0,
+                    "source": (m or {}).get("source"),
+                }
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pdf
+
+    return media.mapInPandas(run, out_schema)

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN systems scale:
+
+- ``cosine_topk`` — brute-force exact scan: JVM-side ``zip_with`` +
+  ``aggregate`` dot product (no Python in the hot path), full scan,
+  top-k via ORDER/LIMIT. The correctness baseline, and genuinely the
+  right plan when the query batch is small: one narrow map over the
+  corpus, one tiny shuffle of k rows.
+- ``lsh_hyperplane_buckets`` / ``ann_bucketed_topk`` — the scale path:
+  deterministic random-hyperplane LSH. Each of ``n_planes``
+  pseudo-random ±1 hyperplanes (derived from md5, so both engines and
+  every executor agree without sharing state) contributes one sign
+  bit; vectors sharing the bucket of the query are the only
+  candidates scored. At 100TB the bucket column is a partition key:
+  probing reads 1/2^n_planes of the corpus (partition pruning), which
+  is the IVF idea with hash-derived instead of learned centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact JVM-side dot product of two equal-length float arrays,
+    computed in double (sequential left fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec`` (a literal array column,
+    e.g. ``F.array(*[F.lit(x) for x in vec])`` or a 1-row broadcast).
+    Ties broken by id for determinism. Cosine rounded to 6 dp so
+    downstream comparisons are stable across engines.
+    """
+    dot = _dot(F.col(vec_col), query_vec)
+    if assume_normalized:
+        cos = dot
+    else:
+        cos = dot / (_norm(F.col(vec_col)) * _norm(query_vec))
+    scored = embeddings.select(
+        F.col(id_col), F.round(cos, 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign of plane p,
+    component i = +1 iff the first hex digit of md5(f"{p}_{i}") is in
+    '01234567'. Pure function of (p, i) — no RNG state to ship."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0]
+            row.append(1 if h in "01234567" else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector an LSH bucket id in [0, 2^n_planes): bit p is
+    the sign of the dot product with ±1 hyperplane p. Entirely
+    JVM-side expression work — a narrow projection, no shuffle."""
+    planes = plane_signs(n_planes, dim)
+    bucket = F.lit(0)
+    for p, signs in enumerate(planes):
+        plane_col = F.array(*[F.lit(s) for s in signs])
+        d = _dot(F.col(vec_col), plane_col)
+        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def ann_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: Column,
+    query_bucket_df: DataFrame | None = None,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    With the bucket as a storage partition key this is partition
+    pruning — the scan touches ~1/2^n_planes of the data. Recall is
+    tunable via n_planes (fewer planes = bigger buckets = higher
+    recall, more work) or multi-probe (union adjacent buckets).
+    """
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    planes = plane_signs(n_planes, dim)
+    qb = F.lit(0)
+    for p, signs in enumerate(planes):
+        plane_col = F.array(*[F.lit(s) for s in signs])
+        d = _dot(query_vec, plane_col)
+        qb = qb + F.when(d > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    candidates = bucketed.filter(F.col("bucket") == qb)
+    return cosine_topk(
+        candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        assume_normalized=False,
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators for corpus curation.
+
+All JVM-side expression work (split/regexp/len arithmetic) — no
+Python UDFs, so these run at scan speed inside whole-stage codegen.
+Per-row ratios are plain double arithmetic (deterministic IEEE ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokens vs BPE-ish units: words OR single non-space symbols
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+# marker stopwords per language for the n-gram/stopword language-ID
+# heuristic; real pipelines plug in fastText etc. — the *operator
+# shape* (vectorized scoring + argmax) is what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting both ways: whitespace tokens and BPE-ish regex
+    units, plus char length — the standard size gates for corpus
+    filtering."""
+    ws_tokens = F.split(F.col(text_col), r"\s+")
+    bpe_tokens = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(F.filter(ws_tokens, lambda t: t != "")).alias("n_ws_tokens"),
+        F.size(bpe_tokens).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + a composite 0-10 score: length
+    band, punctuation density, stopword presence, mean token length —
+    the usual cheap pre-filters before model-based scoring.
+
+    All outputs are integers and every threshold is an integer
+    cross-multiplication (``n_punct*10 < n_chars`` instead of
+    ``n_punct/n_chars < 0.1``): exact in any engine, no
+    floating-point rounding to disagree about. Consumers derive float
+    ratios from the counts when they want them.
+    """
+    text = F.col(text_col)
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.filter(tokens, lambda t: F.lower(t).isin(*LANG_MARKERS["en"]))
+    )
+    sum_tok_len = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    length_ok = (n_chars >= 100) & (n_chars <= 20000)
+    punct_ok = n_punct * 10 < n_chars  # punct ratio < 0.1
+    stop_ok = n_stop > 0
+    tok_len_ok = (sum_tok_len >= 3 * n_tokens) & (sum_tok_len <= 10 * n_tokens)
+    score = (
+        length_ok.cast("long") * 4
+        + punct_ok.cast("long") * 2
+        + stop_ok.cast("long") * 2
+        + tok_len_ok.cast("long") * 2
+    )
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stop"),
+        sum_tok_len.cast("long").alias("sum_tok_len"),
+        score.alias("quality_decile"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-marker language ID: score each language by how many of
+    its marker words occur (distinct presence), predict the argmax
+    (ties broken by language code order, deterministic)."""
+    tokens = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    scores = [
+        F.size(F.array_intersect(tokens, F.array(*[F.lit(m) for m in markers]))).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select(id_col, *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    # first language (in declaration order) achieving the max wins;
+    # build the CASE back-to-front
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select(id_col, *[f"score_{l}" for l in langs], pred.alias("pred_lang"))
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 12
+) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity)
+    plus the minimum hashed char k-gram (a 1-hash MinHash — the
+    rolling-hash winnowing idea reduced to its portable core)."""
+    from nhl_data_warehouse_spark.operators.dedup import normalized_text
+
+    norm = normalized_text(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    shingle_hashes = F.transform(
+        positions, lambda i: F.md5(F.substring(F.col(text_col), i, k))
+    )
+    return df.select(
+        id_col,
+        F.md5(norm).alias("content_fingerprint"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+    )

@@ -1,7 +1,457 @@
 """Training-data pipeline suite: dedup, similarity, text analysis,
-multimodal (SURVEY.md §7.2 step 7). Populated by the corresponding
-operators in ``operators/dedup.py`` / ``operators/similarity.py`` /
-``operators/text.py`` / ``operators/multimodal.py``.
+multimodal, streaming-twin queries (SURVEY.md §7.2 step 7) — each a
+first-class engine capability with a DuckDB oracle wherever SQL can
+express the semantics.
+
+Shared determinism conventions (see ``suite/__init__``): hashes are
+md5-hex strings (lexicographic order == numeric order), set/count
+logic is integer arithmetic, cosines are rounded to 6 dp after
+identical double computations.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators import dedup, multimodal, similarity, text
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+SHINGLE_K = 12
+N_HASHES = 8
+BAND_SIZE = 2
+
+# DuckDB CTE fragments shared by the minhash-family oracles
+_SHINGLES_CTE = f"""
+    shingles AS (
+        SELECT DISTINCT doc_id, substring(text, i, {SHINGLE_K}) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text)-{SHINGLE_K - 1}, 1))) AS i
+              FROM documents)
+        WHERE length(substring(text, i, {SHINGLE_K})) = {SHINGLE_K}
+    )
+"""
+
+_SIG_CTE = f"""
+    hashed AS (
+        SELECT doc_id, h, MD5(CAST(h AS VARCHAR) || '|' || shingle) AS v
+        FROM shingles, (SELECT unnest(generate_series(1, {N_HASHES})) AS h)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(CASE WHEN h={i} THEN v END) AS mh{i}" for i in range(1, N_HASHES + 1))}
+        FROM hashed GROUP BY doc_id
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    op_ids="beyond-reference exact dedup (generalizes P7+J3)",
+    description="exact duplicate groups by md5 content hash",
+    oracle="""
+        SELECT MD5(text) AS fingerprint, MIN(doc_id) AS representative_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(documents)
+
+
+@register(
+    "dedup_exact_normalized",
+    op_ids="beyond-reference normalized exact dedup",
+    description="dedup on canonicalized text (lower/strip-punct/collapse-ws)",
+    oracle=r"""
+        SELECT MD5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS fingerprint,
+               MIN(doc_id) AS representative_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(documents, normalize=True)
+
+
+@register(
+    "minhash_signatures",
+    op_ids="beyond-reference MinHash (shingle -> k-min signature)",
+    description=f"{N_HASHES}-hash MinHash signature over char {SHINGLE_K}-gram shingles",
+    oracle=f"WITH {_SHINGLES_CTE}, {_SIG_CTE} SELECT * FROM sig",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    return dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+
+
+@register(
+    "minhash_lsh_candidates",
+    op_ids="beyond-reference MinHash+LSH banding (bucket-join candidates)",
+    description="near-dup candidate pairs agreeing on a full minhash band",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        )
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    return dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
+
+
+@register(
+    "jaccard_near_dups",
+    op_ids="beyond-reference n-gram Jaccard near-dup detection",
+    description="exact shingle-Jaccard >= 0.5 pairs (freq-capped shared-shingle join)",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        freq_ok AS (SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 50),
+        sh AS (SELECT s.* FROM shingles s JOIN freq_ok USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    return dedup.jaccard_pairs(sh, threshold=0.5, max_shingle_freq=50)
+
+
+@register(
+    "simhash_sketch",
+    op_ids="beyond-reference SimHash sketch",
+    description="16-bit simhash per document from token-hash bit votes",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   CASE WHEN strpos('89abcdef', substring(md5(tok), b.bit + 1, 1)) > 0
+                        THEN 1 ELSE -1 END AS vote
+            FROM tokens, (SELECT unnest(generate_series(0, 15)) AS bit) b
+        ),
+        sums AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY 1, 2)
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+        FROM sums GROUP BY doc_id
+    """,
+)
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.simhash(documents, bits=16)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    row = embeddings.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return F.array(*[F.lit(float(v)) for v in row.embedding])
+
+
+@register(
+    "cosine_topk_bruteforce",
+    op_ids="beyond-reference ANN baseline (exact cosine top-k scan)",
+    description="top-10 cosine neighbors of vec 0, exact full scan",
+    oracle="""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dots AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM embeddings e, q)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(embeddings, _query_vec(spark, sf_dir), k=10)
+
+
+def _planes_sql_values(n_planes: int = 8, dim: int = 64) -> str:
+    planes = similarity.plane_signs(n_planes, dim)
+    rows = ", ".join(
+        f"({p}, [{', '.join(str(s) for s in signs)}])" for p, signs in enumerate(planes)
+    )
+    return f"planes(p, s) AS (VALUES {rows})"
+
+
+@register(
+    "ann_lsh_buckets",
+    op_ids="beyond-reference ANN scale path (hyperplane LSH bucketing)",
+    description="LSH bucket occupancy: 8 deterministic ±1 hyperplanes -> 256 buckets",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        )
+        SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return (
+        similarity.lsh_hyperplane_buckets(embeddings, n_planes=8, dim=64)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_bucketed_topk",
+    op_ids="beyond-reference ANN probe (bucket-pruned cosine top-k)",
+    description="top-10 neighbors of vec 0 scored only within its LSH bucket",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        cand AS (SELECT e.* FROM embeddings e
+                 JOIN buckets b ON e.vec_id = b.vec_id
+                 JOIN qb ON b.bucket = qb.bucket),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dots AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c, q)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ann_bucketed_topk(
+        embeddings, _query_vec(spark, sf_dir), n_planes=8, dim=64, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    op_ids="beyond-reference token counting (whitespace + BPE-ish regex)",
+    description="char/whitespace-token/BPE-ish-token counts per document",
+    oracle=r"""
+        SELECT doc_id, length(text) AS n_chars,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.token_stats(documents)
+
+
+@register(
+    "quality_scores",
+    op_ids="beyond-reference quality scoring (integer-exact heuristics)",
+    description="length/punct/stopword/token-length quality features + 0-10 score",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> list_contains(['the','a','of','and','is'], lower(x)))) AS n_stop,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_tok_len
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+               CAST(sum_tok_len AS BIGINT) AS sum_tok_len,
+               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+                + CASE WHEN n_punct * 10 < n_chars THEN 2 ELSE 0 END
+                + CASE WHEN n_stop > 0 THEN 2 ELSE 0 END
+                + CASE WHEN sum_tok_len >= 3 * n_tokens AND sum_tok_len <= 10 * n_tokens
+                       THEN 2 ELSE 0 END) AS quality_decile
+        FROM feats
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.quality_score(documents)
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = ",\n               ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(m) for m in markers)}])) AS score_{lang}"
+        for lang, markers in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    greatest = f"greatest({', '.join('score_' + l for l in langs)})"
+    case = "CASE WHEN " + f"{greatest} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return rf"""
+        WITH toks_t AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                             x -> x <> '')) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+               {score_exprs}
+            FROM toks_t
+        )
+        SELECT doc_id, {', '.join('score_' + l for l in langs)},
+               {case} AS pred_lang
+        FROM scored
+    """
+
+
+@register(
+    "lang_id_predictions",
+    op_ids="beyond-reference language ID (stopword-marker heuristic)",
+    description="per-language marker scores + deterministic argmax prediction",
+    oracle=_lang_id_oracle(),
+)
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.lang_id(documents)
+
+
+@register(
+    "doc_fingerprints",
+    op_ids="beyond-reference document fingerprinting (content + min-shingle hash)",
+    description="md5 of normalized text + minimum hashed char shingle",
+    oracle=rf"""
+        SELECT doc_id,
+               MD5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS content_fingerprint,
+               list_aggregate(list_transform(
+                   generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1)),
+                   i -> md5(substring(text, i, {SHINGLE_K}))), 'min') AS min_shingle_hash
+        FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.fingerprint(documents, k=SHINGLE_K)
+
+
+# ---------------------------------------------------------------------------
+# multimodal + streaming twins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binary_media_meta",
+    op_ids="beyond-reference multimodal columns (binary payload + typed metadata)",
+    description="documents wrapped as binary media; metadata projection never reads payloads",
+    oracle="""
+        SELECT doc_id AS media_id, 'text/plain' AS mime,
+               octet_length(encode(text)) AS n_bytes, source
+        FROM documents
+    """,
+)
+def binary_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(documents)
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+@register(
+    "media_feature_extract",
+    op_ids="beyond-reference multimodal decode/feature plumbing (mapInPandas)",
+    description="Arrow-batched byte stats + stubbed decode over binary payloads "
+    "(no SQL oracle: Python mapInPandas semantics; driver rows-only check)",
+    oracle=None,
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(documents)
+    return multimodal.extract_features(media)
+
+
+@register(
+    "event_hourly_stats",
+    op_ids="S5/§2.7 streaming twin (tumbling event-time window, batch form)",
+    description="1-hour tumbling window counts + exact value sums per event type",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def event_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.streaming.windows import windowed_event_counts
+
+    (events,) = load(spark, sf_dir, "events")
+    return windowed_event_counts(
+        events.withColumn("value", F.col("value").cast("decimal(18,2)")),
+        window_duration="1 hour",
+    )

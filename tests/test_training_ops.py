@@ -1,0 +1,171 @@
+"""Semantic tests for the training-data operators: planted
+near-duplicates must be found (recall), sketches must behave like
+sketches, and the multimodal plumbing must preserve shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "swift")),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "  The QUICK brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside!! "),
+        # 4 = dup of 0 after normalization only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_exact_groups(self, docs):
+        out = dedup.exact_dedup(docs).collect()
+        groups = {r.representative_id: r.n_copies for r in out}
+        assert groups[0] == 2  # docs 0,1
+        assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+    def test_normalized_groups(self, docs):
+        out = dedup.exact_dedup(docs, normalize=True).collect()
+        groups = {r.representative_id: r.n_copies for r in out}
+        assert groups[0] == 3  # docs 0,1,4 collapse after normalization
+
+
+class TestMinHashLSH:
+    def test_near_dup_recall(self, docs):
+        sh = dedup.char_shingles(docs, k=12)
+        sig = dedup.minhash_signatures(sh, n_hashes=8)
+        cands = dedup.minhash_band_candidates(sig, n_hashes=8, band_size=2)
+        pairs = {(r.a_id, r.b_id) for r in cands.collect()}
+        assert (0, 1) in pairs  # exact dup always a candidate
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+        # unrelated doc 3 shares no 12-gram with the fox docs
+        assert not any(3 in p for p in pairs)
+
+    def test_jaccard_verification(self, docs):
+        sh = dedup.char_shingles(docs, k=12)
+        out = dedup.jaccard_pairs(sh, threshold=0.5)
+        j = {(r.a_id, r.b_id): r.jaccard for r in out.collect()}
+        assert j[(0, 1)] == 1.0  # identical shingle sets
+        assert 0.5 <= j[(0, 2)] < 1.0  # one-word edit stays similar
+        assert (0, 3) not in j
+
+    def test_candidates_restrict_pairs(self, docs, spark):
+        sh = dedup.char_shingles(docs, k=12)
+        cands = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+        out = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0)
+        assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
+
+
+class TestSimHash:
+    def test_dups_same_sketch_distinct_differs(self, docs):
+        out = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+        assert out[0] == out[1]  # identical docs, identical sketch
+        assert 0 <= out[0] < 2**16
+        # hamming distance between near-dups is small, unrelated large
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        assert ham(out[0], out[2]) <= ham(out[0], out[3])
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            angle = (i / 50) * math.pi
+            rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_bruteforce_topk_self_first(self, vecs):
+        q = F.array(*[F.lit(x) for x in [1.0, 0.0, 0.0, 0.0]])
+        top = similarity.cosine_topk(vecs, q, k=5).collect()
+        assert top[0].vec_id == 0 and top[0].cosine == pytest.approx(1.0)
+        # neighbors ranked by angular distance
+        assert [r.vec_id for r in top] == [0, 1, 2, 3, 4]
+
+    def test_lsh_buckets_partition_space(self, vecs):
+        b = similarity.lsh_hyperplane_buckets(vecs, n_planes=4, dim=4)
+        rows = b.collect()
+        assert all(0 <= r.bucket < 16 for r in rows)
+        # same vector -> same bucket (deterministic)
+        b2 = {r.vec_id: r.bucket for r in similarity.lsh_hyperplane_buckets(vecs, n_planes=4, dim=4).collect()}
+        assert all(b2[r.vec_id] == r.bucket for r in rows)
+
+    def test_ann_returns_query_bucket_neighbors(self, vecs):
+        q = F.array(*[F.lit(x) for x in [1.0, 0.0, 0.0, 0.0]])
+        approx = similarity.ann_bucketed_topk(vecs, q, n_planes=4, dim=4, k=5)
+        rows = approx.collect()
+        assert rows, "query bucket must contain at least the identical vector"
+        assert rows[0].vec_id == 0  # exact match shares every sign bit
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world! two  spaces")], "doc_id long, text string")
+        r = text.token_stats(df).first()
+        assert r.n_ws_tokens == 4
+        assert r.n_bpe_tokens == 6  # hello , world ! two spaces
+
+    def test_quality_integer_exact(self, spark):
+        good = "the " + "word " * 40  # ~200 chars, stopword present
+        bad = "x!" * 10
+        df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+        out = {r.doc_id: r for r in text.quality_score(df).collect()}
+        assert out[1].quality_decile > out[2].quality_decile
+        assert out[2].n_punct == 10
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on a mat of dreams"),
+                (2, "der hund und die katze das ist gut"),
+                (3, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+    def test_fingerprint_normalization_invariance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World!"), (2, "hello world")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in text.fingerprint(df).collect()}
+        assert out[1].content_fingerprint == out[2].content_fingerprint
+        assert len(out[1].min_shingle_hash) == 32
+
+
+class TestMultimodal:
+    def test_media_table_and_features(self, docs):
+        media = multimodal.as_media_table(docs, source_col="text")
+        feats = multimodal.extract_features(media)
+        rows = {r.media_id: r for r in feats.collect()}
+        assert set(rows) == {0, 1, 2, 3, 4}
+        r0 = rows[0]
+        assert r0.n_bytes == len(BASE.encode())
+        assert r0.decoded_real is False  # stubbed decode path
+        assert r0.width > 0 and r0.height > 0
+        # identical payloads -> identical fake dimensions (determinism)
+        assert (rows[0].width, rows[0].height) == (rows[1].width, rows[1].height)
+
+    def test_resize_stub_halves_payload(self, docs):
+        media = multimodal.as_media_table(docs, source_col="text")
+        out = multimodal.resize_stub(media)
+        r = out.filter(F.col("media_id") == 0).first()
+        assert r.meta.mime == "text/plain;resized"
+        assert len(r.payload) == len(BASE.encode()) // 2
