@@ -21,6 +21,9 @@ every step expressible in portable SQL and identical across engines.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,7 +57,7 @@ def exact_dedup(
     )
 
 
-def _scale_out(df: DataFrame) -> DataFrame:
+def scale_out(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input is
     under-partitioned (e.g. one small parquet file): CPU-heavy
     per-row work (hashing, shingling) must not serialize onto a
@@ -66,53 +69,96 @@ def _scale_out(df: DataFrame) -> DataFrame:
     return df
 
 
+_scale_out = scale_out  # backwards-compat alias
+
+
+def _shingle_array(text_col: str | F.Column, k: int) -> F.Column:
+    """Distinct char k-gram shingles of a text column as an array —
+    a pure per-row expression (positions -> substring -> distinct)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.filter(
+        F.array_distinct(F.transform(positions, lambda i: F.substring(text, i, k))),
+        lambda s: F.length(s) == k,
+    )
+
+
 def char_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 12
 ) -> DataFrame:
     """Distinct character k-gram shingles per document (narrow op:
     generate positions -> substring -> explode -> local distinct)."""
-    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    return (
-        _scale_out(df)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.transform(positions, lambda i: F.substring(F.col(text_col), i, k))
+    return scale_out(df).select(
+        F.col(id_col),
+        F.explode(_shingle_array(text_col, k)).alias("shingle"),
+    )
+
+
+def minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: for hash function i,
+    ``min(md5(i || '|' || shingle))`` over the doc's distinct char
+    k-gram shingles — computed as a single per-row fold.
+
+    Shuffle-free narrow map: the shingle array is built once per
+    document and folded once (``F.aggregate`` with a struct
+    accumulator holding the n running minima); nothing leaves its
+    input partition. Trade-off vs ``minhash_signatures``
+    (explode + hash-aggregate): that path pays one tiny shuffle of
+    (doc, n_hashes) partial minima but its md5 work runs inside
+    whole-stage codegen, while higher-order-function lambdas are
+    evaluated interpreted — measured on ~300-char docs the codegen
+    path is ~30% faster, so it is the default in the suite. This
+    fold form wins when shuffles are the scarce resource (very wide
+    docs, or a cluster where the explode's row blow-up pressures
+    shuffle memory).
+
+    Documents with no length-k shingle (len(text) < k) are dropped,
+    matching the relational formulation where they produce no rows.
+    """
+    hashes = list(range(1, n_hashes + 1))
+    # 'g' sorts after every lowercase-hex md5 digest, so it is an
+    # identity element for the string-min fold
+    init = F.struct(*[F.lit("g").alias(f"mh{i}") for i in hashes])
+    sig = F.aggregate(
+        F.col("_shingles"),
+        init,
+        lambda acc, s: F.struct(
+            *[
+                F.least(acc[f"mh{i}"], F.md5(F.concat(F.lit(f"{i}|"), s))).alias(
+                    f"mh{i}"
                 )
-            ).alias("shingle"),
-        )
-        .filter(F.length("shingle") == k)
+                for i in hashes
+            ]
+        ),
+    )
+    return (
+        scale_out(df)
+        .select(F.col(id_col), _shingle_array(text_col, k).alias("_shingles"))
+        .filter(F.size("_shingles") > 0)
+        .select(F.col(id_col), sig.alias("_sig"))
+        .select(id_col, *[F.col(f"_sig.mh{i}").alias(f"mh{i}") for i in hashes])
     )
 
 
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature per document: for hash function i,
-    ``min(md5(i || '|' || shingle))``.
-
-    Scale shape: md5 is the expensive step, so hash each DISTINCT
-    shingle once into an (shingle -> h1..hn) dimension and join it
-    back to the (doc, shingle) pairs — cost n_hashes x |vocabulary|
-    instead of n_hashes x |occurrences| (crypto-hash work drops by the
-    corpus's repetition factor). The signature is then one group-by
-    with n plain mins; partial aggregation means the shuffle carries
-    only (doc, n_hashes) values regardless of shingle count.
-    """
-    distinct_sh = shingles.select("shingle").distinct()
-    hashed = distinct_sh.select(
-        "shingle",
+    """MinHash signatures from an exploded (doc, shingle) pair table:
+    one hash-aggregate with n inline-hashed mins. Partial (map-side)
+    aggregation means the shuffle carries only (doc, n_hashes) minima
+    regardless of shingle count. Prefer ``minhash`` (fused, shuffle-
+    free) when starting from whole documents."""
+    return shingles.groupBy(id_col).agg(
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
             for i in range(1, n_hashes + 1)
-        ],
-    )
-    # vocabulary dim is small (distinct shingles x 8 hashes) —
-    # broadcast so the pair side never shuffles
-    joined = shingles.join(F.broadcast(hashed), on="shingle")
-    return joined.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(1, n_hashes + 1)]
+        ]
     )
 
 
@@ -149,6 +195,9 @@ def minhash_band_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # both sides of the self-join read `bands`; persist so the
+    # signature computation upstream runs once, not twice
+    bands = bands.persist()
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (
@@ -185,6 +234,10 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, on="shingle")
+    # `sh` feeds four plan branches (sizes, both join sides, and the
+    # freq filter already consumed it once) — persist so shingling
+    # runs once instead of per-branch
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -222,35 +275,49 @@ def simhash(
     grouping by the sketch (or bucketing on bit-bands) finds near-dups
     with ONE aggregation — no pairwise work at all.
 
-    bits <= 32 (md5 hex length). Narrow explode (tokens x bits) then
-    partial-aggregated group-by: shuffle carries (doc, bits) rows.
+    bits <= 32 (md5 hex length). Computed as a single per-row fold
+    (``F.aggregate`` over the hashed-token array with a struct of
+    ``bits`` running vote sums, finished into the integer sketch) —
+    a narrow map, no explode, no shuffle: the per-document sketch is
+    embarrassingly parallel and the plan reflects that at any scale.
+    Each token is md5-hashed exactly once (the hash array is the
+    fold's input). Documents with no tokens are dropped, matching the
+    relational formulation where they produce no rows.
     """
     assert bits <= 32
-    tokens = _scale_out(df).select(
-        id_col, F.explode(F.split(text_col, " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    votes = tokens.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.struct(
-                    b.alias("bit"),
-                    # hex digits order '0'-'9' < 'a'-'f', so >= '8' is
-                    # exactly the high-bit test (same set as the
-                    # oracle's strpos('89abcdef', ch) > 0)
-                    F.when(
-                        F.md5("tok").substr(b + 1, F.lit(1)) >= "8",
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .alias("vote"),
-                ),
-            )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-    bit_sums = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
-    # shiftleft via expr: the pyspark F.shiftleft wrapper only takes a
-    # Python int for numBits, but the SQL function accepts a column
-    bit_value = F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-    return bit_sums.groupBy(id_col).agg(F.sum(bit_value).alias("simhash"))
+    hashed_tokens = F.transform(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+        lambda t: F.md5(t),
+    )
+    bit_range = list(range(bits))
+    init = F.struct(*[F.lit(0).cast("long").alias(f"s{b}") for b in bit_range])
+    # hex digits order '0'-'9' < 'a'-'f', so >= '8' is exactly the
+    # high-bit test (same set as the oracle's strpos('89abcdef', ch))
+    sketch = F.aggregate(
+        F.col("_hashes"),
+        init,
+        lambda acc, h: F.struct(
+            *[
+                (
+                    acc[f"s{b}"]
+                    + F.when(h.substr(b + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+                ).alias(f"s{b}")
+                for b in bit_range
+            ]
+        ),
+        lambda acc: reduce(
+            add,
+            [
+                F.when(acc[f"s{b}"] > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in bit_range
+            ],
+        ),
+    )
+    return (
+        scale_out(df)
+        .select(F.col(id_col), hashed_tokens.alias("_hashes"))
+        .filter(F.size("_hashes") > 0)
+        .select(id_col, sketch.alias("simhash"))
+    )

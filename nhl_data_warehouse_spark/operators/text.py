@@ -117,14 +117,14 @@ def fingerprint(
     """Document fingerprints: md5 of normalized text (exact identity)
     plus the minimum hashed char k-gram (a 1-hash MinHash — the
     rolling-hash winnowing idea reduced to its portable core)."""
-    from nhl_data_warehouse_spark.operators.dedup import normalized_text
+    from nhl_data_warehouse_spark.operators.dedup import normalized_text, scale_out
 
     norm = normalized_text(text_col)
     positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
     shingle_hashes = F.transform(
         positions, lambda i: F.md5(F.substring(F.col(text_col), i, k))
     )
-    return df.select(
+    return scale_out(df).select(
         id_col,
         F.md5(norm).alias("content_fingerprint"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
