@@ -100,6 +100,98 @@ def lsh_hyperplane_buckets(
     return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate pairs share a
+    hyperplane-LSH bucket (never all pairs), then exact cosine filters
+    at ``threshold``. The dedup analogue of MinHash banding for dense
+    vectors.
+
+    Scale shape: the self-join key is the bucket id, so shuffle fan-out
+    is sum over buckets of n_b^2 — bounded by bucket granularity
+    (more planes = smaller buckets = fewer candidates, lower recall).
+    Cosine is computed once per surviving candidate pair.
+    """
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    bucketed = bucketed.persist()  # both join sides read it
+    a = bucketed.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    )
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment with deterministic seed centroids (the first
+    ``n_centroids`` vectors by id stand in for k-means centroids —
+    the *index structure* is what matters; plug trained centroids in
+    unchanged): each vector joins the broadcast centroid set and keeps
+    its argmax-cosine cell (6dp-rounded, ties to the lower cell id).
+
+    At scale the cell id becomes the storage partition key, so a probe
+    reads only its cell's partitions — the IVF pruning idea expressed
+    as ordinary partition pruning.
+    """
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+    )
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("_cv"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_cv"))),
+        6,
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "cell_id", cos.alias("_cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Column,
+    query_id: int = 0,
+    n_centroids: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k scored only within the query's
+    cell. nprobe=1; union more cells for higher recall."""
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.persist()  # probe lookup + candidate scan share it
+    qcell = assigned.filter(F.col(id_col) == query_id).select("cell_id")
+    cand = assigned.join(F.broadcast(qcell), on="cell_id").select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_bucketed_topk(
     embeddings: DataFrame,
     query_vec: Column,

@@ -10,6 +10,11 @@ Structured-Streaming file source (``streaming/file_ingest.py``).
 """
 
 from nhl_data_warehouse_spark.sources.csv_source import load_games_csv, load_team_stats_csv
+from nhl_data_warehouse_spark.sources.extract import (
+    extract_api_endpoint,
+    parse_first_html_table,
+    scrape_season_tables,
+)
 from nhl_data_warehouse_spark.sources.json_source import load_json_raw
 from nhl_data_warehouse_spark.sources.ledger import IngestLedger
 
@@ -18,4 +23,7 @@ __all__ = [
     "load_team_stats_csv",
     "load_json_raw",
     "IngestLedger",
+    "scrape_season_tables",
+    "extract_api_endpoint",
+    "parse_first_html_table",
 ]

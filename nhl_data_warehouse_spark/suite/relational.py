@@ -1,0 +1,256 @@
+"""Relational-completeness suite: the operator families the reference
+never exercises but a drop-in engine must expose (SURVEY.md §2.3-§2.6
+"absent in reference; native in Spark" notes) — semi/outer joins,
+INTERSECT/EXCEPT, distinct aggregation, CUBE grouping sets, pivot,
+scalar-subquery predicates, lag/lead windows, exact percentiles.
+
+Determinism conventions as in ``suite/__init__``: decimal-exact sums,
+integer cross-multiplication instead of float ratio comparison,
+explicit tie-breaks on ordered ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "semi_join_exists",
+    op_ids="§2.3 semi join (EXISTS — absent in reference, native Spark)",
+    description="customers with at least one urgent order (left_semi, no fan-out)",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # semi join never duplicates the probe side — the correct shape for
+    # existence tests (an inner join + distinct would shuffle the fan-out)
+    return customer.join(urgent, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "outer_join_null_fill",
+    op_ids="§2.3 left outer join (absent in reference, native Spark)",
+    description="every customer with order count/revenue, zero-filled when orderless",
+    oracle="""
+        SELECT c.c_custkey,
+               COALESCE(s.n_orders, 0) AS n_orders,
+               COALESCE(s.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY o_custkey
+        ) s ON s.o_custkey = c.c_custkey
+    """,
+)
+def outer_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+    )
+    # aggregate-then-join: the outer join carries one row per customer,
+    # not one per order — same answer, far smaller shuffle
+    return customer.join(per_cust, on="c_custkey", how="left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0).cast(DEC)).alias("revenue"),
+    )
+
+
+@register(
+    "intersect_custkeys",
+    op_ids="§2.4 INTERSECT (absent in reference, native Spark)",
+    description="customers appearing in both open- and finished-status orders",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(done)
+
+
+@register(
+    "except_custkeys",
+    op_ids="§2.4 EXCEPT (absent in reference, native Spark)",
+    description="customers with open orders but no finished ones",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep multiplicity
+    return open_.subtract(done)
+
+
+@register(
+    "distinct_agg",
+    op_ids="§2.5 distinct aggregation (absent in reference, native Spark)",
+    description="per-segment distinct-customer and distinct-nation counts",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(DISTINCT c_acctbal >= 0) AS n_balance_signs
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct(F.col("c_acctbal") >= 0).alias("n_balance_signs"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    op_ids="§2.5 CUBE grouping sets + grouping() (absent in reference)",
+    description="order counts over all (status, priority) grouping combinations",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    op_ids="§2.5 pivot (wide conditional aggregation)",
+    description="orders per status pivoted to columns, one row per order year",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+        FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    # explicit value list: without it Spark runs an extra distinct scan
+    # to discover pivot columns — never do that on a 100TB table
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_filter",
+    op_ids="§2.2 scalar-subquery predicate (above-average filter)",
+    description="orders above the global average price (integer-exact comparison)",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    # price*n > total  avoids dividing (exact decimal arithmetic, and
+    # the 1-row aggregate broadcasts instead of shuffling anything)
+    totals = orders.agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(totals))
+        .filter(F.col("o_totalprice").cast(DEC) * F.col("_n") > F.col("_total"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_lag_gap",
+    op_ids="§2.6 lag/lead window (absent in reference, native Spark)",
+    description="seconds since each customer's previous order (LAG over partition)",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('second',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_seconds
+        FROM orders
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.unix_timestamp("o_orderdate") - F.unix_timestamp(prev)
+        ).alias("gap_seconds"),
+    )
+
+
+@register(
+    "exact_percentiles",
+    op_ids="§2.5 percentile aggregation (exact, interpolated)",
+    description="exact p50/p90 of order price per priority (6dp-rounded)",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    # exact percentile (sort-based) for oracle parity; at 100TB swap in
+    # approx_percentile (t-digest sketch, single pass, mergeable)
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )

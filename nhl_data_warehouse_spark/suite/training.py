@@ -285,6 +285,119 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dups",
+    op_ids="beyond-reference embedding-cosine near-dup pairs (LSH candidates + exact verify)",
+    description="vector pairs sharing an LSH bucket with cosine >= 0.4",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT a_id, b_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+            FROM (SELECT p.a_id, p.b_id, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+                  FROM pairs p
+                  JOIN embeddings ea ON ea.vec_id = p.a_id
+                  JOIN embeddings eb ON eb.vec_id = p.b_id)
+            GROUP BY a_id, b_id
+        )
+        SELECT a_id, b_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        FROM scored
+        WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        embeddings, n_planes=8, dim=64, threshold=0.4
+    )
+
+
+_IVF_ASSIGN_CTE = """
+    cents AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+              WHERE vec_id < 8),
+    cellscore AS (
+        SELECT vec_id, cell_id,
+               ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                     / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                        * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6) AS cos
+        FROM (SELECT e.vec_id, c.cell_id, unnest(e.embedding) AS x, unnest(c.cv) AS y
+              FROM embeddings e, cents c)
+        GROUP BY vec_id, cell_id
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell_id ASC) AS rn
+            FROM cellscore) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_cells",
+    op_ids="beyond-reference IVF index build (centroid cell assignment)",
+    description="IVF cell occupancy: argmax-cosine assignment to 8 seed centroids",
+    oracle=f"WITH {_IVF_ASSIGN_CTE} SELECT cell_id, COUNT(*) AS n_vectors FROM assign GROUP BY cell_id",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return (
+        similarity.ivf_assign(embeddings, n_centroids=8)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    op_ids="beyond-reference IVF probe (cell-pruned cosine top-k)",
+    description="top-10 neighbors of vec 0 scored only within its IVF cell (nprobe=1)",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_CTE},
+        qcell AS (SELECT cell_id FROM assign WHERE vec_id = 0),
+        cand AS (SELECT e.* FROM embeddings e
+                 JOIN assign a ON e.vec_id = a.vec_id
+                 JOIN qcell ON a.cell_id = qcell.cell_id),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dots AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c, q)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        embeddings, _query_vec(spark, sf_dir), query_id=0, n_centroids=8, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""Unit tests for the similarity operators on crafted vectors: exact
+top-k ordering, LSH bucket agreement, near-dup pair detection, IVF
+assignment determinism and probe pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators import similarity
+
+DIM = 8
+
+
+def _vecs(spark):
+    # vec 0 is the query; 1 orthogonal; 2 a near-copy of 0; 3 opposite.
+    # With n_centroids=2 the centroids are 0 and 1 (near-copy stays a
+    # plain member so cell pruning is observable).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _qv():
+    return F.array(*[F.lit(v) for v in [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]])
+
+
+def test_cosine_topk_order_and_ties(spark):
+    out = similarity.cosine_topk(_vecs(spark), _qv(), k=3).collect()
+    assert [r.vec_id for r in out] == [0, 2, 1]
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[1].cosine > 0.99
+
+
+def test_near_dup_pairs_find_the_copy(spark):
+    pairs = similarity.embedding_near_dup_pairs(
+        _vecs(spark), n_planes=4, dim=DIM, threshold=0.9
+    ).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(0, 2)]
+    assert pairs[0].cosine > 0.99
+
+
+def test_ivf_assignment_deterministic_and_self(spark):
+    # centroids = vecs 0,1; every vector lands in exactly one cell;
+    # centroid vectors choose themselves (cosine 1, tie -> lower id)
+    assigned = similarity.ivf_assign(_vecs(spark), n_centroids=2)
+    rows = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assert rows[0] == 0 and rows[1] == 1
+    assert set(rows) == {0, 1, 2, 3}
+    again = {r.vec_id: r.cell_id for r in similarity.ivf_assign(_vecs(spark), n_centroids=2).collect()}
+    assert rows == again
+
+
+def test_ivf_topk_prunes_to_query_cell(spark):
+    out = similarity.ivf_topk(_vecs(spark), _qv(), query_id=0, n_centroids=2, k=10)
+    got = [r.vec_id for r in out.collect()]
+    # cell 0 holds the query and its near-copy; the orthogonal centroid
+    # vector 1 and the opposite vector 3 (closer to cell 1's 0-cosine
+    # than cell 0's -1) are pruned without multi-probe
+    assert got == [0, 2]
+
+
+def test_lsh_bucket_is_narrow_plan(spark):
+    plan = (
+        similarity.lsh_hyperplane_buckets(_vecs(spark), n_planes=4, dim=DIM)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
