@@ -107,3 +107,112 @@ class TestWindowedAggs:
         assert len(by_user[8]) == 1
         merged = max(by_user[7], key=lambda r: r.n_events)
         assert merged.n_events == 2
+
+
+class TestStatefulCustomOp:
+    def test_running_totals_accumulate_across_restarts(self, spark, tmp_path):
+        """applyInPandasWithState keeps per-user state in the
+        checkpoint: a second availableNow run over new files continues
+        from the stored (n, s), not from zero."""
+        import pandas as pd
+
+        from nhl_data_warehouse_spark.streaming.stateful import running_user_totals
+
+        src = tmp_path / "ev"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        schema = "user_id long, value double"
+
+        def run_batch():
+            # foreachBatch sink: memory sink cannot recover from a
+            # checkpoint, and the state must survive across runs
+            emitted = []
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            (
+                running_user_totals(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _id: emitted.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            return {r.user_id: (r.n_events, r.sum_value) for r in emitted}
+
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [7, 7, 8], "value": [1.0, 2.0, 10.0]})
+        ).write.mode("append").parquet(str(src))
+        first = run_batch()
+        assert first[7] == (2, 3.0) and first[8] == (1, 10.0)
+
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [7, 9], "value": [4.0, 0.5]})
+        ).write.mode("append").parquet(str(src))
+        second = run_batch()
+        # user 7 continued from stored state; untouched user 8 emits
+        # nothing new (update mode), new user 9 appears
+        assert second[7] == (3, 7.0)
+        assert second[9] == (1, 0.5)
+        assert 8 not in second
+
+
+class TestWatermarkLateData:
+    def test_late_event_dropped_after_watermark(self, spark, tmp_path):
+        """Append-mode windowed agg: an event older than the watermark
+        arriving in a later micro-batch is discarded; the closed
+        window's result excludes it."""
+        import pandas as pd
+
+        src = tmp_path / "late_ev"
+        src.mkdir()
+        ckpt = str(tmp_path / "late_ckpt")
+        schema = "ts timestamp, event_type string, value double"
+
+        emitted = []
+
+        def run_batch():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            (
+                windowed_event_counts(stream, "1 hour", watermark="1 hour", streaming=True)
+                .writeStream.foreachBatch(
+                    lambda df, _id: emitted.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            return {
+                (r.window_start.isoformat(), r.event_type): r.n_events
+                for r in emitted
+            }
+
+        base = pd.Timestamp("2024-01-01 09:30:00")
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": [base, pd.Timestamp("2024-01-01 12:00:00")],
+                    "event_type": ["click", "click"],
+                    "value": [1.0, 1.0],
+                }
+            )
+        ).write.mode("append").parquet(str(src))
+        run_batch()  # advances watermark to 11:00 — 09:00 window closes
+
+        # a late duplicate of the 09:30 event + one fresh event
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp("2024-01-01 09:45:00"), pd.Timestamp("2024-01-01 13:00:00")],
+                    "event_type": ["click", "click"],
+                    "value": [1.0, 1.0],
+                }
+            )
+        ).write.mode("append").parquet(str(src))
+        out = run_batch()
+        # the 09:00 window was finalized with exactly the on-time event;
+        # the 09:45 straggler (behind the 11:00 watermark) never lands
+        assert out[("2024-01-01T09:00:00", "click")] == 1
