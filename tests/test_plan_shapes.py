@@ -1,0 +1,100 @@
+"""Physical-plan regression tests — the 100TB design invariants
+(SURVEY.md §7.4.7). Correctness tests prove the answer; these prove
+the *plan*: column pruning reaches the parquet scan, filters push
+down, bounded dimensions broadcast, per-row operators stay narrow.
+A regression here is a scale bug even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans_of(plan: str) -> list[list[str]]:
+    """Column lists of each parquet FileScan in the plan."""
+    return [
+        [c.split("#")[0] for c in m.group(1).split(",")]
+        for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan)
+    ]
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    return REGISTRY
+
+
+def test_column_pruning_reaches_scan(spark, registry):
+    plan = plan_of(registry["pricing_summary"].fn(spark, SF))
+    (scan,) = scans_of(plan)
+    # lineitem has 11 columns; the query needs 6 — a full-width scan
+    # at 100TB reads ~2x the bytes for nothing
+    assert len(scan) == 6
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = plan_of(registry["pricing_summary"].fn(spark, SF))
+    m = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), "shipdate filter must push into the scan"
+
+
+def test_dimension_joins_broadcast(spark, registry):
+    plan = plan_of(registry["join_broadcast_dim"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # snowflake chain: every dim hop broadcasts, nothing sort-merges
+    star = plan_of(registry["regional_revenue"].fn(spark, SF))
+    assert star.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in star
+
+
+def test_anti_and_semi_joins_broadcast(spark, registry):
+    anti = plan_of(registry["anti_join_incremental"].fn(spark, SF))
+    assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+    semi = plan_of(registry["semi_join_exists"].fn(spark, SF))
+    assert "BroadcastHashJoin" in semi and "LeftSemi" in semi
+
+
+def test_narrow_ops_have_no_shuffle(spark, registry):
+    # pure per-row projection pipelines: any Exchange is a regression
+    assert plan_of(registry["clean_cast_project"].fn(spark, SF)).count("Exchange") == 0
+    assert plan_of(registry["token_stats"].fn(spark, SF)).count("Exchange") == 0
+    assert plan_of(registry["quality_scores"].fn(spark, SF)).count("Exchange") == 0
+    assert plan_of(registry["lang_id_predictions"].fn(spark, SF)).count("Exchange") == 0
+
+
+def test_sketches_shuffle_at_most_once(spark, registry):
+    # scale_out's explicit repartition is the only allowed exchange in
+    # the per-document sketches (simhash/fingerprint are per-row folds)
+    assert plan_of(registry["simhash_sketch"].fn(spark, SF)).count("Exchange") <= 1
+    assert plan_of(registry["doc_fingerprints"].fn(spark, SF)).count("Exchange") <= 1
+
+
+def test_partial_aggregation_before_shuffle(spark, registry):
+    # map-side combine: the shuffle must carry per-partition partials,
+    # not raw rows — the difference between shuffling ~6 group rows
+    # per partition and shuffling the whole fact table
+    plan = plan_of(registry["pricing_summary"].fn(spark, SF))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "partial aggregate must sit below the exchange"
+    )
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, registry):
+    df = registry["pricing_summary"].fn(spark, SF)
+    df.collect()  # finalize the adaptive plan on THIS QueryExecution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark operators fused into whole-stage codegen
+    assert "*(" in plan, "hot aggregation path fell out of codegen"
