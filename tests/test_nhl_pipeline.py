@@ -229,3 +229,28 @@ class TestRunner:
         runner.register(Model("flaky", flaky))
         assert runner.run()["flaky"].count() == 3
         assert len(attempts) == 2
+
+
+class TestCatalogContext:
+    def test_database_context_and_parameterized_read(self, spark, tmp_path):
+        """S10/S11: namespace creation, USE, and qualified/current-db
+        table resolution — the reference's session-context dance."""
+        from nhl_data_warehouse_spark import catalog
+
+        # warehouse dir is a static conf; rely on DROP for isolation
+        spark.sql("DROP DATABASE IF EXISTS nhl_stats_raw CASCADE")
+        catalog.ensure_database(spark, "nhl_stats_raw")
+        spark.createDataFrame(
+            [(1, "Boston Bruins")], "game_id long, team string"
+        ).write.mode("overwrite").saveAsTable("nhl_stats_raw.team_sample")
+
+        # qualified read from another current database
+        catalog.ensure_database(spark, "default")
+        qualified = catalog.read_table(spark, "team_sample", database="nhl_stats_raw")
+        assert qualified.count() == 1
+
+        # unqualified read resolves in the current namespace
+        catalog.use_database(spark, "nhl_stats_raw")
+        assert catalog.read_table(spark, "team_sample").first().team == "Boston Bruins"
+        catalog.use_database(spark, "default")
+        spark.sql("DROP DATABASE nhl_stats_raw CASCADE")
