@@ -37,6 +37,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries persist reused intermediates (LSH bands, capped
+        # shingles); drop them so measurements stay independent
+        spark.catalog.clearCache()
     total = round(time.time() - t_total, 3)
 
     print(
