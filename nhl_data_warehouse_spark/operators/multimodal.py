@@ -123,6 +123,45 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame of
+    each media item (a 1->N Arrow-batched flatMap — the shape a video
+    pipeline needs). REAL DEMUX IS STUBBED: without ffmpeg the
+    "frames" are deterministic fixed-width byte windows of the
+    payload; swap the slicing loop for a demuxer without touching the
+    Spark contract.
+
+    Scale notes: output fan-out is bounded by payload size /
+    (every_n * frame_bytes); frames inherit the parent's partition, so
+    no shuffle — downstream per-frame work repartitions if it needs
+    more parallelism.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                step = every_n * frame_bytes
+                for idx, off in enumerate(range(0, len(b), step)):
+                    frame = b[off : off + frame_bytes]
+                    out.append((int(media_id), idx, frame, len(frame)))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def resize_stub(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Resize plumbing: passes payloads through mapInPandas with the
     target size in the plan; the pixel work is the stubbed decode.

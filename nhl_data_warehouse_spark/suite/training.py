@@ -550,6 +550,61 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frame_sample",
+    op_ids="beyond-reference multimodal frame sampling (1->N Arrow flatMap)",
+    description="per-frame rows from binary payloads (stubbed demux; exact byte-window oracle)",
+    oracle="""
+        WITH lens AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(0, (n - 1) // 256)) AS BIGINT) AS frame_index,
+               CAST(least(64, n - unnest(generate_series(0, (n - 1) // 256)) * 256) AS BIGINT)
+                   AS n_frame_bytes
+        FROM lens WHERE n > 0
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(documents)
+    frames = multimodal.frame_sample(media, every_n=4, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "n_frame_bytes",
+    )
+
+
+@register(
+    "approx_distinct_users",
+    op_ids="beyond-reference HLL sketch (approx_count_distinct — the 100TB "
+    "distinct path; no SQL oracle: sketch estimates are engine-specific)",
+    description="approximate distinct users per event type (HyperLogLog++)",
+    oracle=None,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    op_ids="beyond-reference t-digest percentile sketch (single-pass, mergeable; "
+    "no SQL oracle: approximation is engine-specific)",
+    description="approximate p50/p95 of event value per type",
+    oracle=None,
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias(
+            "p50_p95"
+        )
+    )
+
+
+@register(
     "event_hourly_stats",
     op_ids="S5/§2.7 streaming twin (tumbling event-time window, batch form)",
     description="1-hour tumbling window counts + exact value sums per event type",
