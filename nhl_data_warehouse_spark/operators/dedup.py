@@ -234,21 +234,31 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, on="shingle")
-    # `sh` feeds four plan branches (sizes, both join sides, and the
-    # freq filter already consumed it once) — persist so shingling
-    # runs once instead of per-branch
+    # `sh` feeds several plan branches (sizes + both join sides) —
+    # persist so shingling runs once instead of per-branch
     sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["a_id", "b_id"], how="left_semi")
+        # route the intersection THROUGH the candidate pairs: fan out
+        # each pair to its a-side shingles, then equi-join the b side
+        # on (b_id, shingle). Cost scales with |candidates| x |doc|,
+        # never with the all-pairs shingle co-occurrence — this is
+        # what makes LSH-then-verify the scale path.
+        inter = (
+            candidates.join(a, on="a_id")
+            .join(b, on=["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b"))
     return (

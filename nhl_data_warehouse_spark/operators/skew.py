@@ -1,0 +1,81 @@
+"""Skew mitigation operators.
+
+AQE's skew-join splitting (on by default in ``session.py``) covers
+sort-merge joins at runtime; these cover the cases AQE doesn't: hot
+grouping keys in aggregations, and broadcast-infeasible joins against
+a skewed build side.
+
+Both are semantics-preserving rewrites — results are bit-identical to
+the naive plan, so they carry normal SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation with a random salt: stage 1 aggregates on
+    (key, salt) — hot keys spread over ``n_salts`` reducers — stage 2
+    merges the partials on the key alone. ``aggs`` maps output column
+    name -> a *partial-stage* aggregate expression whose merge is the
+    same function (sum/count-as-sum/min/max — the self-mergeable
+    family; avg must be expressed as sum+count by the caller).
+
+    When partial (map-side) aggregation already flattens the skew —
+    few distinct keys per partition — plain ``groupBy`` wins; salting
+    pays off when the key cardinality is large AND a few keys dominate,
+    which is exactly when map-side combine stops helping.
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    merge = {
+        "count": F.sum,  # counts merge by summing
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+
+    def merge_fn(name: str) -> Column:
+        # partial alias encodes its merge op as a prefix convention:
+        # callers name outputs count_* / sum_* / min_* / max_*
+        op = name.split("_", 1)[0]
+        if op not in merge:
+            raise ValueError(
+                f"salted_agg output {name!r} must be prefixed with one of {sorted(merge)}"
+            )
+        return merge[op](name).alias(name)
+
+    return partial.groupBy(*keys).agg(*[merge_fn(name) for name in aggs])
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skewed equi-join without broadcast: salt the (large, skewed)
+    probe side into ``n_salts`` buckets and explode the build side
+    once per salt, so a hot key's rows land on ``n_salts`` different
+    reducers instead of one straggler task.
+
+    Build-side cost is x``n_salts`` — use only when the dim is too big
+    to broadcast AND the probe key is skewed (else AQE's skew split or
+    a plain broadcast is strictly better).
+    """
+    salted_facts = facts.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated_dim = dim.select("*", salts)
+    return (
+        salted_facts.join(replicated_dim, on=[key, "_salt"])
+        .drop("_salt")
+    )

@@ -236,6 +236,60 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_hot_key_agg",
+    op_ids="§7.4.7 skew mitigation: salted two-stage aggregation (semantics-preserving)",
+    description="per-event-type totals via salt -> partial -> merge (matches plain GROUP BY)",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS count_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.skew import salted_agg
+
+    (events,) = load(spark, sf_dir, "events")
+    return salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "count_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast(DEC)),
+        },
+        n_salts=16,
+    )
+
+
+@register(
+    "salted_skew_join",
+    op_ids="§7.4.7 skew mitigation: salted replicate-build join (semantics-preserving)",
+    description="lineitem x orders revenue by priority via salted join (matches plain JOIN)",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS count_items,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.skew import salted_join
+
+    lineitem, orders = load(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        lineitem.select(F.col("l_orderkey").alias("k"), "l_extendedprice"),
+        orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
+        key="k",
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("count_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+    )
+
+
+@register(
     "exact_percentiles",
     op_ids="§2.5 percentile aggregation (exact, interpolated)",
     description="exact p50/p90 of order price per priority (6dp-rounded)",

@@ -146,6 +146,48 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_verified_near_dups",
+    op_ids="beyond-reference composed dedup pipeline: MinHash -> LSH banding -> exact Jaccard verify",
+    description="the production near-dup shape: banded candidates, then exact Jaccard >= 0.5 on candidates only",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles a ON a.doc_id = c.a_id
+            JOIN shingles b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()  # feeds signatures AND the verify stage
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    return dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5)
+
+
+@register(
     "simhash_sketch",
     op_ids="beyond-reference SimHash sketch",
     description="16-bit simhash per document from token-hash bit votes",

@@ -73,6 +73,26 @@ def overwrite_table(df: DataFrame, table: str, partition_by: list[str] | None = 
     writer.saveAsTable(table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its
+    join key: two tables bucketed the same way equi-join with NO
+    shuffle on either side — the pre-partitioning that turns the
+    nightly big-fact ⋈ big-fact join from a full reshuffle of both
+    inputs into a zip of co-located buckets. At 100TB this is the
+    difference between moving the table and moving nothing.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.saveAsTable(table)
+
+
 def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1 SQL ``UNION`` parity helper: positional-safe union by name,
     then distinct (reference ``seasonal_metrics_agg.sql:47``)."""

@@ -1,0 +1,96 @@
+"""Scale-technique tests: salted aggregation/join equivalence and
+bucketed co-located joins (shuffle elimination visible in the plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark import write
+from nhl_data_warehouse_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90%) + long tail — the shape that straggles one reducer
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    tail = spark.range(100).select(
+        F.concat(F.lit("t"), F.col("id")).alias("k"), F.lit(1.0).alias("v")
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_agg_matches_plain_groupby(spark, skewed):
+    plain = {
+        r.k: (r.c, float(r.s))
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("v").cast("decimal(18,2)").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.count_rows, float(r.sum_v))
+        for r in salted_agg(
+            skewed,
+            keys=["k"],
+            aggs={
+                "count_rows": F.count(F.lit(1)),
+                "sum_v": F.sum(F.col("v").cast("decimal(18,2)")),
+            },
+        ).collect()
+    }
+    assert salted == plain
+    assert salted["hot"][0] == 900
+
+
+def test_salted_agg_rejects_unmergeable_prefix(skewed):
+    with pytest.raises(ValueError, match="must be prefixed"):
+        salted_agg(skewed, ["k"], {"avg_v": F.avg("v")}).collect()
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("t1", "A"), ("t2", "B")], "k string, label string"
+    )
+    plain = sorted(
+        (r.k, r.label) for r in skewed.join(dim, on="k").select("k", "label").collect()
+    )
+    salted = sorted(
+        (r.k, r.label)
+        for r in salted_join(skewed, dim, key="k", n_salts=4)
+        .select("k", "label")
+        .collect()
+    )
+    assert salted == plain
+    assert len(salted) == 902  # 900 hot + t1 + t2
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark):
+        spark.sql("DROP TABLE IF EXISTS bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS bkt_dim")
+        facts = spark.range(1000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        write.write_bucketed(facts, "bkt_facts", "k", n_buckets=8)
+        write.write_bucketed(dim, "bkt_dim", "k", n_buckets=8)
+
+        # disable broadcast so the co-location (not dim size) is what
+        # eliminates the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_facts").join(spark.table("bkt_dim"), on="k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, (
+                "bucketed-bucketed equi-join must not reshuffle either side"
+            )
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql("DROP TABLE bkt_facts")
+            spark.sql("DROP TABLE bkt_dim")
