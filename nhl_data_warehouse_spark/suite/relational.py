@@ -290,6 +290,33 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_json_path",
+    op_ids="P11/P12 VARIANT parity: schema-less parse + path extraction (Spark VariantType)",
+    description="per-event-type stats over a field extracted from schema-less JSON props",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    # true schema-less path: parse_json -> VariantType -> typed get —
+    # Snowflake-VARIANT parity without declaring a schema (the
+    # schema-on-read StructType route lives in sources/json_source.py)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
     "exact_percentiles",
     op_ids="§2.5 percentile aggregation (exact, interpolated)",
     description="exact p50/p90 of order price per priority (6dp-rounded)",

@@ -94,3 +94,30 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
             spark.sql("DROP TABLE bkt_facts")
             spark.sql("DROP TABLE bkt_dim")
+
+
+class TestPartitionedWrites:
+    def test_partition_pruning_reaches_scan(self, spark, tmp_path):
+        """overwrite_table(partition_by=...) + a partition-key filter:
+        the scan must list only the matching partition directories
+        (PartitionFilters), not read-then-filter — at 100TB this is
+        the difference between one partition and the whole table."""
+        from nhl_data_warehouse_spark import write
+
+        events = spark.createDataFrame(
+            [(i, "click" if i % 2 else "view", float(i)) for i in range(100)],
+            "event_id long, event_type string, value double",
+        )
+        path = str(tmp_path / "events_part")
+        events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+        df = spark.read.parquet(path).filter("event_type = 'click'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_type" in m.group(1), "filter must prune partitions"
+        # and the data filter list must NOT carry the partition predicate
+        d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+        assert d is None or "event_type" not in d.group(1)
+        assert df.count() == 50
