@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): the distributed formulations
+must agree with naive single-node references on arbitrary inputs —
+the SURVEY.md §5 upgrade over the reference's structural-only tests.
+
+Example counts are kept small (each example runs Spark jobs); the
+generators bias toward the hard cases: duplicate timestamps, equal
+keys, boundary gaps.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators.asof import as_of_join
+from nhl_data_warehouse_spark.operators.rangejoin import range_join_pairs
+from nhl_data_warehouse_spark.operators.sessions import sessionize_batch
+from nhl_data_warehouse_spark.operators.skew import salted_agg
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+# few keys + coarse timestamps => collisions and boundary gaps are common
+keys = st.integers(min_value=1, max_value=3)
+minutes = st.integers(min_value=0, max_value=30)
+
+
+def _ts(m: int) -> datetime.datetime:
+    return EPOCH + datetime.timedelta(minutes=m)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(st.tuples(keys, minutes), min_size=1, max_size=8),
+    right=st.lists(st.tuples(keys, minutes, st.integers(0, 99)), min_size=0, max_size=8),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    # right side time-unique per key (the documented contract for
+    # attribute determinism under ties)
+    rmap = {(k, m): v for k, m, v in right}
+    rrows = [(k, m, v) for (k, m), v in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, _ts(m), i) for i, (k, m) in enumerate(left)],
+        "k long, t timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(m), v) for k, m, v in rrows] or [(99, _ts(0), 0)],
+        "k long, t timestamp, v long",
+    )
+    out = {
+        r.lid: r.asof_v
+        for r in as_of_join(
+            ldf, rdf, left_on="k", right_on="k", left_time="t", right_time="t", payloads=["v"]
+        ).collect()
+    }
+    assert set(out) == set(range(len(left)))  # left-outer: every left row survives
+    for i, (k, m) in enumerate(left):
+        prior = [(rm, v) for rk, rm, v in rrows if rk == k and rm <= m]
+        expected = max(prior)[1] if prior else None
+        assert out[i] == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(keys, minutes), min_size=0, max_size=10, unique=True))
+def test_range_join_matches_naive_quadratic(spark, rows):
+    data = [(k, i, _ts(m)) for i, (k, m) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data or [(0, -1, _ts(0))], "user_id long, event_id long, ts timestamp"
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in range_join_pairs(df, gap_minutes=5).collect()
+    )
+    gap = datetime.timedelta(minutes=5)
+    expected = sorted(
+        (a_id, b_id)
+        for (ka, a_id, ta) in data
+        for (kb, b_id, tb) in data
+        if ka == kb and ta < tb <= ta + gap
+    )
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(keys, minutes), min_size=1, max_size=10))
+def test_sessionize_partitions_events_correctly(spark, rows):
+    data = [(k, i, _ts(m)) for i, (k, m) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user_id long, event_id long, ts timestamp")
+    sessions = sessionize_batch(df, gap_minutes=5).collect()
+    # every event is in exactly one session
+    assert sum(s.n_events for s in sessions) == len(data)
+    by_key: dict[int, list] = {}
+    for s in sessions:
+        by_key.setdefault(s.user_id, []).append(s)
+    gap = datetime.timedelta(minutes=5)
+    for k, ss in by_key.items():
+        ss = sorted(ss, key=lambda s: s.session_start)
+        # sessions are ordered, non-overlapping, and separated by > gap
+        for s in ss:
+            assert s.session_start <= s.session_end
+        for prev, nxt in zip(ss, ss[1:]):
+            assert nxt.session_start - prev.session_end > gap
+        # naive break count: sorted per-key times, breaks where gap exceeded
+        times = sorted(t for (kk, _i, t) in data if kk == k)
+        breaks = sum(1 for a, b in zip(times, times[1:]) if b - a > gap)
+        assert len(ss) == breaks + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "b"]), st.integers(-5, 5)),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows] or [("z", 0.0)], "k string, v double"
+    )
+    plain = {
+        r.k: (r.c, str(r.s))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(F.col("v").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.count_n, str(r.sum_v))
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "count_n": F.count(F.lit(1)),
+                "sum_v": F.sum(F.col("v").cast("decimal(18,2)")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
