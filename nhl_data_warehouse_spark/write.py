@@ -73,6 +73,21 @@ def overwrite_table(df: DataFrame, table: str, partition_by: list[str] | None = 
     writer.saveAsTable(table)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving all others untouched — the idempotent daily-load
+    pattern (re-running a day rewrites that day's directories, never
+    truncating the table). Static overwrite mode would drop every
+    partition; this scopes the rewrite to the data at hand.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -121,3 +121,65 @@ class TestPartitionedWrites:
         d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
         assert d is None or "event_type" not in d.group(1)
         assert df.count() == 50
+
+
+class TestDynamicPartitionOverwrite:
+    def test_rewrites_only_touched_partitions(self, spark, tmp_path):
+        from nhl_data_warehouse_spark import write
+
+        path = str(tmp_path / "daily")
+        day1 = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0)],
+            "ds string, id long, v double",
+        )
+        write.overwrite_partitions(day1, path, ["ds"])
+        # rerun day 2 with corrected data: day 1 must survive untouched
+        day2_fixed = spark.createDataFrame(
+            [("2024-01-02", 2, 99.0)], "ds string, id long, v double"
+        )
+        write.overwrite_partitions(day2_fixed, path, ["ds"])
+        # partition values come back type-inferred (date here)
+        out = {(str(r.ds), r.id): r.v for r in spark.read.parquet(path).collect()}
+        assert out == {("2024-01-01", 1): 10.0, ("2024-01-02", 2): 99.0}
+
+
+class TestQualityGates:
+    def test_unique_check(self, spark):
+        from nhl_data_warehouse_spark.plans import unique_check
+        from nhl_data_warehouse_spark.plans.quality import QualityCheckError
+
+        import pytest as pt
+
+        clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, x string")
+        assert unique_check(clean, ["k"]) == 0
+        dirty = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, x string")
+        with pt.raises(QualityCheckError, match="1 duplicated keys"):
+            unique_check(dirty, ["k"])
+
+    def test_accepted_values_check(self, spark):
+        from nhl_data_warehouse_spark.plans import accepted_values_check
+        from nhl_data_warehouse_spark.plans.quality import QualityCheckError
+
+        import pytest as pt
+
+        df = spark.createDataFrame([("O",), ("F",)], "status string")
+        assert accepted_values_check(df, "status", ["O", "F", "P"]) == 0
+        bad = spark.createDataFrame([("O",), ("X",), (None,)], "status string")
+        with pt.raises(QualityCheckError, match="unexpected"):
+            accepted_values_check(bad, "status", ["O", "F", "P"])
+
+    def test_freshness_check(self, spark):
+        from nhl_data_warehouse_spark.plans import freshness_check
+        from nhl_data_warehouse_spark.plans.quality import QualityCheckError
+
+        import pytest as pt
+
+        df = spark.createDataFrame(
+            [("2024-01-10 00:00:00",)], "loaded string"
+        ).selectExpr("CAST(loaded AS TIMESTAMP) AS loaded")
+        freshness_check(df, "loaded", "2 days", now="2024-01-11 00:00:00")
+        with pt.raises(QualityCheckError, match="freshness"):
+            freshness_check(df, "loaded", "2 days", now="2024-01-20 00:00:00")
+        # empty frame is never fresh
+        with pt.raises(QualityCheckError):
+            freshness_check(df.filter("1=0"), "loaded", "2 days", now="2024-01-11 00:00:00")
