@@ -39,6 +39,21 @@ def windowed_event_counts(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop rows whose ``keys``
+    were already seen, keeping state only within the watermark —
+    ``dropDuplicatesWithinWatermark`` bounds the seen-keys state (the
+    unbounded-state problem plain dropDuplicates has on a stream).
+    The at-least-once -> exactly-once repair every event pipeline
+    needs in front of its sinks."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -552,6 +552,66 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(documents, k=SHINGLE_K)
 
 
+@register(
+    "corpus_curation_pipeline",
+    op_ids="beyond-reference composed curation: quality filter -> exact dedup -> per-source stats",
+    description="end-to-end curation pass: quality-gate docs, keep one copy per fingerprint, roll up per source/lang",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id, source, lang, text,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+            FROM documents
+        ),
+        gated AS (
+            SELECT * FROM feats
+            WHERE n_chars BETWEEN 100 AND 20000 AND n_punct * 10 < n_chars
+        ),
+        deduped AS (
+            SELECT MIN(doc_id) AS doc_id, MD5(text) AS fp,
+                   MIN(source) AS source, MIN(lang) AS lang,
+                   MIN(n_chars) AS n_chars
+            FROM gated GROUP BY MD5(text)
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM deduped GROUP BY source, lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shape a training-data pass actually runs: cheap
+    integer-exact quality gates, then exact dedup keyed on the content
+    hash (one shuffle on the 32-char fingerprint — doc text never
+    shuffles), then the reporting rollup. min(doc_id) picks the
+    deterministic representative; min(source/lang) is exact because
+    exact duplicates agree on them only by accident — the oracle uses
+    the same MIN so both engines resolve ties identically."""
+    (documents,) = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    gated = documents.filter(
+        n_chars.between(100, 20000) & (n_punct * 10 < n_chars)
+    )
+    deduped = (
+        gated.select(
+            "doc_id", "source", "lang", F.length("text").alias("n_chars"),
+            F.md5("text").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("source").alias("source"),
+            F.min("lang").alias("lang"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    return deduped.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming twins
 # ---------------------------------------------------------------------------

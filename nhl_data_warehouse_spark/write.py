@@ -73,6 +73,40 @@ def overwrite_table(df: DataFrame, table: str, partition_by: list[str] | None = 
     writer.saveAsTable(table)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str = "unique_key",
+) -> None:
+    """MERGE-style upsert on a managed parquet table: matched keys take
+    the incoming row (update), unmatched keys append (insert) —
+    generalizes ``incremental_insert`` (insert-only M2) to mutable
+    records. Without a transactional format this is
+    read + anti-join + overwrite; on Delta/Iceberg the same logical op
+    is ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` and only
+    touched files rewrite.
+
+    Scale note: the overwrite rewrites the whole table — pair with a
+    partitioned target and pre-filter to the touched partitions (or a
+    transactional format) before using this at 100TB.
+    """
+    if not table_exists(spark, table):
+        df.write.saveAsTable(table)
+        return
+    existing = spark.table(table)
+    kept = existing.join(df.select(key), on=key, how="left_anti")
+    merged = kept.unionByName(df)
+    # Spark refuses to overwrite a table its own plan reads
+    # (UNSUPPORTED_OVERWRITE) — stage the merge, then swap names. The
+    # swap also means a mid-merge failure leaves the target intact.
+    staged = f"{table}__merge_staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    merged.write.saveAsTable(staged)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+
+
 def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
     """Dynamic partition overwrite: replace ONLY the partitions present
     in ``df``, leaving all others untouched — the idempotent daily-load

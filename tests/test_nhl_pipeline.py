@@ -254,3 +254,29 @@ class TestCatalogContext:
         assert catalog.read_table(spark, "team_sample").first().team == "Boston Bruins"
         catalog.use_database(spark, "default")
         spark.sql("DROP DATABASE nhl_stats_raw CASCADE")
+
+
+class TestMergeUpsert:
+    def test_update_and_insert(self, spark):
+        from nhl_data_warehouse_spark import write
+
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS upsert_t")
+        # a stale location survives DROP when a prior run crashed
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/upsert_t", ignore_errors=True)
+        base = spark.createDataFrame(
+            [("k1", "old1"), ("k2", "old2")], "unique_key string, payload string"
+        )
+        write.merge_upsert(spark, base, "upsert_t")
+        incoming = spark.createDataFrame(
+            [("k2", "NEW2"), ("k3", "new3")], "unique_key string, payload string"
+        )
+        write.merge_upsert(spark, incoming, "upsert_t")
+        out = {r.unique_key: r.payload for r in spark.table("upsert_t").collect()}
+        assert out == {"k1": "old1", "k2": "NEW2", "k3": "new3"}
+        # idempotent: re-merging the same increment changes nothing
+        write.merge_upsert(spark, incoming, "upsert_t")
+        assert {r.unique_key: r.payload for r in spark.table("upsert_t").collect()} == out
+        spark.sql("DROP TABLE upsert_t")

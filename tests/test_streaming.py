@@ -216,3 +216,52 @@ class TestWatermarkLateData:
         # the 09:00 window was finalized with exactly the on-time event;
         # the 09:45 straggler (behind the 11:00 watermark) never lands
         assert out[("2024-01-01T09:00:00", "click")] == 1
+
+
+class TestStreamingDedup:
+    def test_duplicate_events_dropped_within_watermark(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: replayed event_ids are
+        suppressed while their key is in state (bounded by the
+        watermark) — at-least-once input, exactly-once output."""
+        import pandas as pd
+
+        from nhl_data_warehouse_spark.streaming.windows import dedup_events_stream
+
+        src = tmp_path / "dupev"
+        src.mkdir()
+        ckpt = str(tmp_path / "dup_ckpt")
+        schema = "event_id long, ts timestamp, value double"
+        emitted = []
+
+        def run_batch():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            (
+                dedup_events_stream(stream, keys=["event_id"], watermark="1 hour")
+                .writeStream.foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        t = pd.Timestamp("2024-01-01 10:00:00")
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"event_id": [1, 1, 2], "ts": [t, t, t], "value": [1.0, 1.0, 2.0]}
+            )
+        ).write.mode("append").parquet(str(src))
+        run_batch()
+        # replay event 1 and 2 in the next batch + one genuinely new event
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3],
+                    "ts": [t, t, pd.Timestamp("2024-01-01 10:30:00")],
+                    "value": [1.0, 2.0, 3.0],
+                }
+            )
+        ).write.mode("append").parquet(str(src))
+        run_batch()
+        ids = sorted(r.event_id for r in emitted)
+        assert ids == [1, 2, 3]
