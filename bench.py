@@ -27,8 +27,18 @@ def main() -> None:
     from nhl_data_warehouse_spark.suite import REGISTRY
 
     spark = get_spark(app_name="bench")
-    # JVM/codegen warmup on a trivial action so q1 isn't charged for it
+    # Warm the paths every query shares so the first queries aren't
+    # charged for infrastructure startup: JVM codegen, the parquet
+    # reader, and the Python (Arrow) worker pool.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .selectExpr("sum(cast(r_regionkey as decimal(18,2)))")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    spark.range(10).toPandas()  # spins up Arrow/Python workers
 
     timings: dict[str, float] = {}
     t_total = time.time()
