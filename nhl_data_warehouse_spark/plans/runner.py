@@ -25,6 +25,11 @@ class Model:
     deps: list[str] = field(default_factory=list)
     materialization: str = "view"  # "view" | "table" | "incremental"
     key: str = "unique_key"  # incremental dedup key
+    # post-materialization quality gates (plans/quality.py callables,
+    # e.g. lambda df: null_check(df, ["team"])); a raising gate fails
+    # the model AFTER retries — data errors are not transient, so the
+    # retry loop (reference policy M5) wraps only the build+write
+    checks: list[Callable[[DataFrame], object]] = field(default_factory=list)
 
 
 class PipelineRunner:
@@ -85,4 +90,6 @@ class PipelineRunner:
                         time.sleep(self.retry_delay_s)
             if last_err is not None:
                 raise last_err
+            for check in model.checks:
+                check(results[name])
         return results

@@ -280,3 +280,33 @@ class TestMergeUpsert:
         write.merge_upsert(spark, incoming, "upsert_t")
         assert {r.unique_key: r.payload for r in spark.table("upsert_t").collect()} == out
         spark.sql("DROP TABLE upsert_t")
+
+
+class TestRunnerQualityGates:
+    def test_gate_fails_model_after_materialization(self, spark):
+        from nhl_data_warehouse_spark.plans import Model, PipelineRunner, null_check
+        from nhl_data_warehouse_spark.plans.quality import QualityCheckError
+
+        import pytest as pt
+
+        dirty = spark.createDataFrame([(1, None), (2, "x")], "id long, team string")
+        runner = PipelineRunner(spark)
+        runner.register(
+            Model(
+                "gated",
+                lambda spark: dirty,
+                checks=[lambda df: null_check(df, ["team"])],
+            )
+        )
+        with pt.raises(QualityCheckError, match="null_check"):
+            runner.run()
+
+        clean_runner = PipelineRunner(spark)
+        clean_runner.register(
+            Model(
+                "gated_ok",
+                lambda spark: dirty.filter("team IS NOT NULL"),
+                checks=[lambda df: null_check(df, ["team"])],
+            )
+        )
+        assert clean_runner.run()["gated_ok"].count() == 1
