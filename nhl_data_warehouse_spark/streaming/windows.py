@@ -43,6 +43,7 @@ def dedup_events_stream(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "1 hour",
+    time_col: str = "ts",
 ) -> DataFrame:
     """Streaming exactly-once event dedup: drop rows whose ``keys``
     were already seen, keeping state only within the watermark —
@@ -51,7 +52,7 @@ def dedup_events_stream(
     The at-least-once -> exactly-once repair every event pipeline
     needs in front of its sinks."""
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def sessionize(
