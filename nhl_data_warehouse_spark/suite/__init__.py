@@ -23,6 +23,7 @@ from nhl_data_warehouse_spark.suite.registry import REGISTRY, QuerySpec, registe
 # importing the modules populates the registry
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
+from nhl_data_warehouse_spark.suite import tpch  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import training  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -91,6 +91,32 @@ def test_partial_aggregation_before_shuffle(spark, registry):
     )
 
 
+def test_tpch_topk_uses_take_ordered(spark, registry):
+    # orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
+    # heaps + k-row driver merge), never a full global Sort of the fact side
+    for q in ("tpch_q3_shipping_priority", "tpch_q10_returned_items",
+              "tpch_q18_large_volume_customer"):
+        plan = plan_of(registry[q].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_tpch_star_joins_broadcast_dims(spark, registry):
+    # nation/region/supplier are bounded dims: at any scale they broadcast;
+    # a SortMergeJoin against them shuffles the fact table for nothing
+    plan = plan_of(registry["tpch_q5_local_supplier_volume"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    plan = plan_of(registry["tpch_q21_suppliers_kept_waiting"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_scalar_subquery_stays_distributed(spark, registry):
+    # Q15/Q22's scalar subquery = 1-row aggregate broadcast back, no collect
+    plan = plan_of(registry["tpch_q15_top_supplier"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    plan = plan_of(registry["tpch_q22_global_sales_opportunity"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_whole_stage_codegen_covers_hot_path(spark, registry):
     df = registry["pricing_summary"].fn(spark, SF)
     df.collect()  # finalize the adaptive plan on THIS QueryExecution
