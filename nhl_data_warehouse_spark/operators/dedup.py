@@ -276,6 +276,72 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    id_alias: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair graph (e.g. verified
+    near-dup pairs) by iterative min-label propagation: every node's
+    component id converges to the minimum node id reachable from it.
+    Returns one row per node: (id_alias, cluster_id).
+
+    This is the step that turns *pairwise* near-dup detection into an
+    actual deduplicated corpus — transitive closure groups A~B, B~C
+    into one cluster {A,B,C} with a single representative.
+
+    Scale design: each iteration is one shuffle join on node id plus a
+    map-side-combined min; iteration count is the graph diameter, and
+    near-dup graphs are shallow (verified-duplicate clusters are
+    near-cliques), so 2-4 iterations is typical. Lineage is truncated
+    every iteration with ``localCheckpoint`` — without it the plan
+    doubles per iteration and the 100TB run dies in the optimizer long
+    before the executors. Labels only ever decrease, so convergence is
+    detected exactly (count of decreased labels == 0). For adversarial
+    long-chain graphs (diameter ~ n) swap in the large-star/small-star
+    alternation [Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14], which converges in O(log^2 n) rounds; corpus dedup does
+    not need it.
+    """
+    # materialize the edge list ONCE up front: its lineage is typically a
+    # whole LSH+verify pipeline, and every branch below (both union sides,
+    # the node seed, every iteration) would otherwise re-derive it
+    edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    sym = edges.union(edges.select(F.col("d"), F.col("s")))
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_moved"),
+            )
+            .localCheckpoint()
+        )
+        moved = new_labels.filter("_moved").count()
+        labels = new_labels.drop("_moved")
+        if moved == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_alias), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

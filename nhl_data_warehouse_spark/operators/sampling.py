@@ -1,0 +1,159 @@
+"""Deterministic sampling & corpus-mix operators for training-data
+pipelines.
+
+A 100TB corpus pipeline samples constantly — held-out splits, ablation
+subsets, per-domain caps, language rebalancing — and at scale the only
+sane sampling primitive is a **content-addressed hash threshold**:
+``keep iff md5(salt || key) < threshold``. Unlike ``rand()`` it is
+
+- reproducible across runs, engines, and partitionings (no RNG state),
+- stable under data growth (a doc's fate never changes when its
+  neighbors change — critical for incremental corpus builds),
+- embarrassingly parallel (a narrow per-row filter, no shuffle), and
+- mergeable across salts (disjoint samples via different salts).
+
+The threshold is a hex-string prefix compare: rate r maps to the
+8-hex-digit string for floor(r * 16^8), and a row survives iff the
+first 8 hex chars of its md5 sort below it. Lexicographic order on
+lowercase hex equals numeric order, so every operator here is exact,
+portable SQL — the DuckDB oracles mirror it character for character.
+
+No reference analog (the reference never samples); this family is a
+beyond-reference extension per the engine charter (SURVEY.md §7.2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8
+_HEX_SPACE = 16**_HEX_DIGITS
+
+
+def hash_bucket(key_cols: list[str], salt: str = "") -> F.Column:
+    """First 8 hex chars of md5(salt|key...): a uniform draw in
+    [0, 16^8) addressed by row content, not by RNG."""
+    parts = [F.lit(salt), *[F.col(c).cast("string") for c in key_cols]]
+    return F.substring(F.md5(F.concat_ws("|", *parts)), 1, _HEX_DIGITS)
+
+
+def rate_threshold(rate: float) -> str:
+    """The hex string h such that P[hash_bucket < h] == rate (to 1/16^8)."""
+    assert 0.0 <= rate <= 1.0
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on row content.
+    Narrow per-row filter — no shuffle, no RNG, pushes down to the scan
+    when the key is a stored column."""
+    if rate >= 1.0:
+        return df
+    return df.filter(hash_bucket(key_cols, salt) < rate_threshold(rate))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict[str, float],
+    salt: str = "",
+    col_name: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (e.g. train/val/test
+    80/10/10) by hash range. Disjoint and exhaustive by construction;
+    a narrow projection, so the assignment can be recomputed anywhere
+    instead of stored."""
+    total = sum(splits.values())
+    assert abs(total - 1.0) < 1e-9, f"split fractions must sum to 1, got {total}"
+    bucket = hash_bucket(key_cols, salt)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < rate_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(col_name, expr)
+
+
+def group_cap(
+    df: DataFrame, group_col: str, cap: int, id_cols: list[str], salt: str = ""
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by hash order — a
+    deterministic uniform subsample of each oversized group (the
+    standard per-domain cap in corpus curation).
+
+    One shuffle on the group key. Hash order (not stored order) makes
+    the retained subset unbiased and stable; the full md5 plus the id
+    itself breaks ties totally, so the cap is reproducible to the row.
+    Skew note: a single giant group serializes onto one task's sort —
+    for pathological domains pre-filter with ``hash_sample`` at
+    ~cap/|group| to bound the sorted set, then cap exactly.
+    """
+    parts = [F.lit(salt), *[F.col(c).cast("string") for c in id_cols]]
+    order = [F.md5(F.concat_ws("|", *parts)), *[F.col(c) for c in id_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def proportional_rebalance(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample groups so the surviving corpus approximates the
+    target mix (e.g. rebalance languages to fixed shares) while keeping
+    the bottleneck group whole — the largest corpus achievable under
+    the target proportions, computed entirely in-engine:
+
+        scale      = min over groups of count_g / share_g
+        keep_g     = scale * share_g            (rows to keep)
+        rate_g     = keep_g / count_g           (1.0 at the bottleneck)
+
+    then a per-row hash-threshold filter at rate_g. Two tiny
+    aggregations (group counts + a global min) broadcast back onto the
+    fact table; the filter itself is narrow. Groups absent from
+    ``target_shares`` are dropped (share 0).
+
+    The achieved counts are hash-binomial around keep_g (exact-to-the-
+    row quotas need ``group_cap`` at ceil(keep_g), which costs a sort);
+    determinism is exact either way.
+    """
+    shares_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in target_shares.items()],
+            f"{group_col} string, _share double",
+        )
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    joined = counts.join(shares_df, on=group_col)
+    scale = joined.agg(F.min(F.col("_n") / F.col("_share")).alias("_scale"))
+    rates = joined.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        ((F.col("_scale") * F.col("_share")) / F.col("_n")).alias("_rate"),
+    )
+    bucket = hash_bucket(id_cols, salt)
+    # in-engine threshold: lower/lpad(hex(floor(rate * 16^8))); the
+    # bottleneck group's rate is exactly 1.0, which needs the explicit
+    # always-keep branch (its threshold would be 9 hex digits and
+    # string-compare breaks)
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(F.col("_rate") * F.lit(float(_HEX_SPACE))))),
+        _HEX_DIGITS,
+        "0",
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter((F.col("_rate") >= 1.0) | (bucket < threshold))
+        .drop("_rate")
+    )

@@ -188,6 +188,67 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters",
+    op_ids="beyond-reference duplicate clustering: verified pairs -> connected "
+    "components (iterative min-label propagation; oracle is a recursive CTE)",
+    description="transitive closure of verified near-dup pairs: cluster id = min "
+    "reachable doc id; representatives are what survives dedup",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles a ON a.doc_id = c.a_id
+            JOIN shingles b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a_id, b_id FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+        ),
+        sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+                UNION ALL
+                SELECT b_id, a_id FROM pairs),
+        reach(node, lab) AS (
+            SELECT DISTINCT s, s FROM sym
+            UNION
+            SELECT sym.s, reach.lab FROM sym JOIN reach ON sym.d = reach.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id,
+               (node = MIN(lab)) AS is_representative
+        FROM reach GROUP BY node
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+@register(
     "simhash_sketch",
     op_ids="beyond-reference SimHash sketch",
     description="16-bit simhash per document from token-hash bit votes",
@@ -724,4 +785,111 @@ def event_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(
         events.withColumn("value", F.col("value").cast("decimal(18,2)")),
         window_duration="1 hour",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / corpus mix (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+from nhl_data_warehouse_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "sample_hash_bernoulli",
+    op_ids="beyond-reference deterministic sampling (content-hash Bernoulli)",
+    description="10% reproducible sample of documents by md5 threshold — "
+    "no RNG, stable under data growth, narrow per-row filter",
+    oracle=f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5('corpus-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{sampling.rate_threshold(0.1)}'
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sampling.hash_sample(
+        documents.select("doc_id", "lang"), ["doc_id"], rate=0.1, salt="corpus-v1"
+    )
+
+
+@register(
+    "sample_train_val_test_split",
+    op_ids="beyond-reference deterministic split assignment (hash ranges)",
+    description="disjoint-exhaustive 80/10/10 train/val/test labels by hash "
+    "range; recomputable anywhere instead of stored",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{sampling.rate_threshold(0.8)}' THEN 'train'
+                    WHEN substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{sampling.rate_threshold(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        documents.select("doc_id"),
+        ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v1",
+    )
+
+
+@register(
+    "sample_group_cap",
+    op_ids="beyond-reference per-domain cap (windowed hash-order subsample)",
+    description="at most 20 docs per source, chosen by hash order — the "
+    "standard unbiased per-domain cap in corpus curation",
+    oracle="""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('cap-v1|' || CAST(doc_id AS VARCHAR)), doc_id) <= 20
+    """,
+)
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sampling.group_cap(
+        documents.select("doc_id", "source"),
+        "source",
+        cap=20,
+        id_cols=["doc_id"],
+        salt="cap-v1",
+    )
+
+
+@register(
+    "sample_rebalance_langs",
+    op_ids="beyond-reference corpus-mix rebalancing (in-engine rate solve + hash filter)",
+    description="downsample languages to a uniform 20% mix, keeping the "
+    "bottleneck language whole; rates solved in-engine, no collect",
+    oracle="""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        shares(lang, share) AS (
+            VALUES ('en', 0.2), ('de', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.2)
+        ),
+        rates AS (
+            SELECT c.lang,
+                   (MIN(n / CAST(share AS DOUBLE)) OVER ())
+                     * CAST(share AS DOUBLE) / n AS rate
+            FROM counts c JOIN shares s ON c.lang = s.lang
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE r.rate >= 1.0
+           OR substring(md5('rb-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    """,
+)
+def sample_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sampling.proportional_rebalance(
+        documents.select("doc_id", "lang"),
+        "lang",
+        {"en": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2},
+        id_cols=["doc_id"],
+        salt="rb-v1",
     )

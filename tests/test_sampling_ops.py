@@ -1,0 +1,121 @@
+"""Deterministic sampling / corpus-mix operators (operators/sampling.py).
+
+The load-bearing property throughout is *content-addressed* sampling:
+a row's fate depends only on its own key + salt, never on RNG state,
+partitioning, or what other rows exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators import sampling
+
+
+def ids(df):
+    return {r[0] for r in df.select(df.columns[0]).collect()}
+
+
+class TestHashSample:
+    def test_deterministic_and_near_rate(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        s1 = ids(sampling.hash_sample(df, ["doc_id"], 0.2, salt="s"))
+        s2 = ids(sampling.hash_sample(df, ["doc_id"], 0.2, salt="s"))
+        assert s1 == s2
+        assert 0.17 < len(s1) / 10_000 < 0.23
+
+    def test_fate_independent_of_neighbors(self, spark):
+        # sample(A ∪ B) == sample(A) ∪ sample(B): adding data never
+        # changes which existing rows survive (incremental corpus builds)
+        a = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+        b = spark.range(5_000, 10_000).withColumnRenamed("id", "doc_id")
+        both = ids(sampling.hash_sample(a.union(b), ["doc_id"], 0.3, salt="x"))
+        parts = ids(sampling.hash_sample(a, ["doc_id"], 0.3, salt="x")) | ids(
+            sampling.hash_sample(b, ["doc_id"], 0.3, salt="x")
+        )
+        assert both == parts
+
+    def test_salts_give_different_samples(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        s1 = ids(sampling.hash_sample(df, ["doc_id"], 0.2, salt="a"))
+        s2 = ids(sampling.hash_sample(df, ["doc_id"], 0.2, salt="b"))
+        overlap = len(s1 & s2) / max(len(s1), 1)
+        assert 0.1 < overlap < 0.35  # ~rate, i.e. independent draws
+
+    def test_rate_one_keeps_all(self, spark):
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        assert sampling.hash_sample(df, ["doc_id"], 1.0).count() == 100
+
+
+class TestHashSplit:
+    def test_disjoint_exhaustive_proportional(self, spark):
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        out = sampling.hash_split(
+            df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp"
+        )
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 10_000  # exhaustive, one label each
+        assert 0.77 < counts["train"] / 10_000 < 0.83
+        assert 0.07 < counts["val"] / 10_000 < 0.13
+        assert 0.07 < counts["test"] / 10_000 < 0.13
+
+    def test_assignment_stable(self, spark):
+        df = spark.range(1_000).withColumnRenamed("id", "doc_id")
+        a = dict(
+            sampling.hash_split(df, ["doc_id"], {"train": 0.9, "test": 0.1}).collect()
+        )
+        b = dict(
+            sampling.hash_split(df, ["doc_id"], {"train": 0.9, "test": 0.1}).collect()
+        )
+        assert a == b
+
+
+class TestGroupCap:
+    def test_caps_only_oversized_groups(self, spark):
+        rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.group_cap(df, "source", cap=10, id_cols=["doc_id"])
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src == {"big": 10, "small": 5}
+
+    def test_retained_subset_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(50)], "doc_id long, source string"
+        )
+        a = ids(sampling.group_cap(df, "source", 7, ["doc_id"], salt="c"))
+        b = ids(sampling.group_cap(df, "source", 7, ["doc_id"], salt="c"))
+        assert a == b and len(a) == 7
+
+
+class TestProportionalRebalance:
+    def test_bottleneck_kept_whole_and_mix_converges(self, spark):
+        # 4000 en / 500 de / 450 fr, uniform target -> fr is bottleneck
+        rows = (
+            [(i, "en") for i in range(4_000)]
+            + [(10_000 + i, "de") for i in range(500)]
+            + [(20_000 + i, "fr") for i in range(450)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.proportional_rebalance(
+            df, "lang", {"en": 1 / 3, "de": 1 / 3, "fr": 1 / 3}, id_cols=["doc_id"]
+        )
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["fr"] == 450  # rate exactly 1.0 at the bottleneck
+        # hash-binomial around 450 for the downsampled groups
+        assert 380 < counts["en"] < 520
+        assert 380 < counts["de"] < 520
+
+    def test_groups_without_target_share_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "xx")], "doc_id long, lang string"
+        )
+        out = sampling.proportional_rebalance(
+            df, "lang", {"en": 1.0}, id_cols=["doc_id"]
+        )
+        assert [r["lang"] for r in out.collect()] == ["en"]

@@ -68,6 +68,25 @@ class TestMinHashLSH:
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
 
+class TestConnectedComponents:
+    def test_chain_two_components_and_pair(self, spark):
+        # component {1..5} is a 5-node chain (diameter 4 — forces several
+        # propagation iterations), {10,11,12} a triangle, {20,21} a pair
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "a_id long, b_id long",
+        )
+        out = {r.doc_id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_direction_irrelevant(self, spark):
+        # min id arriving from the dst side must still win
+        edges = spark.createDataFrame([(5, 1), (5, 3)], "a_id long, b_id long")
+        out = {r.doc_id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+        assert out == {1: 1, 3: 1, 5: 1}
+
+
 class TestSimHash:
     def test_dups_same_sketch_distinct_differs(self, docs):
         out = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
