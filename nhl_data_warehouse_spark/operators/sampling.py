@@ -136,11 +136,23 @@ def proportional_rebalance(
         )
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    joined = counts.join(shares_df, on=group_col)
-    scale = joined.agg(F.min(F.col("_n") / F.col("_share")).alias("_scale"))
-    rates = joined.crossJoin(F.broadcast(scale)).select(
-        group_col,
-        ((F.col("_scale") * F.col("_share")) / F.col("_n")).alias("_rate"),
+    # the global min over the per-group counts runs as an unpartitioned
+    # window: the frame at this point is one row per group (bounded,
+    # tiny at any data scale), so single-partition is correct, and it
+    # costs one shuffle instead of a chain of broadcast rounds
+    scale = F.min(F.col("_n") / F.col("_share")).over(Window.partitionBy())
+    rates = (
+        counts.join(shares_df, on=group_col)
+        .select(
+            group_col,
+            F.col("_n"),
+            F.col("_share"),
+            scale.alias("_scale"),
+        )
+        .select(
+            group_col,
+            ((F.col("_scale") * F.col("_share")) / F.col("_n")).alias("_rate"),
+        )
     )
     bucket = hash_bucket(id_cols, salt)
     # in-engine threshold: lower/lpad(hex(floor(rate * 16^8))); the

@@ -129,3 +129,42 @@ def fingerprint(
         F.md5(norm).alias("content_fingerprint"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
     )
+
+
+# PII scrubbing patterns, applied in order (URLs first so emails/IPs
+# embedded in a URL are swallowed whole, not partially). Portable
+# regex subset only — character classes, bounded repeats, \b — so the
+# exact same pattern runs under Java regex (Spark) and RE2 (DuckDB,
+# and Go/Rust scrubbers elsewhere in a pipeline); no lookaround, no
+# backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Scrub PII-shaped spans (URLs, emails, IPv4s, phone numbers) to
+    typed placeholders (``<URL>`` etc.), with a per-row count of each
+    redaction type — the audit trail a corpus pipeline keeps.
+
+    Pure JVM-side ``regexp_replace``/``regexp_extract_all`` chain: a
+    narrow per-row projection at scan speed, no shuffle, no Python.
+    Counts are taken on the progressively-redacted text so a span
+    never counts twice (an email inside an already-redacted URL is
+    gone before the email pass looks).
+    """
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    cols.append(cur.alias(out_col))
+    return df.select(*cols)

@@ -39,6 +39,26 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding (hopping) event-time window: each event lands in
+    window_duration/slide overlapping windows — the moving-average /
+    rate-monitor shape. Same watermark semantics as the tumbling form;
+    state scales with the number of open windows per key, i.e.
+    duration/slide times the tumbling state."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -893,3 +893,78 @@ def sample_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=["doc_id"],
         salt="rb-v1",
     )
+
+
+@register(
+    "event_sliding_stats",
+    op_ids="§2.7 streaming twin (sliding/hopping event-time window, batch form)",
+    description="1-hour windows sliding every 30 minutes: each event lands in "
+    "duration/slide overlapping windows (the rate-monitor shape)",
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                    - (k * INTERVAL '30 minutes') AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events, (SELECT unnest([0, 1]) AS k)
+        GROUP BY 1, 2
+    """,
+)
+def event_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.streaming.windows import sliding_event_counts
+
+    (events,) = load(spark, sf_dir, "events")
+    return sliding_event_counts(events, "1 hour", "30 minutes")
+
+
+@register(
+    "pii_redaction",
+    op_ids="beyond-reference PII scrubbing (typed-placeholder regex redaction + audit counts)",
+    description="redact urls/emails/ipv4s/phones to typed placeholders with "
+    "per-row audit counts; patterns are in the Java-regex/RE2 portable subset",
+    oracle=r"""
+        WITH withpii AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 tel +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+            FROM documents
+        ),
+        p1 AS (SELECT doc_id,
+                      len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+                      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t
+               FROM withpii),
+        p2 AS (SELECT doc_id, n_url,
+                      len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+               FROM p1),
+        p3 AS (SELECT doc_id, n_url, n_email,
+                      len(regexp_extract_all(t, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ipv4,
+                      regexp_replace(t, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IPV4>', 'g') AS t
+               FROM p2),
+        p4 AS (SELECT doc_id, n_url, n_email, n_ipv4,
+                      len(regexp_extract_all(t, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+                      regexp_replace(t, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS t
+               FROM p3)
+        SELECT doc_id, n_url, n_email, n_ipv4, n_phone, t AS clean_text FROM p4
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    # deterministic synthetic PII derived from doc_id — the testdata
+    # corpus itself is PII-free, so seed every row with one span of
+    # each type to make the redaction measurable
+    withpii = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(withpii)

@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from nhl_data_warehouse_spark import schemas
 from nhl_data_warehouse_spark.streaming.file_ingest import stream_csv_ingest
-from nhl_data_warehouse_spark.streaming.windows import sessionize, windowed_event_counts
+from nhl_data_warehouse_spark.streaming.joins import enrich_stream, interval_join_streams
+from nhl_data_warehouse_spark.streaming.windows import (
+    sessionize,
+    sliding_event_counts,
+    windowed_event_counts,
+)
 
 GAMES_HEADER = (
     "game_date,game_time,visitor,visitor_goals,home,home_goals,ot_so,attendance,length_of_game\n"
@@ -265,3 +270,118 @@ class TestStreamingDedup:
         run_batch()
         ids = sorted(r.event_id for r in emitted)
         assert ids == [1, 2, 3]
+
+
+class TestStreamingJoins:
+    @pytest.fixture(scope="class")
+    def impressions(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00", 7, "ad_a"),
+            (2, "2024-01-01 10:30:00", 7, "ad_b"),
+            (3, "2024-01-01 10:00:00", 8, "ad_c"),
+        ]
+        return spark.createDataFrame(
+            rows, "imp_id long, ts string, user_id long, ad string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    @pytest.fixture(scope="class")
+    def clicks(self, spark):
+        rows = [
+            (100, "2024-01-01 10:05:00", 7),   # attributes to imp 1 (within 15m)
+            (101, "2024-01-01 10:40:00", 7),   # attributes to imp 2 only (imp 1 is >15m old)
+            (102, "2024-01-01 11:00:00", 8),   # too late for imp 3 -> no match
+        ]
+        return spark.createDataFrame(
+            rows, "click_id long, r_ts string, r_user_id long"
+        ).withColumn("r_ts", F.to_timestamp("r_ts"))
+
+    def expected_pairs(self, impressions, clicks):
+        out = interval_join_streams(
+            impressions, clicks, upper="15 minutes", streaming=False
+        )
+        return {(r.imp_id, r.click_id) for r in out.collect()}
+
+    def test_batch_twin_semantics(self, impressions, clicks):
+        assert self.expected_pairs(impressions, clicks) == {(1, 100), (2, 101)}
+
+    def test_stream_stream_matches_batch_twin(self, spark, impressions, clicks, tmp_path):
+        left_dir, right_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+        impressions.write.parquet(left_dir)
+        clicks.write.parquet(right_dir)
+        joined = interval_join_streams(
+            spark.readStream.schema(impressions.schema).parquet(left_dir),
+            spark.readStream.schema(clicks.schema).parquet(right_dir),
+            upper="15 minutes",
+            watermark="30 minutes",
+        )
+        (
+            joined.writeStream.format("memory")
+            .queryName("attributed")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        streamed = {
+            (r.imp_id, r.click_id)
+            for r in spark.sql("SELECT * FROM attributed").collect()
+        }
+        assert streamed == self.expected_pairs(impressions, clicks)
+
+    def test_stream_static_enrichment_broadcasts(self, spark, impressions, tmp_path):
+        dim = spark.createDataFrame(
+            [(7, "gold"), (8, "trial")], "user_id long, tier string"
+        )
+        src = str(tmp_path / "imps_enrich")
+        impressions.write.parquet(src)
+        stream = spark.readStream.schema(impressions.schema).parquet(src)
+        (
+            enrich_stream(stream, dim, on="user_id")
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        rows = spark.sql("SELECT imp_id, tier FROM enriched").collect()
+        tiers = {r.imp_id: r.tier for r in rows}
+        assert tiers == {1: "gold", 2: "gold", 3: "trial"}
+
+
+class TestSlidingWindows:
+    def test_overlapping_windows_and_stream_agreement(self, spark, tmp_path):
+        rows = [
+            (1, "2024-01-01 10:05:00", 7, "click", 1.0),
+            (2, "2024-01-01 10:40:00", 7, "click", 2.0),
+            (3, "2024-01-01 11:10:00", 7, "view", 4.0),
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        batch = {
+            (r.window_start.isoformat(), r.event_type): r.n_events
+            for r in sliding_event_counts(events, "1 hour", "30 minutes").collect()
+        }
+        # each event lands in 2 overlapping windows; 10:05 and 10:40
+        # share only the [10:00, 11:00) window
+        assert batch[("2024-01-01T10:00:00", "click")] == 2
+        assert batch[("2024-01-01T09:30:00", "click")] == 1
+        assert batch[("2024-01-01T10:30:00", "click")] == 1
+        src = str(tmp_path / "events_sliding")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        (
+            sliding_event_counts(stream, "1 hour", "30 minutes", streaming=True)
+            .writeStream.format("memory")
+            .queryName("sliding")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        streamed = {
+            (r.window_start.isoformat(), r.event_type): r.n_events
+            for r in spark.sql("SELECT * FROM sliding").collect()
+        }
+        assert streamed == batch

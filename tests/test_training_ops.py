@@ -68,6 +68,36 @@ class TestMinHashLSH:
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
 
+class TestPiiRedaction:
+    def test_typed_placeholders_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.com see https://x.co/a?u=c@d.ee ip 10.0.0.1 tel +1-555-0042"),
+                (2, "nothing sensitive here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+        r = out[1]
+        # the email inside the URL is swallowed by the URL pass — only
+        # the standalone one is counted as an email
+        assert (r.n_url, r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1, 1)
+        assert r.clean_text == "mail <EMAIL> see <URL> ip <IPV4> tel <PHONE>"
+        clean = out[2]
+        assert clean.clean_text == "nothing sensitive here"
+        assert (clean.n_url, clean.n_email, clean.n_ipv4, clean.n_phone) == (0, 0, 0, 0)
+
+    def test_version_boundaries(self, spark):
+        # version strings ("v1.2.3.4") match the ipv4 shape only when
+        # digit-bounded; trailing punctuation stays outside placeholders
+        df = spark.createDataFrame(
+            [(1, "release v1.2.3.4 at 192.168.0.1, done")], "doc_id long, text string"
+        )
+        r = text.redact_pii(df).collect()[0]
+        assert "192.168.0.1" not in r.clean_text
+        assert r.clean_text.endswith("<IPV4>, done")
+
+
 class TestConnectedComponents:
     def test_chain_two_components_and_pair(self, spark):
         # component {1..5} is a 5-node chain (diameter 4 — forces several
