@@ -17,12 +17,14 @@ from nhl_data_warehouse_spark.sources.extract import (
 )
 from nhl_data_warehouse_spark.sources.json_source import load_json_raw
 from nhl_data_warehouse_spark.sources.ledger import IngestLedger
+from nhl_data_warehouse_spark.sources.restjson_source import RestJsonDataSource
 
 __all__ = [
     "load_games_csv",
     "load_team_stats_csv",
     "load_json_raw",
     "IngestLedger",
+    "RestJsonDataSource",
     "scrape_season_tables",
     "extract_api_endpoint",
     "parse_first_html_table",

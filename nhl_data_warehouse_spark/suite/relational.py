@@ -335,3 +335,77 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
     )
+
+
+@register(
+    "window_rank_family",
+    op_ids="§2.6 ranking-window family: ntile / percent_rank / cume_dist "
+    "(absent in reference, native Spark)",
+    description="quartile, relative rank, and cumulative distribution of 1996 "
+    "F-orders by price within each priority (unique tie-break => exact doubles)",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4)       OVER w AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume,
+               row_number()   OVER w AS rn
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_status_priority",
+    op_ids="§2.5 GROUPING SETS beyond cube/rollup (explicit set list + grouping())",
+    description="order counts at three chosen granularities — (status), "
+    "(priority), and grand total — with a portable grouping id",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    # explicit GROUPING SETS is SQL-only surface; the DataFrame API
+    # covers cube/rollup (see cube_status_priority) and Catalyst plans
+    # both through the same Expand operator
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

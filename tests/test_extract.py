@@ -95,3 +95,51 @@ def test_api_guard_skips_empty_schedule(tmp_path):
 def test_api_unknown_endpoint(tmp_path):
     with pytest.raises(ValueError, match="unknown endpoint"):
         extract_api_endpoint("players", str(tmp_path), lambda e: {}, date_tag="x")
+
+
+class TestRestJsonDataSource:
+    """Spark 4 Python Data Source: executor-side parallel endpoint fetch."""
+
+    def test_parallel_file_uri_fetch_and_guard(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from nhl_data_warehouse_spark.sources import restjson_source
+        from nhl_data_warehouse_spark.sources.json_source import guard_has_games
+
+        good = tmp_path / "sched.json"
+        good.write_text(json.dumps({"games": [{"id": "g1"}], "league": {"alias": "NHL"}}))
+        empty = tmp_path / "empty.json"
+        empty.write_text(json.dumps({"league": {"alias": "NHL"}}))
+
+        restjson_source.register(spark)
+        df = (
+            spark.read.format("restjson")
+            .option("urls", f"file://{good},file://{empty}")
+            .load()
+        )
+        rows = {r.url.split("/")[-1]: r for r in df.collect()}
+        assert rows["sched.json"].payload and rows["sched.json"].error is None
+        assert df.rdd.getNumPartitions() == 2  # one fetch task per endpoint
+
+        parsed = df.filter(F.col("error").isNull()).select(
+            "url",
+            F.from_json(
+                "payload", "games array<struct<id:string>>, league struct<alias:string>"
+            ).alias("doc"),
+        ).select("url", "doc.games", "doc.league")
+        kept = guard_has_games(parsed)
+        assert [r.url.split("/")[-1] for r in kept.collect()] == ["sched.json"]
+
+    def test_dead_endpoint_becomes_row_not_failure(self, spark, tmp_path):
+        from nhl_data_warehouse_spark.sources import restjson_source
+
+        restjson_source.register(spark)
+        df = (
+            spark.read.format("restjson")
+            .option("urls", f"file://{tmp_path}/missing.json")
+            .load()
+        )
+        (row,) = df.collect()
+        assert row.payload is None and row.error is not None

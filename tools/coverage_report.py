@@ -20,7 +20,8 @@ SECTION2 = {
         "tests/test_extract.py",
     ),
     "S2 REST JSON extract": (
-        "sources/extract.py:extract_api_endpoint ('games' guard)",
+        "sources/extract.py:extract_api_endpoint ('games' guard); "
+        "sources/restjson_source.py (Spark 4 Python DataSource: executor-side parallel fetch)",
         "tests/test_extract.py",
     ),
     "S3 CSV file sink": ("sources/extract.py (landing write); write.py", "tests/test_extract.py"),
