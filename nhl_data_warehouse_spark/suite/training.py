@@ -968,3 +968,57 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.redact_pii(withpii)
+
+
+@register(
+    "cdc_latest_state",
+    op_ids="beyond-reference CDC compaction (latest-wins per key + tombstone suppression)",
+    description="events replayed as a CDC feed: latest row per user wins; "
+    "users whose last event is an 'error' tombstone disappear",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) versioned
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import cdc
+
+    (events,) = load(spark, sf_dir, "events")
+    return cdc.compact_changes(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_values=("error",),
+    )
+
+
+@register(
+    "udtf_positional_tokenize",
+    op_ids="§2.8 Python UDTF (Spark 4 table function; SQL LATERAL fan-out)",
+    description="per-token rows with positions via a Python UDTF — the custom "
+    "table-function path; native posexplode is the hot-path twin",
+    oracle="""
+        SELECT doc_id, i - 1 AS pos, arr[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+        WHERE arr[i] <> ''
+    """,
+)
+def udtf_positional_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.functions import udtfs
+
+    (documents,) = load(spark, sf_dir, "documents")
+    udtfs.register_all(spark)
+    documents.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token "
+        "FROM docs_udtf, LATERAL positional_tokenize(text) t"
+    )

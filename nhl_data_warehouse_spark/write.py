@@ -97,12 +97,18 @@ def merge_upsert(
     existing = spark.table(table)
     kept = existing.join(df.select(key), on=key, how="left_anti")
     merged = kept.unionByName(df)
-    # Spark refuses to overwrite a table its own plan reads
-    # (UNSUPPORTED_OVERWRITE) — stage the merge, then swap names. The
-    # swap also means a mid-merge failure leaves the target intact.
+    overwrite_table_staged(spark, merged, table)
+
+
+def overwrite_table_staged(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Overwrite ``table`` with a plan that READS ``table``: Spark
+    refuses the direct form (UNSUPPORTED_OVERWRITE), so materialize to
+    a staging table, then swap names. The swap also means a mid-write
+    failure leaves the target intact (poor man's transaction; on
+    Delta/Iceberg the same op is a single atomic commit)."""
     staged = f"{table}__merge_staged"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    merged.write.saveAsTable(staged)
+    df.write.saveAsTable(staged)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
 
@@ -146,3 +152,80 @@ def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """U1 SQL ``UNION`` parity helper: positional-safe union by name,
     then distinct (reference ``seasonal_metrics_agg.sql:47``)."""
     return a.unionByName(b).distinct()
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str = "effective_ts",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing dimension apply, as a pure transform.
+
+    ``current`` is the versioned dimension: one open row per key
+    (``end_col`` IS NULL) plus closed history. ``updates`` carries
+    (keys + tracked attributes + ``effective_col``). Result:
+
+    - closed history rows pass through untouched;
+    - open rows whose tracked attributes are unchanged pass through;
+    - open rows with changed attributes are CLOSED at the update's
+      effective timestamp, and a new open version is appended;
+    - keys new to the dimension get a fresh open row.
+
+    One keyed join against the open slice (history never shuffles) —
+    the standard warehouse pattern the reference's view-only dbt models
+    never reach. NULL-safe attribute comparison via ``eqNullSafe`` so
+    NULL -> value transitions version correctly.
+    """
+    from functools import reduce
+
+    closed = current.filter(F.col(end_col).isNotNull())
+    open_rows = current.filter(F.col(end_col).isNull())
+
+    upd = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in keys],
+        *[F.col(t).alias(f"_u_{t}") for t in tracked],
+        F.col(effective_col).alias("_u_eff"),
+    )
+    key_cond = reduce(
+        lambda a, b: a & b, [open_rows[k] == upd[f"_u_{k}"] for k in keys]
+    )
+    joined = open_rows.join(upd, key_cond, "full_outer")
+
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(t).eqNullSafe(F.col(f"_u_{t}")) for t in tracked],
+    )
+    matched_open = F.col(keys[0]).isNotNull() & F.col(f"_u_{keys[0]}").isNotNull()
+    out_cols = [*keys, *tracked, start_col, end_col]
+
+    unchanged = joined.filter(matched_open & same).select(*out_cols)
+    closed_out = (
+        joined.filter(matched_open & ~same)
+        .select(*keys, *tracked, F.col(start_col), F.col("_u_eff").alias(end_col))
+    )
+    new_versions = joined.filter(matched_open & ~same).select(
+        *[F.col(f"_u_{k}").alias(k) for k in keys],
+        *[F.col(f"_u_{t}").alias(t) for t in tracked],
+        F.col("_u_eff").alias(start_col),
+        F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+    )
+    brand_new = joined.filter(F.col(keys[0]).isNull()).select(
+        *[F.col(f"_u_{k}").alias(k) for k in keys],
+        *[F.col(f"_u_{t}").alias(t) for t in tracked],
+        F.col("_u_eff").alias(start_col),
+        F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+    )
+    untouched_open = joined.filter(F.col(f"_u_{keys[0]}").isNull()).select(*out_cols)
+
+    return (
+        closed.select(*out_cols)
+        .unionByName(unchanged)
+        .unionByName(closed_out)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+        .unionByName(untouched_open)
+    )

@@ -68,6 +68,32 @@ class TestMinHashLSH:
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
 
+class TestUdtf:
+    def test_matches_native_posexplode_twin(self, spark):
+        from nhl_data_warehouse_spark.functions import udtfs
+
+        df = spark.createDataFrame(
+            [(1, "a b  c"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        udtfs.register_all(spark)
+        df.createOrReplaceTempView("udtf_docs")
+        via_udtf = {
+            (r.doc_id, r.pos, r.token)
+            for r in spark.sql(
+                "SELECT doc_id, t.pos, t.token FROM udtf_docs, LATERAL positional_tokenize(text) t"
+            ).collect()
+        }
+        native = {
+            (r.doc_id, r.pos, r.token)
+            for r in df.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+            )
+            .filter("token <> ''")
+            .collect()
+        }
+        assert via_udtf == native == {(1, 0, "a"), (1, 1, "b"), (1, 3, "c")}
+
+
 class TestPiiRedaction:
     def test_typed_placeholders_and_counts(self, spark):
         df = spark.createDataFrame(
