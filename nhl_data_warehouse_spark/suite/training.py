@@ -32,14 +32,23 @@ _SHINGLES_CTE = f"""
     )
 """
 
+# signature slot i -> (md5-prefix j, 8-hex window start): 4 slots per
+# digest, mirroring operators/dedup.py::_mh_window
+def _mh_sql(i: int) -> str:
+    j, start = (i - 1) // 4, 1 + 8 * ((i - 1) % 4)
+    return f"MIN(CASE WHEN j={j} THEN substring(v, {start}, 8) END) AS mh{i}"
+
+
+_N_DIGESTS = (N_HASHES + 3) // 4
+
 _SIG_CTE = f"""
     hashed AS (
-        SELECT doc_id, h, MD5(CAST(h AS VARCHAR) || '|' || shingle) AS v
-        FROM shingles, (SELECT unnest(generate_series(1, {N_HASHES})) AS h)
+        SELECT doc_id, j, MD5(CAST(j AS VARCHAR) || '|' || shingle) AS v
+        FROM shingles, (SELECT unnest(generate_series(0, {_N_DIGESTS - 1})) AS j)
     ),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"MIN(CASE WHEN h={i} THEN v END) AS mh{i}" for i in range(1, N_HASHES + 1))}
+               {", ".join(_mh_sql(i) for i in range(1, N_HASHES + 1))}
         FROM hashed GROUP BY doc_id
     )
 """
