@@ -168,3 +168,51 @@ def redact_pii(
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
     cols.append(cur.alias(out_col))
     return df.select(*cols)
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 10,
+    sep: str = ". ",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb trick):
+    split docs into sentences, drop every sentence that appears in more
+    than ``max_df`` distinct documents (headers, footers, cookie
+    banners, nav chrome), reassemble the rest in order. Returns
+    (id, clean_text, n_sentences).
+
+    Two shuffles total at any scale: the sentence-frequency aggregate
+    (map-side combined, keyed on the md5 of the sentence so the wide
+    text never shuffles) and the per-doc reassembly. Order is restored
+    with ``array_sort`` over (pos, sentence) structs — collect_list is
+    partition-order-nondeterministic, the sort makes the output not be.
+    """
+    sents = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"[.!?]")).alias("pos", "sent"),
+        )
+        .select(id_col, "pos", F.trim("sent").alias("sent"))
+        .filter(F.col("sent") != "")
+        .withColumn("fp", F.md5("sent"))
+    )
+    sents = sents.persist()  # feeds the frequency agg AND the keep-join
+    freq_ok = (
+        sents.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("fp")
+    )
+    kept = sents.join(freq_ok, on="fp")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_sentences"),
+    )

@@ -1031,3 +1031,54 @@ def udtf_positional_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.pos, t.token "
         "FROM docs_udtf, LATERAL positional_tokenize(text) t"
     )
+
+
+@register(
+    "boilerplate_removal",
+    op_ids="beyond-reference cross-document boilerplate removal (sentence doc-frequency filter)",
+    description="drop sentences appearing in >10 distinct docs (footers/banners), "
+    "reassemble remaining sentences in order — boilerplate synthesized "
+    "deterministically since the testdata corpus has none",
+    oracle="""
+        WITH withboiler AS (
+            SELECT doc_id,
+                   'Breaking news update. ' || text
+                     || '. Subscribe to our newsletter today.'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' Cookie policy applies to this site.'
+                             ELSE '' END AS text
+            FROM documents
+        ),
+        sents AS (
+            SELECT doc_id, i AS pos, trim(arr[i]) AS sent
+            FROM (SELECT doc_id, string_split_regex(text, '[.!?]') AS arr
+                  FROM withboiler),
+                 LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) s
+            WHERE trim(arr[i]) <> ''
+        ),
+        freq_ok AS (
+            SELECT md5(sent) AS fp FROM sents
+            GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 10
+        ),
+        kept AS (
+            SELECT s.doc_id, s.pos, s.sent FROM sents s
+            JOIN freq_ok f ON md5(s.sent) = f.fp
+        )
+        SELECT doc_id,
+               string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_sentences
+        FROM kept GROUP BY doc_id
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    withboiler = documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("Breaking news update. "),
+            F.col("text"),
+            F.lit(". Subscribe to our newsletter today."),
+            F.when(F.col("doc_id") % 2 == 0, " Cookie policy applies to this site.").otherwise(""),
+        ).alias("text"),
+    )
+    return text.remove_boilerplate(withboiler, max_df=10)

@@ -68,6 +68,22 @@ class TestMinHashLSH:
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
 
+class TestBoilerplateRemoval:
+    def test_common_sentences_dropped_order_preserved(self, spark):
+        footer = "Subscribe to our newsletter"
+        rows = [(i, f"Unique fact {i}. More detail {i}! {footer}.") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in text.remove_boilerplate(df, max_df=3).collect()}
+        assert out[0].clean_text == "Unique fact 0. More detail 0"
+        assert all(footer not in r.clean_text for r in out.values())
+        assert all(r.n_sentences == 2 for r in out.values())
+
+    def test_doc_of_only_boilerplate_disappears(self, spark):
+        rows = [(i, "Cookie policy applies.") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert text.remove_boilerplate(df, max_df=3).count() == 0
+
+
 class TestUdtf:
     def test_matches_native_posexplode_twin(self, spark):
         from nhl_data_warehouse_spark.functions import udtfs
