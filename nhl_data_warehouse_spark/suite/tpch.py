@@ -3,10 +3,13 @@
 The reference delegates all relational execution to Snowflake
 (SURVEY.md §4), so "query capability" parity means the engine must
 run warehouse-class decision-support SQL, not just the reference's two
-joins.  This module registers the canonical TPC-H query shapes that
-are expressible on the driver's reduced schema (no ``partsupp``; no
-``l_commitdate``/``l_receiptdate`` — queries that need them are
-adapted, and each adaptation is called out in the docstring).
+joins.  This module registers every canonical TPC-H query shape
+(Q2-Q22 here; Q1 lives in ``suite/core.py`` as ``pricing_summary``)
+on the driver's reduced schema: ``partsupp`` is DERIVED
+deterministically from lineitem's distinct (part, supplier) pairs
+(see ``PS_CTE``), and queries needing the missing
+``l_commitdate``/``l_receiptdate``/``p_name``/``c_phone`` columns are
+adapted — each adaptation is called out in its docstring.
 
 Every query is written DataFrame-first so Catalyst plans it (broadcast
 selection, join reordering, partial aggregation, subquery
@@ -718,4 +721,299 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast(DEC)).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# partsupp-dependent queries (Q2/Q9/Q11/Q16/Q20)
+#
+# The driver schema has no partsupp table, so one is DERIVED
+# deterministically: the distinct (l_partkey, l_suppkey) pairs that
+# actually trade, with availqty/supplycost synthesized as pure key
+# arithmetic — identical in both engines, so the oracles stay exact.
+# ---------------------------------------------------------------------------
+
+PS_CTE = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey * 37 + l_suppkey * 13) % 9999 + 1 AS ps_availqty,
+               CAST((l_partkey * 31 + l_suppkey * 17) % 100000 AS DOUBLE) / 100.0
+                   AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of PS_CTE (one distinct-shuffle on the pair key)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            pk.alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            ((pk * 37 + sk * 13) % 9999 + 1).alias("ps_availqty"),
+            (((pk * 31 + sk * 17) % 100000).cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    op_ids="§2.2 correlated scalar subquery,J1,§2.6 (TPC-H Q2: min-cost match per part)",
+    description="cheapest EUROPE supplier for each size-15 part (correlated min "
+    "decorrelated into a per-part aggregate; partsupp derived — see PS_CTE)",
+    oracle=f"""
+        WITH {PS_CTE},
+        eu AS (
+            SELECT s_suppkey, s_acctbal, s_name, n_name
+            FROM supplier, nation, region
+            WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+        ),
+        costs AS (
+            SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+            FROM partsupp JOIN eu ON ps_suppkey = s_suppkey
+        ),
+        mins AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+                 FROM costs GROUP BY ps_partkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        FROM part, costs, mins
+        WHERE p_partkey = costs.ps_partkey AND costs.ps_partkey = mins.ps_partkey
+          AND ps_supplycost = min_cost AND p_size = 15
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, nation, region = load(
+        spark, sf_dir, "part", "supplier", "nation", "region"
+    )
+    ps = _partsupp(spark, sf_dir)
+    eu = F.broadcast(
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    costs = ps.join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+    mins = costs.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(
+            part.filter(F.col("p_size") == 15).select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    op_ids="J1,J2,§2.5 (TPC-H Q9: profit = revenue - supply cost, by nation and year)",
+    description="Brand#5 profit per supplier nation per order year (partsupp "
+    "derived — see PS_CTE; brand filter stands in for the missing p_name LIKE)",
+    oracle=f"""
+        WITH {PS_CTE}
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               SUM({REVENUE_SQL}
+                   - CAST(ps_supplycost AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))) AS sum_profit
+        FROM part, supplier, lineitem, partsupp, orders, nation
+        WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+          AND ps_partkey = l_partkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_brand = 'Brand#5'
+        GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, lineitem, orders, nation = load(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    ps = _partsupp(spark, sf_dir)
+    profit = _revenue() - (
+        F.col("ps_supplycost").cast(DEC) * F.col("l_quantity").cast(DEC)
+    )
+    return (
+        lineitem.join(
+            part.filter(F.col("p_brand") == "Brand#5").select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    op_ids="§2.2 scalar subquery,§2.5 HAVING (TPC-H Q11: value share threshold)",
+    description="parts whose NATION_7 stock value exceeds 1/10000 of the total "
+    "(partsupp derived — see PS_CTE)",
+    oracle=f"""
+        WITH {PS_CTE},
+        n7 AS (
+            SELECT ps_partkey,
+                   SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS value_
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_7'
+            GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, value_
+        FROM n7
+        WHERE CAST(value_ AS DOUBLE)
+              > (SELECT CAST(SUM(value_) AS DOUBLE) * 0.0001 FROM n7)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation = load(spark, sf_dir, "supplier", "nation")
+    ps = _partsupp(spark, sf_dir)
+    n7_supps = F.broadcast(
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    n7 = (
+        ps.join(n7_supps, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost").cast(DEC) * F.col("ps_availqty")).alias("value_")
+        )
+    )
+    total = n7.agg((F.sum("value_").cast("double") * 0.0001).alias("threshold"))
+    return (
+        n7.join(F.broadcast(total))
+        .filter(F.col("value_").cast("double") > F.col("threshold"))
+        .select("ps_partkey", "value_")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    op_ids="§2.5 distinct agg,§2.3 anti join (TPC-H Q16, adapted: negative-balance "
+    "suppliers excluded in place of the missing complaints-comment filter)",
+    description="distinct supplier count per (brand, type, size) for sizes 1-15, "
+    "excluding Brand#4 and bad suppliers (partsupp derived — see PS_CTE)",
+    oracle=f"""
+        WITH {PS_CTE}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#4'
+          AND p_size BETWEEN 1 AND 15
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier = load(spark, sf_dir, "part", "supplier")
+    ps = _partsupp(spark, sf_dir)
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            part.filter(
+                (F.col("p_brand") != "Brand#4") & F.col("p_size").between(1, 15)
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory_suppliers",
+    op_ids="§2.3 semi join,§2.2 correlated subquery (TPC-H Q20: stock vs shipped volume)",
+    description="NATION_5 suppliers holding Brand#2 stock above half their 1996 "
+    "shipped quantity (partsupp derived — see PS_CTE)",
+    oracle=f"""
+        WITH {PS_CTE},
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT DISTINCT s_name
+        FROM supplier, nation, partsupp, part, shipped
+        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+          AND ps_suppkey = s_suppkey AND ps_partkey = p_partkey
+          AND p_brand = 'Brand#2'
+          AND shipped.l_partkey = ps_partkey AND shipped.l_suppkey = ps_suppkey
+          AND CAST(ps_availqty AS DOUBLE) > 0.5 * CAST(qty AS DOUBLE)
+    """,
+)
+def tpch_q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation, part, lineitem = load(
+        spark, sf_dir, "supplier", "nation", "part", "lineitem"
+    )
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    n5 = F.broadcast(
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        ps.join(
+            part.filter(F.col("p_brand") == "Brand#2").select("p_partkey"),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(n5, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double") > 0.5 * F.col("qty").cast("double")
+        )
+        .select("s_name")
+        .distinct()
     )
