@@ -216,3 +216,50 @@ def remove_boilerplate(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_sentences"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality score from a unigram LM trained on the
+    corpus itself (the CCNet idea with the KenLM swapped for the
+    in-corpus unigram distribution — the operator *shape* is the
+    point: train-on-corpus then score-per-doc, two aggregations and
+    one token join, all JVM-side).
+
+    Returns (id, n_tokens, avg_neg_logprob); high scores = tokens the
+    corpus finds surprising (gibberish, rare-symbol soup), the usual
+    filter axis. Determinism: each token's ln p is rounded to 6 dp
+    and summed as DECIMAL (exact, order-free); the mean divides once
+    as double — same convention as the suite's cosine scores, and the
+    rounding also swallows any 1-ulp libm-vs-JVM ln() difference.
+
+    Scale: vocab counts are a map-side-combined aggregate; the
+    score join shuffles on the token — for a Zipf-heavy 100TB corpus
+    broadcast the head of the vocabulary and join only the tail.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    toks = toks.persist()  # feeds vocab counts AND the score join
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    logp = vocab.join(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c").cast("double") / F.col("n").cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(logp, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-(F.sum("logp").cast("double")) / F.count(F.lit(1))).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

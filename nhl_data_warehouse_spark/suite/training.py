@@ -1082,3 +1082,35 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.remove_boilerplate(withboiler, max_df=10)
+
+
+@register(
+    "unigram_logprob_scores",
+    op_ids="beyond-reference LM-based quality scoring (self-trained unigram, "
+    "train-then-score two-pass)",
+    description="per-doc mean negative log-probability under the corpus's own "
+    "unigram distribution — the perplexity-filter shape with 6dp-rounded "
+    "decimal-summed log terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(c) AS n FROM vocab),
+        lp AS (
+            SELECT tok,
+                   CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS logp
+            FROM vocab, tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               -(CAST(SUM(logp) AS DOUBLE)) / COUNT(*) AS avg_neg_logprob
+        FROM toks JOIN lp USING (tok)
+        GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.unigram_logprob_score(documents)

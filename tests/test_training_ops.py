@@ -68,6 +68,20 @@ class TestMinHashLSH:
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
 
+class TestUnigramLogprob:
+    def test_rare_tokens_score_higher(self, spark):
+        rows = [(i, "the cat sat on the mat") for i in range(9)] + [
+            (99, "zyzzyva qwerty xenon")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in text.unigram_logprob_score(df).collect()}
+        # common-token docs are unsurprising; the all-rare doc scores higher
+        assert out[99].avg_neg_logprob > out[0].avg_neg_logprob
+        assert out[0].n_tokens == 6 and out[99].n_tokens == 3
+        # identical docs get identical scores (pure function of corpus)
+        assert out[0].avg_neg_logprob == out[5].avg_neg_logprob
+
+
 class TestBoilerplateRemoval:
     def test_common_sentences_dropped_order_preserved(self, spark):
         footer = "Subscribe to our newsletter"
