@@ -139,3 +139,56 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
         ).collect()
     }
     assert salted == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from nhl_data_warehouse_spark.operators.dedup import connected_components
+
+    # naive single-node union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    fractions=st.lists(
+        st.integers(min_value=1, max_value=10), min_size=2, max_size=4
+    ),
+)
+def test_hash_split_partitions_every_row_exactly_once(spark, n, fractions):
+    from nhl_data_warehouse_spark.operators.sampling import hash_split
+
+    total = sum(fractions)
+    splits = {f"s{i}": f / total for i, f in enumerate(fractions)}
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, ["doc_id"], splits).collect()
+    assert len(out) == n                      # exhaustive
+    assert {r["split"] for r in out} <= set(splits)  # only declared labels
+    # and deterministic: same inputs, same assignment
+    again = hash_split(df, ["doc_id"], splits).collect()
+    assert {r.doc_id: r["split"] for r in out} == {r.doc_id: r["split"] for r in again}
