@@ -409,3 +409,67 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "zscore_outliers",
+    op_ids="§2.5 two-pass analytic (exact-moment z-scores; outlier filter for curation)",
+    description="events whose value is >3 population standard deviations from "
+    "their type's mean — moments from exact decimal sums, one double sqrt",
+    oracle="""
+        WITH moments AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               (value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS z
+        FROM events e JOIN moments m ON e.event_type = m.event_type
+        WHERE abs((value - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 3.0
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    moments = events.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    return (
+        events.join(F.broadcast(moments), F.col("event_type") == F.col("m_type"))
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+@register(
+    "value_histogram",
+    op_ids="§2.5 fixed-width binning (histogram aggregation)",
+    description="10-unit value bins per event type with counts and exact bin sums",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events
+        GROUP BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
