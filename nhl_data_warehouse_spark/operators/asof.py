@@ -31,11 +31,14 @@ def as_of_join(
     right_time: str,
     payloads: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right-side ``payloads``
-    with ``right_time <= left_time`` (``<`` when ``strict``) for the
-    same key. Left rows with no prior right row get NULL payloads
-    (left-outer as-of semantics).
+    """For each left row, attach the nearest right-side ``payloads`` in
+    ``direction``: "backward" = most recent with ``right_time <=
+    left_time`` (``<`` when ``strict``), "forward" = earliest with
+    ``right_time >= left_time`` (``>`` when ``strict``). Left rows
+    with no match in that direction get NULL payloads (left-outer
+    as-of semantics). Same one-shuffle one-sort cost either way.
 
     Tie handling at equal timestamps is deterministic: right rows sort
     before left rows (inclusive) or after (strict). If multiple right
@@ -45,30 +48,38 @@ def as_of_join(
     time-unique right side (e.g. pre-aggregated) or include the
     matched ``right_time`` in outputs instead of a tied attribute.
     """
-    # __src orders right rows before (inclusive) / after (strict) left
-    # rows at equal time, which is what implements <= vs <.
+    assert direction in ("backward", "forward")
+    # __src orders right rows relative to left rows at EQUAL time; that
+    # relative order is what implements inclusive (<=, >=) vs strict.
+    # backward: window looks back, so visible-at-tie right rows must
+    # sort BEFORE left (0) and invisible ones after (2). forward:
+    # window looks ahead, so visible-at-tie rows sort AFTER left (2)
+    # and invisible ones before (0).
+    if direction == "backward":
+        r_src = 2 if strict else 0
+    else:
+        r_src = 0 if strict else 2
     l_tagged = left.withColumn("__k", F.col(left_on)).withColumn(
         "__t", F.col(left_time)
     ).withColumn("__src", F.lit(1))
     r_tagged = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_time).alias("__t"),
-        F.lit(0 if not strict else 2).alias("__src"),
+        F.lit(r_src).alias("__src"),
         *[F.col(c).alias(f"__p_{c}") for c in payloads],
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__src").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy("__k").orderBy(F.col("__t").asc(), F.col("__src").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(f"__p_{c}", ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(f"__p_{c}", ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payloads
-        ],
+        *[pick(c).alias(f"__f_{c}") for c in payloads],
     )
     out_cols = [c for c in left.columns] + [
         F.col(f"__f_{c}").alias(f"asof_{c}") for c in payloads

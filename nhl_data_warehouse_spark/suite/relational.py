@@ -473,3 +473,64 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "props_map_stats",
+    op_ids="P11/P12 + MapType (schema-less JSON props -> map explode -> rollup)",
+    description="event props parsed as map<string,bigint> and exploded to "
+    "(key, value) rows — the MapType path VARIANT-style payloads take when "
+    "keys are not known at schema time",
+    oracle="""
+        SELECT event_type, 'k' AS prop_key, COUNT(*) AS n,
+               SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS sum_value
+        FROM events
+        WHERE props->>'$.k' IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.explode(F.from_json("props", "map<string,bigint>")).alias(
+                "prop_key", "prop_value"
+            ),
+        )
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("prop_value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select("event_type", "prop_key", "n", "sum_value")
+    )
+
+
+@register(
+    "asof_join_orders_forward",
+    op_ids="beyond-reference as-of join, forward direction (next-match semantics)",
+    description="each event matched to the EARLIEST order of the same key "
+    "at-or-after it — the label-lookahead shape in training-data builds",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderdate AS asof_o_orderdate
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def asof_join_orders_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.asof import as_of_join
+
+    events, orders = load(spark, sf_dir, "events", "orders")
+    return as_of_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payloads=["o_orderdate"],
+        direction="forward",
+    )

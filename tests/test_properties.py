@@ -192,3 +192,33 @@ def test_hash_split_partitions_every_row_exactly_once(spark, n, fractions):
     # and deterministic: same inputs, same assignment
     again = hash_split(df, ["doc_id"], splits).collect()
     assert {r.doc_id: r["split"] for r in out} == {r.doc_id: r["split"] for r in again}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(st.tuples(keys, minutes), min_size=1, max_size=8),
+    right=st.lists(st.tuples(keys, minutes, st.integers(0, 99)), min_size=0, max_size=8),
+)
+def test_asof_forward_matches_naive(spark, left, right):
+    # time-unique right side per key (same determinism contract as backward)
+    seen, uniq = set(), []
+    for k, m, v in right:
+        if (k, m) not in seen:
+            seen.add((k, m))
+            uniq.append((k, m, v))
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(left)],
+        "event_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(m), v) for k, m, v in uniq], "k long, rts timestamp, payload long"
+    )
+    out = as_of_join(
+        ldf, rdf, left_on="k", right_on="k", left_time="ts", right_time="rts",
+        payloads=["payload"], direction="forward",
+    )
+    got = {r.event_id: r.asof_payload for r in out.collect()}
+    for i, (k, m) in enumerate(left):
+        nxt = [(m2, v) for k2, m2, v in uniq if k2 == k and m2 >= m]
+        expected = min(nxt)[1] if nxt else None
+        assert got[i] == expected, (i, k, m)
