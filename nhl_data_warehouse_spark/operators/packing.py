@@ -1,0 +1,136 @@
+"""Sequence packing for LM training-data builds.
+
+Two packing shapes a pretraining pipeline needs over a tokenized
+corpus (reference has no analogue — these are beyond-reference
+training-data operators, SURVEY.md §2 "training pipeline" family):
+
+1. ``token_spans`` — concat-then-chunk: all documents are laid end to
+   end in a deterministic order and cut into fixed-size blocks; each
+   doc gets its absolute token span and the block range it straddles.
+   This is the classic GPT-style pretraining layout. Implemented as a
+   **two-level distributed prefix sum** so it scales: a global window
+   over all rows would drag 100 TB through one partition; instead we
+   prefix-sum within coarse buckets of the order key (parallel,
+   partition-local) and add per-bucket base offsets computed from a
+   tiny bucket-totals aggregate (broadcast join).
+
+2. ``pack_next_fit`` — greedy next-fit bin packing: walk docs in order
+   within each group, keep appending to the current bin until the next
+   doc would overflow ``budget``, then open a new bin. Sequential by
+   definition, so it runs as an Arrow-batched ``applyInPandas`` per
+   group — groups pack in parallel, the scan inside a group is a tight
+   pandas loop. At 100 TB the group key (source/shard) bounds state to
+   one group's rows; no global order is required across groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    block_size: int = 512,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Absolute token offsets + block spans under concat-then-chunk.
+
+    ``df`` has one row per doc with an integer ``weight_col``; docs are
+    concatenated in ascending ``id_col`` order. Returns the input plus
+    ``start_offset``, ``first_block``, ``last_block``, ``n_blocks``.
+
+    Distributed prefix sum: ``bucket = id div bucket_width`` preserves
+    the global order between buckets, so
+    ``start = bucket_base + within_bucket_prefix - own_weight`` where
+    ``bucket_base`` comes from a cumulative sum over the (tiny) bucket
+    totals. The only single-partition window runs over ~n_rows/
+    bucket_width rows; everything row-scale is partitioned by bucket.
+
+    Empty docs (weight 0) occupy no tokens; their block span collapses
+    to the block containing their start offset (``greatest(w,1)``
+    keeps the arithmetic in non-negative integers, where truncating
+    and flooring division agree across engines).
+    """
+    w = F.col(weight_col).cast("long")
+    bucketed = df.withColumn("__bucket", F.expr(f"{id_col} div {bucket_width}"))
+    totals = bucketed.groupBy("__bucket").agg(F.sum(w).alias("__tot"))
+    base_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(base_w), F.lit(0)).alias("__base"),
+    )
+    within_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        bucketed.join(F.broadcast(bases), on="__bucket")
+        .withColumn("__cum", F.sum(w).over(within_w))
+        .withColumn("start_offset", F.col("__base") + F.col("__cum") - w)
+    )
+    start = F.col("start_offset")
+    first = F.expr(f"start_offset div {block_size}")
+    last = F.expr(
+        f"(start_offset + greatest(cast({weight_col} as long), 1L) - 1) "
+        f"div {block_size}"
+    )
+    return out.select(
+        *[c for c in df.columns],
+        start,
+        first.alias("first_block"),
+        last.alias("last_block"),
+        (last - first + 1).alias("n_blocks"),
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    budget: int = 128,
+) -> DataFrame:
+    """Greedy next-fit packing: within each ``group_col``, docs in
+    ascending ``id_col`` order are appended to the current bin while
+    they fit in ``budget`` tokens; otherwise a new bin opens (an
+    oversized doc gets a bin to itself and overflows it — next-fit
+    never splits docs). Returns (group, id, weight, bin) with bins
+    numbered from 0 per group.
+
+    The scan is inherently sequential per group, so it runs as one
+    Arrow batch per group under ``applyInPandas``; only the narrow
+    (group, id, weight) projection is shuffled, never document text.
+    """
+    narrow = df.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("item_id").reset_index(drop=True)
+        bins = []
+        cur_bin, fill = 0, 0
+        for i, wt in enumerate(pdf["weight"]):
+            if i == 0:
+                fill = wt
+            elif fill + wt <= budget:
+                fill += wt
+            else:
+                cur_bin += 1
+                fill = wt
+            bins.append(cur_bin)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return narrow.groupBy("group_key").applyInPandas(
+        pack, "group_key string, item_id long, weight long, bin long"
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # whitespace tokens vs BPE-ish units: words OR single non-space symbols
 BPE_ISH_PATTERN = r"\w+|[^\w\s]"
@@ -215,6 +216,147 @@ def remove_boilerplate(
             sep,
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_sentences"),
+    )
+
+
+def _ws_tokens(text_col: str):
+    """Non-empty whitespace tokens as an array column (space split —
+    the suite's portable tokenization, same as DuckDB string_split)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF — the keyword/topic
+    extraction pass a corpus pipeline runs for routing and mixing.
+
+    idf = ln((N+1)/(df+1)) (smoothed, non-negative since df <= N),
+    rounded to 6 dp and carried as DECIMAL so tfidf = tf * idf is
+    exact from there on — rank order and hash comparisons cannot be
+    perturbed by a 1-ulp libm difference (same convention as
+    ``unigram_logprob_score``). Ties break on the term itself, so
+    top-k is fully deterministic.
+
+    Scale: tf is one map-side-combined aggregate over (doc, term); df
+    is an aggregate over tf's output (already deduplicated per doc —
+    no count_distinct shuffle); N broadcasts as a 1-row join; top-k is
+    a window partitioned by doc (parallel).
+    """
+    toks = df.select(F.col(id_col), F.explode(_ws_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # feeds df-counts AND the scored join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df_docs") + 1).cast("double")),
+        6,
+    ).cast("decimal(12,6)")
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n_docs))
+        .select(id_col, "term", "tf", "df_docs", (F.col("tf") * idf).alias("tfidf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df_docs", "tfidf", "term_rank")
+    )
+
+
+def word_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams per document, one row per (id, gram).
+    Docs shorter than ``n`` tokens produce no rows. Pure array
+    expressions (sequence/transform/slice) inside codegen — the
+    shuffle-free building block for overlap/contamination checks."""
+    arr = _ws_tokens(text_col)
+    grams = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    benchmark_every: int = 50,
+    flag_pct: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the PaLM/GPT-3
+    eval-leakage check): docs with ``id % benchmark_every == 0`` stand
+    in for the held-out benchmark; every other doc is scored by how
+    many of its distinct word n-grams also appear anywhere in the
+    benchmark set, and flagged when >= ``flag_pct`` percent overlap.
+
+    Counts are integers and the flag is an integer cross-
+    multiplication (``n_shared*100 >= n_grams*flag_pct``) — exact in
+    any engine; the reported ratio is one double division of exact
+    ints. Scale: the benchmark gram set is tiny relative to the corpus
+    -> broadcast it; the corpus side is a shuffle-free scan + explode,
+    then one aggregate keyed on the doc.
+    """
+    grams = word_ngrams(df, id_col, text_col, n)
+    grams = grams.persist()  # bench subset + corpus subset both read it
+    bench = (
+        grams.filter(F.col(id_col) % benchmark_every == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col(id_col) % benchmark_every != 0)
+    counts = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        corpus.join(F.broadcast(bench), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return counts.join(shared, on=id_col, how="left").select(
+        id_col,
+        "n_grams",
+        n_shared.alias("n_shared"),
+        (n_shared.cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination_ratio"
+        ),
+        (n_shared * 100 >= F.col("n_grams") * flag_pct)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted index build: term -> document frequency, total term
+    frequency, and the first ``max_postings`` doc ids (ascending) as a
+    comma-joined posting string. ``collect_list`` order is partition-
+    nondeterministic, so the list is sorted before slicing — output is
+    exact. One aggregate keyed on the term; posting truncation bounds
+    per-term state, and hot terms (stopwords) are exactly the rows a
+    real indexer drops via a df cap."""
+    toks = df.select(F.col(id_col), F.explode(_ws_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort(F.collect_list(id_col)), 1, max_postings),
+                lambda d: d.cast("string"),
+            ),
+        ).alias("postings"),
     )
 
 

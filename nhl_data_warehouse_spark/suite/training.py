@@ -1114,3 +1114,200 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return text.unigram_logprob_score(documents)
+
+
+# shared DuckDB fragment: non-empty whitespace tokens per doc
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+    )
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    op_ids="beyond-reference TF-IDF salience (top-k terms per doc, "
+    "smoothed idf, decimal-exact ranking)",
+    description="top-3 TF-IDF terms per document — keyword extraction "
+    "for corpus routing; idf rounded to 6dp decimal so ranks and "
+    "hashes are engine-exact",
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+                   tf.tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE)
+                                         / CAST(df_docs + 1 AS DOUBLE)), 6)
+                                AS DECIMAL(12,6)) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tf, df_docs, tfidf, term_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+              FROM scored)
+        WHERE term_rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(documents, k=3)
+
+
+@register(
+    "ngram_contamination",
+    op_ids="beyond-reference benchmark decontamination (word 5-gram "
+    "overlap vs a held-out set, broadcast gram join)",
+    description="eval-leakage check: share of each corpus doc's "
+    "distinct 5-grams that appear in the benchmark subset "
+    "(doc_id % 50 == 0); integer cross-multiplied flag at 20%",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i)
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        corpus AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+        counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+        shared AS (
+            SELECT doc_id, COUNT(*) AS n_shared
+            FROM corpus JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_grams,
+               COALESCE(s.n_shared, 0) AS n_shared,
+               CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                   / CAST(c.n_grams AS DOUBLE) AS contamination_ratio,
+               CAST(COALESCE(s.n_shared, 0) * 100 >= c.n_grams * 20
+                    AS INT) AS is_contaminated
+        FROM counts c LEFT JOIN shared s USING (doc_id)
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.contamination_check(
+        documents, n=5, benchmark_every=50, flag_pct=20
+    )
+
+
+@register(
+    "inverted_index_postings",
+    op_ids="beyond-reference inverted index build (term -> df, total "
+    "tf, sorted truncated posting list)",
+    description="search-index shape: per-term document frequency, "
+    "total term frequency, first 20 doc ids as a posting string "
+    "(sorted before slicing, so exact)",
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT term, COUNT(*) AS df_docs, SUM(tf) AS total_tf,
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+                   AS postings
+        FROM tf GROUP BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.inverted_index(documents, max_postings=20)
+
+
+@register(
+    "sequence_token_spans",
+    op_ids="beyond-reference concat-then-chunk packing (two-level "
+    "distributed prefix sum -> absolute token spans + block ranges)",
+    description="GPT-style pretraining layout: docs concatenated in "
+    "doc_id order and cut into 512-token blocks; each doc's absolute "
+    "span and block range, via bucketed prefix sums (no global-window "
+    "single partition)",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_offset
+            FROM counts
+        )
+        SELECT doc_id, source, n_tokens, start_offset,
+               start_offset // 512 AS first_block,
+               (start_offset + GREATEST(n_tokens, 1) - 1) // 512 AS last_block,
+               (start_offset + GREATEST(n_tokens, 1) - 1) // 512
+                   - start_offset // 512 + 1 AS n_blocks
+        FROM cum
+    """,
+)
+def sequence_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import packing
+
+    (documents,) = load(spark, sf_dir, "documents")
+    counts = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return packing.token_spans(counts, block_size=512, bucket_width=1024)
+
+
+@register(
+    "greedy_pack_bins",
+    op_ids="beyond-reference greedy next-fit bin packing (sequential "
+    "scan per group via applyInPandas; oracle is a recursive CTE)",
+    description="training-sequence packing: within each source, docs "
+    "in doc_id order fill 128-token bins next-fit; oversized docs "
+    "overflow a bin of their own",
+    oracle="""
+        WITH RECURSIVE counts AS (
+            SELECT source AS group_key, doc_id AS item_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS weight
+            FROM documents
+        ),
+        seq AS (
+            SELECT group_key, item_id, weight,
+                   ROW_NUMBER() OVER (PARTITION BY group_key
+                                      ORDER BY item_id) AS rn
+            FROM counts
+        ),
+        pack AS (
+            SELECT group_key, item_id, weight, rn,
+                   0 AS bin, weight AS fill
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.group_key, s.item_id, s.weight, s.rn,
+                   CASE WHEN p.fill + s.weight <= 128
+                        THEN p.bin ELSE p.bin + 1 END,
+                   CASE WHEN p.fill + s.weight <= 128
+                        THEN p.fill + s.weight ELSE s.weight END
+            FROM pack p
+            JOIN seq s ON s.group_key = p.group_key AND s.rn = p.rn + 1
+        )
+        SELECT group_key, item_id, weight, bin FROM pack
+    """,
+)
+def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import packing
+
+    (documents,) = load(spark, sf_dir, "documents")
+    counts = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return packing.pack_next_fit(counts, budget=128)
