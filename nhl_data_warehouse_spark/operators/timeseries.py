@@ -1,0 +1,95 @@
+"""Time-series operators: date-spine gap filling, forward fill, and
+time-range rolling windows (the timescale/hypertable-style analytics
+the reference's Snowflake models would reach for with
+``generate_series`` — here as native Spark window/array plans).
+
+Scale notes: the spine is |keys| x |days| — keys come from a distinct
+aggregate and days from one in-memory ``sequence``; the grid join
+shuffles on (key, day) like any other equi-join and partitions by key
+for the windows, so nothing funnels through a single partition. The
+forward-fill uses the count-of-non-nulls "gaps and islands" grouping
+(portable to any engine, same shape the DuckDB oracles use) rather
+than engine-specific IGNORE NULLS.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    start: datetime.date | str,
+    end: datetime.date | str,
+    zero_fill: list[str] | None = None,
+    ffill: list[str] | None = None,
+) -> DataFrame:
+    """Densify a per-(key, day) aggregate onto a complete daily spine
+    from ``start`` to ``end`` inclusive: every key gets every day.
+    Missing days get 0 for ``zero_fill`` columns and the most recent
+    prior value (NULL before the first observation) for ``ffill``
+    columns; ``is_gap`` marks synthesized rows.
+    """
+    zero_fill = zero_fill or []
+    ffill = ffill or []
+    spine_days = daily.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(str(start)).cast("date"), F.lit(str(end)).cast("date")
+            )
+        ).alias(day_col)
+    )
+    keys = daily.select(key_col).distinct()
+    grid = keys.crossJoin(spine_days)
+    marked = daily.withColumn("__obs", F.lit(1))
+    out = grid.join(marked, on=[key_col, day_col], how="left")
+    # islands: rows up to and including each observation share a group
+    grp_w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = out.withColumn("__grp", F.count("__obs").over(grp_w))
+    fill_w = Window.partitionBy(key_col, "__grp")
+    cols = [F.col(key_col), F.col(day_col)]
+    cols += [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in zero_fill]
+    # within an island the single non-null value is the leader's
+    cols += [F.max(F.col(c)).over(fill_w).alias(f"{c}_ffill") for c in ffill]
+    cols.append((F.col("__obs").isNull()).cast("int").alias("is_gap"))
+    return out.select(*cols)
+
+
+def rolling_days(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Trailing ``days``-day rolling sum/count/avg of ``value_col``
+    per key — a RANGE window over epoch days, so gaps in the calendar
+    shorten the frame (true time-range semantics, not N-rows). The
+    average divides the exact windowed sum once, as double.
+    """
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_num)
+        .rangeBetween(-(days - 1), 0)
+    )
+    rsum = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
+    rcnt = F.count(F.col(value_col)).over(w)
+    return daily.select(
+        key_col,
+        day_col,
+        F.col(value_col),
+        rsum.alias(f"rolling_{days}d_sum"),
+        rcnt.alias(f"rolling_{days}d_n"),
+        (rsum.cast("double") / rcnt).alias(f"rolling_{days}d_avg"),
+    )

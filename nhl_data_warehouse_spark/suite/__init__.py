@@ -21,6 +21,7 @@ distributed aggregation and DuckDB's sequential one agree bit-for-bit):
 from nhl_data_warehouse_spark.suite.registry import REGISTRY, QuerySpec, register
 
 # importing the modules populates the registry
+from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import tpch  # noqa: E402,F401

@@ -1,0 +1,359 @@
+"""Analytics suite: time-series densification, product analytics
+(funnel/cohort), reshaping, layout keys, and exact sketches — the
+warehouse-analytics surface beyond the reference's dbt models
+(its Snowflake would reach these via generate_series / UNPIVOT /
+window SQL; here each is a native DataFrame plan with a DuckDB
+oracle).
+
+Determinism follows ``suite/__init__``: decimal-cast sums, one double
+division per ratio, integer day arithmetic, unique tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators import layout, sketches, timeseries
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "unpivot_monthly_metrics",
+    op_ids="§2.5 reshaping: UNPIVOT/melt (wide metrics -> long "
+    "(metric, value) rows; inverse of pivot)",
+    description="monthly order metrics unpivoted to long form — the "
+    "metric-catalog shape BI layers and feature stores consume",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total,
+                   COUNT(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month, 'n_orders' AS metric,
+               CAST(n_orders AS DECIMAL(18,2)) AS value FROM wide
+        UNION ALL
+        SELECT order_month, 'sum_total', CAST(sum_total AS DECIMAL(18,2))
+        FROM wide
+        UNION ALL
+        SELECT order_month, 'n_custs', CAST(n_custs AS DECIMAL(18,2))
+        FROM wide
+    """,
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    wide = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast(DEC).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("sum_total"),
+        F.count_distinct("o_custkey").cast(DEC).alias("n_custs"),
+    )
+    return wide.unpivot(
+        ["order_month"], ["n_orders", "sum_total", "n_custs"], "metric", "value"
+    )
+
+
+@register(
+    "gapfill_priority_revenue",
+    op_ids="beyond-reference time-series densification: date spine + "
+    "zero-fill + forward-fill (gaps-and-islands grouping)",
+    description="per-priority daily revenue for 1995Q1 on a complete "
+    "daily spine; missing days get 0 orders and the last observed "
+    "revenue (NULL before first observation), is_gap marks synthesized "
+    "rows",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                               DATE '1995-03-31',
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS order_day
+        ),
+        grid AS (
+            SELECT k.o_orderpriority, s.order_day
+            FROM (SELECT DISTINCT o_orderpriority FROM daily) k
+            CROSS JOIN spine s
+        ),
+        j AS (
+            SELECT g.o_orderpriority, g.order_day, d.n_orders, d.revenue,
+                   CASE WHEN d.n_orders IS NULL THEN 1 ELSE 0 END AS is_gap
+            FROM grid g LEFT JOIN daily d USING (o_orderpriority, order_day)
+        ),
+        grp AS (
+            SELECT *, COUNT(CASE WHEN is_gap = 0 THEN 1 END) OVER (
+                       PARTITION BY o_orderpriority ORDER BY order_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM j
+        )
+        SELECT o_orderpriority, order_day,
+               COALESCE(n_orders, 0) AS n_orders,
+               MAX(revenue) OVER (PARTITION BY o_orderpriority, g)
+                   AS revenue_ffill,
+               is_gap
+        FROM grp
+    """,
+)
+def gapfill_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        )
+    )
+    return timeseries.gap_fill(
+        daily,
+        key_col="o_orderpriority",
+        day_col="order_day",
+        start="1995-01-01",
+        end="1995-03-31",
+        zero_fill=["n_orders"],
+        ffill=["revenue"],
+    )
+
+
+@register(
+    "rolling_7d_revenue",
+    op_ids="§2.6 time-range window (RANGE BETWEEN over epoch days — "
+    "true trailing-7-days, not 7-rows)",
+    description="per-priority trailing 7-day revenue sum/count/avg "
+    "over 1995 daily aggregates; calendar gaps shorten the frame",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, order_day, revenue,
+               SUM(revenue) OVER w AS rolling_7d_sum,
+               COUNT(revenue) OVER w AS rolling_7d_n,
+               CAST(SUM(revenue) OVER w AS DOUBLE) / (COUNT(revenue) OVER w)
+                   AS rolling_7d_avg
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY date_diff('day', DATE '1970-01-01', order_day)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
+    )
+    return timeseries.rolling_days(
+        daily, "o_orderpriority", "order_day", "revenue", days=7
+    )
+
+
+@register(
+    "funnel_conversion",
+    op_ids="beyond-reference product analytics: ordered funnel "
+    "(view -> click -> purchase, each stage strictly after the prior)",
+    description="users completing each funnel stage in order: first "
+    "view, first click after that view, first purchase after that "
+    "click — three stage-joins over the events stream",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+               (SELECT COUNT(*) FROM c) AS n_click_users,
+               (SELECT COUNT(*) FROM p) AS n_purchase_users
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    events = events.select("user_id", "event_type", "ts").persist()
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
+@register(
+    "cohort_retention",
+    op_ids="beyond-reference product analytics: weekly cohort "
+    "retention matrix (first-seen week x activity-week offset)",
+    description="users bucketed by first-activity week; distinct "
+    "active users per (cohort week, weeks-since-cohort) — the "
+    "retention triangle",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               date_diff('day', f.cohort_week, a.active_week) // 7
+                   AS week_offset,
+               COUNT(*) AS n_active_users
+        FROM first_seen f JOIN activity a USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    events = events.select("user_id", "ts").persist()
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, on="user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "zorder_file_assignment",
+    op_ids="beyond-reference data layout: Z-order (Morton) interleave "
+    "key + range file assignment (multi-dim scan pruning)",
+    description="orders assigned to 32 Z-ordered files over "
+    "(custkey, order day) so file min/max stats prune on both "
+    "dimensions — the OPTIMIZE ZORDER idea as a deterministic sort key",
+    oracle=f"""
+        SELECT o_orderkey, x, y, z_key,
+               NTILE(32) OVER (ORDER BY z_key, o_orderkey) AS file_id
+        FROM (
+            SELECT o_orderkey,
+                   o_custkey & 65535 AS x,
+                   date_diff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) & 65535 AS y,
+                   {layout.z_value_sql('o_custkey & 65535',
+                                       "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535")}
+                       AS z_key
+            FROM orders
+        )
+    """,
+)
+def zorder_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    xy = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .bitwiseAND(F.lit(65535))
+        .alias("y"),
+    )
+    return layout.zorder_file_assignment(
+        xy, "x", "y", "o_orderkey", n_files=32, bits=16
+    )
+
+
+@register(
+    "countmin_token_freq",
+    op_ids="beyond-reference exact-deterministic count-min sketch "
+    "(depth 4 x width 256, md5-bucket hash family; estimate >= truth)",
+    description="CMS frequency estimates for every distinct document "
+    "token next to true counts — the mergeable heavy-hitter sketch "
+    "with engine-portable integer determinism",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ),
+        occ AS (
+            {" UNION ALL ".join(
+                f"SELECT term, {i} AS row_id, "
+                f"substring(md5('{salt}' || term), 1, 2) AS bucket FROM toks"
+                for i, salt in enumerate(sketches.CMS_SALTS)
+            )}
+        ),
+        counters AS (
+            SELECT row_id, bucket, COUNT(*) AS c FROM occ GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT term, row_id, bucket FROM occ),
+        truth AS (SELECT term, COUNT(*) AS true_count FROM toks GROUP BY 1)
+        SELECT t.term, t.true_count, MIN(c.c) AS cms_estimate
+        FROM truth t
+        JOIN probes p USING (term)
+        JOIN counters c USING (row_id, bucket)
+        GROUP BY 1, 2
+    """,
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term")
+    )
+    return sketches.countmin_estimates(toks, "term")
