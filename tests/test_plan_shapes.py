@@ -124,3 +124,46 @@ def test_whole_stage_codegen_covers_hot_path(spark, registry):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark operators fused into whole-stage codegen
     assert "*(" in plan, "hot aggregation path fell out of codegen"
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, registry):
+    # the benchmark gram set is the small side by construction (2% of
+    # docs); at 100TB it must broadcast — a sort-merge join here would
+    # shuffle every corpus gram
+    plan = plan_of(registry["ngram_contamination"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_spans_windows_are_bucket_partitioned(spark, registry):
+    # the two-level prefix sum: row-scale windows partition by bucket;
+    # the only global (unpartitioned) window runs over bucket TOTALS,
+    # which is ~n_rows/bucket_width rows. The row-scale window spec
+    # must carry the bucket key.
+    plan = plan_of(registry["sequence_token_spans"].fn(spark, SF))
+    assert "__bucket" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_countmin_counters_combine_map_side(spark, registry):
+    # CMS counters: partial aggregation collapses each partition to
+    # <=1024 cells before the exchange — the sketch merge property
+    plan = plan_of(registry["countmin_token_freq"].fn(spark, SF))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")
+
+
+def test_gapfill_spine_join_broadcasts(spark, registry):
+    # the daily aggregate (keys x observed days) is tiny next to the
+    # fact scan; the spine/grid machinery must never sort-merge
+    plan = plan_of(registry["gapfill_priority_revenue"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_topk_window_is_doc_partitioned(spark, registry):
+    # top-k terms is a per-doc window — partitioned, parallel; a
+    # global window here would funnel the corpus through one task
+    plan = plan_of(registry["tfidf_top_terms"].fn(spark, SF))
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(1)
