@@ -1,0 +1,87 @@
+"""Iterative graph algorithms on DataFrames.
+
+``connected_components`` (operators/dedup.py) covers the dedup-
+clustering case; this module adds weighted PageRank — the canonical
+"iterate a sparse matrix-vector product" shape. Each iteration is one
+join + one aggregate; ranks are a tiny per-node table that BROADCASTS
+into the edge join, so the edge list (the 100 TB side) never
+re-shuffles across iterations — pre-partition it once on ``src`` and
+every iteration's join is partition-local.
+
+Determinism under distributed summation: per-edge contributions are
+rounded to 12 dp and summed as DECIMAL (exact, order-free), and each
+iteration's rank is rounded to 6 dp — so 3 iterations on Spark equal
+3 unrolled CTEs on any other engine bit-for-bit (the suite oracle
+does exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, ``n_iter`` fixed iterations, simplified
+    dangling handling (dangling mass is dropped, the standard
+    tutorial formulation — ranks need not sum to 1). Returns
+    (node, rank) with rank = round((1-d)/N + d * sum_in, 6).
+    """
+    n_nodes = nodes.count()  # driver-side scalar: node table is tiny
+    base = round((1.0 - damping) / n_nodes, 12)
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("__out_w"))
+    # normalized transition weight; edges is the big side, compute once
+    trans = edges.join(out_w, on=src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        (F.col(weight).cast("double") / F.col("__out_w").cast("double")).alias(
+            "__p"
+        ),
+    )
+    trans = trans.localCheckpoint()  # pin: reused every iteration
+    init = round(1.0 / n_nodes, 6)
+    ranks = nodes.select(
+        F.col(node_col).alias("__node"),
+        F.lit(init).cast("decimal(12,6)").alias("rank"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            trans.join(
+                F.broadcast(ranks.withColumnRenamed("__node", "__src")),
+                on="__src",
+            )
+            .select(
+                "__dst",
+                F.round(F.col("rank").cast("double") * F.col("__p"), 12)
+                .cast("decimal(24,12)")
+                .alias("__c"),
+            )
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            ranks.join(
+                contrib.withColumnRenamed("__dst", "__node"), on="__node", how="left"
+            )
+            .select(
+                "__node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)),
+                    6,
+                )
+                .cast("decimal(12,6)")
+                .alias("rank"),
+            )
+        )
+    return ranks.select(F.col("__node").alias(node_col), "rank")

@@ -169,3 +169,48 @@ def proportional_rebalance(
         .filter((F.col("_rate") >= 1.0) | (bucket < threshold))
         .drop("_rate")
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    salt: str = "wsample",
+) -> F.Column:
+    """Efraimidis–Spirakis weighted-reservoir key: ``u^(1/w)`` with
+    ``u`` derived from a content hash instead of an RNG — the top-k
+    rows by this key are a weighted sample WITHOUT replacement, and
+    like every sampler here it is reproducible on any engine or
+    partitioning.
+
+    ``u = (hex6(md5(salt||key)) + 1) / 16^6`` is exact in (0, 1]
+    (integer numerator, one double division); the ``pow`` result is
+    rounded to 9 dp so a 1-ulp libm difference can't reorder the
+    top-k (same convention as the suite's ln()/cosine rounding);
+    downstream top-k must tie-break on the key columns.
+    """
+    h = F.md5(F.concat(F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    v = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+    u = (v + 1).cast("double") / F.lit(float(16**6))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return F.round(F.pow(u, F.lit(1.0) / w), 9).cast("decimal(12,9)")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows without replacement (A-ES):
+    heavier rows win proportionally more often. Plans as
+    TakeOrderedAndProject — per-partition heaps, a k-row driver-side
+    merge, no global sort; the key is a narrow per-row projection, so
+    the whole op is one pass over the data at any scale.
+    """
+    key = weighted_sample_keys(df, weight_col, key_cols, salt)
+    out = df.withColumn("sample_key", key)
+    return out.orderBy(
+        F.col("sample_key").desc(), *[F.col(c) for c in key_cols]
+    ).limit(k)

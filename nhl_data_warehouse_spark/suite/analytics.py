@@ -357,3 +357,79 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return sketches.countmin_estimates(toks, "term")
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    # unrolled iterations, mirroring operators/graph.py round-for-round
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+        c{i} AS (
+            SELECT t.dst AS node,
+                   SUM(CAST(round(CAST(r.pr AS DOUBLE) * t.p, 12)
+                            AS DECIMAL(24,12))) AS s
+            FROM trans t JOIN {prev} r ON t.src = r.node GROUP BY 1
+        ),
+        r{i} AS (
+            SELECT r.node,
+                   CAST(round(0.006 + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0),
+                              6) AS DECIMAL(12,6)) AS pr
+            FROM {prev} r LEFT JOIN c{i} c USING (node)
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH edges AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   COUNT(*) AS weight
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        outw AS (SELECT src, SUM(weight) AS w FROM edges GROUP BY src),
+        trans AS (
+            SELECT src, dst, CAST(weight AS DOUBLE) / CAST(w AS DOUBLE) AS p
+            FROM edges JOIN outw USING (src)
+        ),
+        r0 AS (
+            SELECT n_nationkey AS node, CAST(0.04 AS DECIMAL(12,6)) AS pr
+            FROM nation
+        ),{",".join(its)}
+        SELECT node, pr FROM {prev}
+    """
+
+
+@register(
+    "pagerank_trade_graph",
+    op_ids="beyond-reference iterative graph algorithm: weighted "
+    "PageRank (3 iterations, broadcast rank vector, decimal-exact "
+    "per-iteration rounding)",
+    description="nation-level trade graph (customer nation -> supplier "
+    "nation, lineitem-count weights); each iteration is one broadcast "
+    "join + aggregate, the edge list never re-shuffles",
+    oracle=_pagerank_oracle(3),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.graph import pagerank
+
+    nation, customer, supplier, orders, lineitem = load(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank(
+        nation.select(F.col("n_nationkey").alias("node")),
+        edges,
+        n_iter=3,
+    )
+    return ranks.withColumnRenamed("rank", "pr")

@@ -1311,3 +1311,45 @@ def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return packing.pack_next_fit(counts, budget=128)
+
+
+@register(
+    "weighted_sample_docs",
+    op_ids="beyond-reference weighted reservoir sampling "
+    "(Efraimidis-Spirakis u^(1/w) keys from content hashes — "
+    "deterministic weighted sample without replacement)",
+    description="top-20 documents by hash-derived A-ES key weighted by "
+    "n_chars: longer docs win proportionally more often, reproducibly "
+    "on any engine/partitioning; plans as TakeOrderedAndProject",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   md5('wsample' || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        ),
+        v AS (
+            SELECT doc_id, n_chars,
+                   (instr('0123456789abcdef', substring(hh, 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substring(hh, 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substring(hh, 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substring(hh, 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substring(hh, 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(hh, 6, 1)) - 1) AS vi
+            FROM h
+        )
+        SELECT doc_id, n_chars,
+               CAST(round(pow(CAST(vi + 1 AS DOUBLE) / CAST(16777216 AS DOUBLE),
+                              CAST(1 AS DOUBLE)
+                              / GREATEST(CAST(n_chars AS DOUBLE),
+                                         CAST(1 AS DOUBLE))), 9)
+                    AS DECIMAL(12,9)) AS sample_key
+        FROM v
+        ORDER BY sample_key DESC, doc_id
+        LIMIT 20
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import weighted_sample_topk
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        documents.select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        key_cols=["doc_id"],
+        k=20,
+    )

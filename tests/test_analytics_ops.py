@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nhl_data_warehouse_spark.operators.layout import z_value, zorder_file_assignment
@@ -113,3 +115,62 @@ class TestCountMin:
         # depth-4 x 256 buckets over 3 terms: no collision survives all
         # four rows, so the min recovers the exact count
         assert all(est == true for true, est in got.values())
+
+
+class TestPageRank:
+    def test_matches_python_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import pagerank
+
+        nodes = [1, 2, 3, 4]
+        edges = [(1, 2, 1), (1, 3, 3), (2, 3, 1), (3, 1, 1)]  # 4 dangles
+        ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+        edf = spark.createDataFrame(edges, "src long, dst long, weight long")
+        got = {r.node: float(r.rank) for r in pagerank(ndf, edf, n_iter=3).collect()}
+
+        # python reference with identical rounding discipline
+        out_w = {1: 4, 2: 1, 3: 1}
+        p = {(s, d): w / out_w[s] for s, d, w in edges}
+        r = {n: round(1 / 4, 6) for n in nodes}
+        for _ in range(3):
+            contrib = {n: 0.0 for n in nodes}
+            sums = {}
+            for (s, d), pv in p.items():
+                sums.setdefault(d, []).append(round(r[s] * pv, 12))
+            nxt = {}
+            for n in nodes:
+                s = sum(sums.get(n, []))  # decimal-exact in-engine; exact here too
+                nxt[n] = round(round((1 - 0.85) / 4, 12) + 0.85 * s, 6)
+            r = nxt
+        assert got == pytest.approx(r, abs=1e-9)
+        # dangling node keeps only the base mass
+        assert got[4] == pytest.approx(r[4]) and r[4] == round(0.0375 + 0.0, 6)
+
+    def test_rank_mass_concentrates_on_sink_heavy_nodes(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import pagerank
+
+        # star into node 9: everyone links to 9, 9 links back to 0
+        ndf = spark.createDataFrame([(n,) for n in range(10)], "node long")
+        edf = spark.createDataFrame(
+            [(s, 9, 1) for s in range(9)] + [(9, 0, 1)],
+            "src long, dst long, weight long",
+        )
+        got = {r.node: float(r.rank) for r in pagerank(ndf, edf).collect()}
+        assert got[9] == max(got.values())
+        assert got[9] > 5 * got[1]
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import weighted_sample_topk
+
+        rows = [(i, 1 if i < 900 else 1000) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = weighted_sample_topk(df, "w", ["doc_id"], k=50).collect()
+        b = weighted_sample_topk(df, "w", ["doc_id"], k=50).collect()
+        assert [r.doc_id for r in a] == [r.doc_id for r in b]  # reproducible
+        # 100 heavy rows (w=1000) vs 900 light (w=1): heavy dominate top-50
+        n_heavy = sum(1 for r in a if r.doc_id >= 900)
+        assert n_heavy >= 40
+        # different salt -> different (still deterministic) sample
+        c = weighted_sample_topk(df, "w", ["doc_id"], k=50, salt="other").collect()
+        assert [r.doc_id for r in a] != [r.doc_id for r in c]
