@@ -248,8 +248,16 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for near-dup verification.
+
+    ``metric="containment"`` instead scores |A∩B| / min(|A|, |B|) —
+    how completely the smaller doc's shingle set sits inside the
+    larger's. That is the substring/subset-dup signal (quote farms,
+    re-posts with boilerplate added) that Jaccard misses when sizes
+    differ: a doc fully contained in one 10x its size has Jaccard
+    <=0.1 but containment 1.0. Same joins, same cost.
 
     Joins docs through shared shingles (never all pairs): intersection
     size by counting shared shingles, union by |A|+|B|-|A∩B|.
@@ -295,18 +303,18 @@ def jaccard_pairs(
         )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b"))
+    assert metric in ("jaccard", "containment")
+    if metric == "jaccard":
+        score = F.col("n_common") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        ).cast("double")
+    else:
+        score = F.col("n_common") / F.least("n_a", "n_b").cast("double")
     return (
         inter.join(sa, on="a_id")
         .join(sb, on="b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", score.alias(metric))
+        .filter(F.col(metric) >= threshold)
     )
 
 

@@ -221,3 +221,43 @@ def ann_bucketed_topk(
         candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col,
         assume_normalized=False,
     )
+
+
+def vector_stats_pandas(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector stats (dim, L2 norm, max |component|) via a scalar
+    **Pandas UDF** — the Arrow-vectorized Python path. The engine's
+    hot relational code stays JVM-side, but embedding pipelines
+    routinely need numpy (normalization, quantization, PQ codebooks);
+    this operator is the template: one Arrow batch in, numpy math,
+    one Arrow batch out — per-row Python never runs.
+
+    Norms are rounded to 6 dp (numpy's pairwise summation and an
+    engine's sequential fold differ in the last ulp; the rounding
+    absorbs it — suite-wide convention).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no signature annotations — this module uses postponed
+    # annotation evaluation, which pandas_udf's inspector can't resolve
+    @pandas_udf("double")
+    def l2_norm(v):
+        return v.map(
+            lambda a: round(float(np.sqrt(np.sum(np.asarray(a, dtype=np.float64) ** 2))), 6)
+        )
+
+    @pandas_udf("double")
+    def max_abs(v):
+        return v.map(
+            lambda a: float(np.max(np.abs(np.asarray(a, dtype=np.float64))))
+        )
+
+    return df.select(
+        id_col,
+        F.size(vec_col).alias("dim"),
+        l2_norm(F.col(vec_col)).cast("decimal(12,6)").alias("l2_norm"),
+        max_abs(F.col(vec_col)).alias("max_abs_component"),
+    )

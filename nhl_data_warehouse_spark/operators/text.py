@@ -405,3 +405,39 @@ def unigram_logprob_score(
             ),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    repetitiveness axis of quality filtering: near-zero entropy is
+    keyword stuffing / boilerplate loops, high entropy is diverse
+    text. H = -sum p·ln p over within-doc term frequencies.
+
+    Two keyed aggregates (doc,term) -> doc; each p·ln p term is
+    rounded to 12 dp and summed as DECIMAL so the distributed sum is
+    order-free, then H rounds to 6 dp — the suite's libm-proofing
+    convention. Everything shuffles on ids/terms, never text.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_ws_tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+    )
+    p = F.col("tf").cast("double") / F.col("n_tokens").cast("double")
+    term_h = F.round(p * F.log(p), 12).cast("decimal(24,12)")
+    return (
+        tf.join(totals, on=id_col)
+        .groupBy(id_col, "n_tokens", "n_distinct_terms")
+        .agg(
+            F.round(-F.sum(term_h).cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("entropy_nats")
+        )
+        .select(id_col, "n_tokens", "n_distinct_terms", "entropy_nats")
+    )

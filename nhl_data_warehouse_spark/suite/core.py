@@ -533,3 +533,55 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — scans the big fact, joins the full dimension chain with
     broadcasts, aggregates exactly."""
     return regional_revenue(spark, sf_dir)
+
+
+@register(
+    "sql_api_top_nations",
+    op_ids="§2 SQL surface parity: the same engine via spark.sql over "
+    "registered views (CTE + window + join in one SQL string)",
+    description="per-region top-2 nations by revenue, written as pure "
+    "SQL against temp views — proof the full suite's semantics are "
+    "reachable through the SQL API, not just the DataFrame DSL",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region_name, nation_name, revenue, rk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY region_name
+                  ORDER BY revenue DESC, nation_name) AS rk
+              FROM rev)
+        WHERE rk <= 2
+    """,
+)
+def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation, region = load(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    orders.createOrReplaceTempView("v_sql_orders")
+    customer.createOrReplaceTempView("v_sql_customer")
+    nation.createOrReplaceTempView("v_sql_nation")
+    region.createOrReplaceTempView("v_sql_region")
+    return spark.sql("""
+        WITH rev AS (
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM v_sql_orders o
+            JOIN v_sql_customer c ON o.o_custkey = c.c_custkey
+            JOIN v_sql_nation n ON c.c_nationkey = n.n_nationkey
+            JOIN v_sql_region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region_name, nation_name, revenue, rk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY region_name
+                  ORDER BY revenue DESC, nation_name) AS rk
+              FROM rev)
+        WHERE rk <= 2
+    """)

@@ -1353,3 +1353,91 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["doc_id"],
         k=20,
     )
+
+
+@register(
+    "token_entropy_scores",
+    op_ids="beyond-reference quality metric: per-doc Shannon entropy "
+    "of the token distribution (repetitiveness filter)",
+    description="entropy in nats per document, decimal-summed "
+    "12dp-rounded p*ln(p) terms — near-zero = keyword stuffing, "
+    "high = diverse text",
+    oracle=f"""
+        WITH {_TOKS_CTE},
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        totals AS (
+            SELECT doc_id, SUM(tf) AS n_tokens,
+                   COUNT(*) AS n_distinct_terms
+            FROM tf GROUP BY 1
+        )
+        SELECT t.doc_id, n_tokens, n_distinct_terms,
+               CAST(round(-CAST(SUM(CAST(round(
+                   (CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                   * ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 12)
+                   AS DECIMAL(24,12))) AS DOUBLE), 6) AS DECIMAL(12,6))
+                   AS entropy_nats
+        FROM tf t JOIN totals USING (doc_id)
+        GROUP BY 1, 2, 3
+    """,
+)
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.token_entropy(documents)
+
+
+@register(
+    "containment_near_dups",
+    op_ids="beyond-reference subset/substring-dup detection: shingle "
+    "containment |A∩B| / min(|A|,|B|) (catches size-skewed dups "
+    "Jaccard misses)",
+    description="pairs where the smaller doc's shingles sit >=90% "
+    "inside the larger's — quote-farm / repost-with-boilerplate "
+    "signal; same freq-capped shared-shingle join as Jaccard",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        freq_ok AS (SELECT shingle FROM shingles GROUP BY shingle
+                    HAVING COUNT(*) <= 50),
+        sh AS (SELECT s.* FROM shingles s JOIN freq_ok USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_common / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    return dedup.jaccard_pairs(
+        sh, threshold=0.9, max_shingle_freq=50, metric="containment"
+    )
+
+
+@register(
+    "embedding_vector_stats",
+    op_ids="beyond-reference Arrow-vectorized Pandas UDF path: "
+    "per-vector numpy stats (dim, L2 norm, max |component|)",
+    description="the pandas_udf template every embedding pipeline "
+    "needs (normalize/quantize/codebook): Arrow batch in, numpy math, "
+    "Arrow batch out; norms 6dp-rounded per suite convention",
+    oracle="""
+        SELECT vec_id, len(embedding) AS dim,
+               CAST(round(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                    AS DECIMAL(12,6)) AS l2_norm,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS max_abs_component
+        FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.vector_stats_pandas(embeddings)

@@ -274,3 +274,40 @@ class TestMultimodal:
         r = out.filter(F.col("media_id") == 0).first()
         assert r.meta.mime == "text/plain;resized"
         assert len(r.payload) == len(BASE.encode()) // 2
+
+
+class TestContainmentAndEntropy:
+    def test_containment_catches_subset_that_jaccard_misses(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import char_shingles, jaccard_pairs
+
+        small = "the quick brown fox jumps over the lazy dog again"
+        big = small + " " + "filler words expand this document a lot " * 6
+        df = spark.createDataFrame(
+            [(1, small), (2, big)], "doc_id long, text string"
+        )
+        sh = char_shingles(df, k=12)
+        cont = jaccard_pairs(sh, threshold=0.9, metric="containment").collect()
+        assert len(cont) == 1 and cont[0].a_id == 1 and cont[0].b_id == 2
+        assert cont[0].containment >= 0.99
+        # plain jaccard at the same threshold sees nothing
+        assert jaccard_pairs(sh, threshold=0.9, metric="jaccard").count() == 0
+
+    def test_entropy_extremes(self, spark):
+        import math
+
+        from nhl_data_warehouse_spark.operators.text import token_entropy
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),          # zero entropy
+                (2, "a b c d"),                       # uniform: ln(4)
+                (3, "a a b"),                         # mixed
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in token_entropy(df).collect()}
+        assert float(got[1].entropy_nats) == 0.0
+        assert abs(float(got[2].entropy_nats) - math.log(4)) < 1e-6
+        assert got[3].n_tokens == 3 and got[3].n_distinct_terms == 2
+        expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+        assert abs(float(got[3].entropy_nats) - expected) < 1e-6
