@@ -206,31 +206,47 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stacked windows over ONE user partitioning: all three stage
+    # timestamps compute in a single shuffle of the (narrow) event
+    # projection — no self-joins. Each window reads the previous
+    # window's column; Catalyst stacks same-partitioning Window nodes
+    # without re-exchanging, and the final global count is a 1-row agg.
+    from pyspark.sql.window import Window
+
     (events,) = load(spark, sf_dir, "events")
-    events = events.select("user_id", "event_type", "ts").persist()
-    v = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    e = events.select("user_id", "event_type", "ts")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    c = (
-        events.filter(F.col("event_type") == "click")
-        .join(v, on="user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(c, on="user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view_users"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    per_user = e.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view_users"),
+        F.count("t2").alias("n_click_users"),
+        F.count("t3").alias("n_purchase_users"),
     )
 
 
