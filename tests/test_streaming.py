@@ -385,3 +385,59 @@ class TestSlidingWindows:
             for r in spark.sql("SELECT * FROM sliding").collect()
         }
         assert streamed == batch
+
+
+class TestJsonlogStreamSource:
+    """Spark 4 Python streaming DataSource: chunk offsets, parallel
+    partitions, exactly-once replay from the checkpoint."""
+
+    VSCHEMA = "event_id long, kind string"
+
+    def _run_to_parquet(self, spark, src, target, ckpt):
+        from nhl_data_warehouse_spark.sources.jsonlog_stream import parsed_stream
+
+        q = (
+            parsed_stream(spark, src, self.VSCHEMA)
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_exactly_once_across_restarts(self, spark, tmp_path):
+        src = tmp_path / "chunks"
+        src.mkdir()
+        target = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        (src / "chunk-000001.jsonl").write_text(
+            '{"event_id": 1, "kind": "a"}\n{"event_id": 2, "kind": "b"}\n'
+        )
+        self._run_to_parquet(spark, str(src), target, ckpt)
+        out = spark.read.parquet(target)
+        assert out.count() == 2
+        assert set(out.columns) == {"chunk_file", "line_no", "event_id", "kind"}
+
+        # two new chunks arrive; restart reads ONLY them
+        (src / "chunk-000002.jsonl").write_text('{"event_id": 3, "kind": "a"}\n')
+        (src / "chunk-000003.jsonl").write_text('{"event_id": 4, "kind": "c"}\n')
+        self._run_to_parquet(spark, str(src), target, ckpt)
+        out = spark.read.parquet(target)
+        assert out.count() == 4
+        assert {r.event_id for r in out.collect()} == {1, 2, 3, 4}
+
+        # replay with nothing new: no duplicates
+        self._run_to_parquet(spark, str(src), target, ckpt)
+        assert spark.read.parquet(target).count() == 4
+
+    def test_malformed_lines_become_null_columns(self, spark, tmp_path):
+        src = tmp_path / "chunks"
+        src.mkdir()
+        (src / "chunk-1.jsonl").write_text('not json at all\n{"event_id": 9, "kind": "z"}\n')
+        target = str(tmp_path / "out")
+        self._run_to_parquet(spark, str(src), target, str(tmp_path / "ckpt"))
+        rows = {r.line_no: r for r in spark.read.parquet(target).collect()}
+        assert rows[0].event_id is None  # unparseable -> nulls, not failure
+        assert rows[1].event_id == 9 and rows[1].kind == "z"

@@ -30,8 +30,10 @@ SECTION2 = {
         "design note — no separate op needed",
     ),
     "S5 file-arrival sensor": (
-        "streaming/file_ingest.py (file source + availableNow)",
-        "tests/test_streaming.py::TestStreamFileIngest",
+        "streaming/file_ingest.py (file source + availableNow); "
+        "sources/jsonlog_stream.py (custom Python streaming DataSource: "
+        "chunk offsets, parallel partitions, exactly-once)",
+        "tests/test_streaming.py::TestStreamFileIngest/TestJsonlogStreamSource",
     ),
     "S6 COPY INTO (CSV)": (
         "sources/csv_source.py:load_games_csv/load_team_stats_csv",
