@@ -449,3 +449,46 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=3,
     )
     return ranks.withColumnRenamed("rank", "pr")
+
+
+@register(
+    "incremental_agg_merge",
+    op_ids="beyond-reference incremental aggregate maintenance: "
+    "algebraic partial states (count/sum/sumsq/min/max) merged across "
+    "deltas == from-scratch recompute, decimal-exact",
+    description="lineitem split into history (<1997) and delta "
+    "(>=1997) halves, aggregated independently, states merged, "
+    "metrics derived — the O(delta) nightly pattern; oracle is the "
+    "direct single-pass aggregate",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2))
+                   AS sum_v,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             * CAST(l_quantity AS DECIMAL(12,2))
+                             AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sumsq_v,
+               MIN(l_quantity) AS min_v,
+               MAX(l_quantity) AS max_v,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_v,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             * CAST(l_quantity AS DECIMAL(12,2))
+                             AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                      / COUNT(*))
+                      * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         / COUNT(*)) AS var_v
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import incremental
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    history = lineitem.filter(F.col("l_shipdate") < "1997-01-01")
+    delta = lineitem.filter(F.col("l_shipdate") >= "1997-01-01")
+    s1 = incremental.algebraic_state(history, ["l_returnflag"], "l_quantity")
+    s2 = incremental.algebraic_state(delta, ["l_returnflag"], "l_quantity")
+    return incremental.finish(incremental.merge_states(s1, s2))

@@ -222,3 +222,33 @@ def test_asof_forward_matches_naive(spark, left, right):
         nxt = [(m2, v) for k2, m2, v in uniq if k2 == k and m2 >= m]
         expected = min(nxt)[1] if nxt else None
         assert got[i] == expected, (i, k, m)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1000)),
+        min_size=1,
+        max_size=20,
+    ),
+    split_at=st.integers(0, 20),
+)
+def test_incremental_merge_equals_direct_aggregate(spark, rows, split_at):
+    from nhl_data_warehouse_spark.operators.incremental import (
+        algebraic_state,
+        merge_states,
+    )
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    direct = {
+        r.k: (r.n, r.sum_v, r.sumsq_v, r.min_v, r.max_v)
+        for r in algebraic_state(df, ["k"], "v").collect()
+    }
+    a = spark.createDataFrame(rows[:split_at] or [], "k string, v long")
+    b = spark.createDataFrame(rows[split_at:] or [], "k string, v long")
+    parts = [algebraic_state(x, ["k"], "v") for x in (a, b) if not x.isEmpty()]
+    merged = {
+        r.k: (r.n, r.sum_v, r.sumsq_v, r.min_v, r.max_v)
+        for r in merge_states(*parts).collect()
+    }
+    assert merged == direct

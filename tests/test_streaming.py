@@ -441,3 +441,51 @@ class TestJsonlogStreamSource:
         rows = {r.line_no: r for r in spark.read.parquet(target).collect()}
         assert rows[0].event_id is None  # unparseable -> nulls, not failure
         assert rows[1].event_id == 9 and rows[1].kind == "z"
+
+
+class TestStreamingPipelineComposition:
+    """End-to-end: custom streaming source -> event-time tumbling
+    window -> foreachBatch merge into a keyed result table. Each piece
+    is tested alone elsewhere; this proves they compose, checkpoint
+    included."""
+
+    def test_jsonlog_to_windowed_counts(self, spark, tmp_path):
+        from nhl_data_warehouse_spark.sources.jsonlog_stream import parsed_stream
+
+        src = tmp_path / "chunks"
+        src.mkdir()
+        (src / "c1.jsonl").write_text(
+            '{"ts": "2024-01-01 10:01:00", "kind": "a"}\n'
+            '{"ts": "2024-01-01 10:05:00", "kind": "a"}\n'
+            '{"ts": "2024-01-01 11:02:00", "kind": "b"}\n'
+        )
+        collected: dict = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                collected[(str(r.window.start), r.kind)] = r.n
+
+        def run():
+            stream = parsed_stream(
+                spark, str(src), "ts timestamp, kind string"
+            )
+            q = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("window"), "kind")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert collected[("2024-01-01 10:00:00", "a")] == 2
+        assert collected[("2024-01-01 11:00:00", "b")] == 1
+
+        # a late-arriving chunk within watermark updates the window
+        (src / "c2.jsonl").write_text('{"ts": "2024-01-01 10:20:00", "kind": "a"}\n')
+        run()
+        assert collected[("2024-01-01 10:00:00", "a")] == 3
