@@ -252,3 +252,90 @@ def test_incremental_merge_equals_direct_aggregate(spark, rows, split_at):
         for r in merge_states(*parts).collect()
     }
     assert merged == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_tfidf_matches_naive(spark, docs):
+    import math
+
+    from nhl_data_warehouse_spark.operators.text import tfidf_top_terms
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df_docs, r.term_rank)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    n = len(docs)
+    dfreq: dict = {}
+    for toks in docs:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, toks in enumerate(docs):
+        scored = []
+        for t in set(toks):
+            tf = toks.count(t)
+            idf = round(math.log((n + 1) / (dfreq[t] + 1)), 6)
+            scored.append((-tf * idf, t, tf))
+        scored.sort()
+        for rank, (_, t, tf) in enumerate(scored[:2], start=1):
+            want[(i, t)] = (tf, dfreq[t], rank)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    terms=st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=30)
+)
+def test_countmin_never_underestimates_and_bounds_error(spark, terms):
+    from nhl_data_warehouse_spark.operators.sketches import countmin_estimates
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r.term: (r.true_count, r.cms_estimate) for r in
+           countmin_estimates(df).collect()}
+    assert set(got) == set(terms)
+    for t in set(terms):
+        true, est = got[t]
+        assert true == terms.count(t)
+        assert true <= est <= len(terms)  # CMS lower/upper bounds
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    obs=st.dictionaries(
+        st.integers(1, 9), st.integers(0, 50), min_size=0, max_size=5
+    )
+)
+def test_gap_fill_matches_naive(spark, obs):
+    import datetime
+
+    from nhl_data_warehouse_spark.operators.timeseries import gap_fill
+
+    base = datetime.date(2024, 3, 1)
+    rows = [("k", base + datetime.timedelta(days=d - 1), v) for d, v in obs.items()]
+    if not rows:
+        return  # spine needs at least one key; empty daily = no keys
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+    out = {
+        str(r.day): (r.v, r.v_ffill, r.is_gap)
+        for r in gap_fill(
+            df, "k", "day", "2024-03-01", "2024-03-09",
+            zero_fill=["v"], ffill=["v"],
+        ).collect()
+    }
+    last = None
+    for d in range(1, 10):
+        day = str(base + datetime.timedelta(days=d - 1))
+        if d in obs:
+            last = obs[d]
+            assert out[day] == (obs[d], obs[d], 0)
+        else:
+            assert out[day] == (0, last, 1)
