@@ -19,7 +19,7 @@ Two tiers, mirroring how ANN systems scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -260,4 +260,73 @@ def vector_stats_pandas(
         F.size(vec_col).alias("dim"),
         l2_norm(F.col(vec_col)).cast("decimal(12,6)").alias("l2_norm"),
         max_abs(F.col(vec_col)).alias("max_abs_component"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: the vector splits into ``m``
+    subvectors; each subspace has its own codebook (deterministic seed:
+    the first ``n_codes`` vectors' subvectors — swap trained codebooks
+    in unchanged) and each subvector is assigned its argmin-L2 code
+    (6dp-rounded distance, ties to the lower code id). Returns one row
+    per (vec, subspace): (id, subspace, code, dist).
+
+    This is the memory side of ANN at 100 TB: m codes of log2(k) bits
+    replace dim floats (here 64 floats -> 4 bytes), codebooks are a
+    broadcast constant, and encoding is a narrow scan projection —
+    no shuffle except the tiny argmin window keyed by (vec, subspace).
+    IVF (ivf_assign) prunes which vectors to score; PQ shrinks what
+    each scoring touches — together they are the standard IVFPQ index.
+    """
+    assert dim % m == 0
+    d_sub = dim // m
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subvec"),
+                )
+                for s in range(m)
+            ]
+        )
+    ).alias("sv")
+    vec_subs = embeddings.select(F.col(id_col), subs).select(
+        id_col, "sv.subspace", "sv.subvec"
+    )
+    code_subs = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code_id"), subs)
+        .select("code_id", "sv.subspace", F.col("sv.subvec").alias("codevec"))
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("subvec"),
+            F.col("codevec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = vec_subs.join(F.broadcast(code_subs), on="subspace").select(
+        id_col,
+        "subspace",
+        "code_id",
+        F.round(sqdist, 6).alias("dist"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("dist").asc(), F.col("code_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "subspace", F.col("code_id").alias("code"), "dist")
     )

@@ -1441,3 +1441,46 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return similarity.vector_stats_pandas(embeddings)
+
+
+@register(
+    "pq_codes",
+    op_ids="beyond-reference product quantization encode (4 subspaces "
+    "x 8 codes; argmin-L2, 6dp-rounded — the memory half of IVFPQ)",
+    description="each 64-float embedding compressed to 4 codebook "
+    "codes (16 floats per subspace, seed codebooks = first 8 vectors' "
+    "subvectors); one row per (vector, subspace) with the chosen code "
+    "and its squared distance",
+    oracle="""
+        WITH subs AS (
+            SELECT vec_id, s.subspace,
+                   list_slice(embedding, s.subspace * 16 + 1,
+                              s.subspace * 16 + 16) AS subvec
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 3)) AS subspace) s
+        ),
+        codes AS (
+            SELECT vec_id AS code_id, subspace, subvec AS codevec
+            FROM subs WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT vec_id, subspace, code_id,
+                   ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6)
+                       AS dist
+            FROM (SELECT v.vec_id, v.subspace, c.code_id,
+                         unnest(v.subvec) AS x, unnest(c.codevec) AS y
+                  FROM subs v JOIN codes c USING (subspace))
+            GROUP BY 1, 2, 3
+        )
+        SELECT vec_id, subspace, code_id AS code, dist
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, subspace
+                  ORDER BY dist ASC, code_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(embeddings, dim=64, m=4, n_codes=8)

@@ -70,3 +70,53 @@ def test_lsh_bucket_is_narrow_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+
+
+class TestPQEncode:
+    def test_codebook_vectors_encode_to_themselves(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import pq_encode
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pq_encode(df, dim=8, m=2, n_codes=4)
+        rows_out = out.collect()
+        # every vector gets exactly m rows
+        per_vec = {}
+        for r in rows_out:
+            per_vec.setdefault(r.vec_id, []).append(r)
+        assert all(len(v) == 2 for v in per_vec.values())
+        # a codebook seed vector is distance-0 from its own code
+        for r in rows_out:
+            if r.vec_id < 4:
+                assert r.code == r.vec_id and float(r.dist) == 0.0
+            else:
+                assert 0 <= r.code < 4 and float(r.dist) >= 0.0
+
+    def test_matches_naive_argmin(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import pq_encode
+
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r.vec_id, r.subspace): r.code
+            for r in pq_encode(df, dim=6, m=3, n_codes=4).collect()
+        }
+        import numpy as np
+
+        vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+        for i, _ in rows:
+            for s in range(3):
+                sub = vecs[i][s * 2 : s * 2 + 2]
+                dists = [
+                    (round(float(np.sum((sub - vecs[c][s * 2 : s * 2 + 2]) ** 2)), 6), c)
+                    for c in range(4)
+                ]
+                assert got[(i, s)] == min(dists)[1]
