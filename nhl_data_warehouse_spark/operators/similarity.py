@@ -330,3 +330,85 @@ def pq_encode(
         .filter(F.col("_rn") == 1)
         .select(id_col, "subspace", F.col("code_id").alias("code"), "dist")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    n_centroids: int = 8,
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ probe — the full standard ANN index: IVF prunes WHICH
+    vectors to score (only the query's cell), PQ codes shrink WHAT
+    scoring reads (codes, not raw floats), and the query is scored by
+    **asymmetric distance computation**: the exact query subvectors
+    against each subspace codebook give a (m x n_codes) lookup table,
+    so a candidate's distance is m table lookups + adds — no float
+    arrays are touched per candidate.
+
+    Determinism: each (subspace, code) partial distance is 6dp-rounded
+    and carried as DECIMAL, so the per-candidate sum of m partials is
+    exact and order-free. Returns (id, adc_dist) for the k closest
+    candidates (ascending distance, ties to lower id).
+
+    Scale: the code table is (rows x m) tiny ints partitioned by cell;
+    the ADC lookup table is a broadcast constant; the probe reads one
+    cell's partitions and shuffles only the k winners.
+    """
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.persist()  # query-cell lookup + candidate scan
+    qcell = assigned.filter(F.col(id_col) == query_id).select("cell_id")
+    cand_ids = assigned.join(F.broadcast(qcell), on="cell_id").select(id_col)
+    codes = pq_encode(embeddings, dim, m, n_codes, id_col, vec_col).select(
+        id_col, "subspace", "code"
+    )
+    d_sub = dim // m
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subvec"),
+                )
+                for s in range(m)
+            ]
+        )
+    ).alias("sv")
+    qsubs = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(subs)
+        .select("sv.subspace", F.col("sv.subvec").alias("qsub"))
+    )
+    cbook = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), subs)
+        .select("code", "sv.subspace", F.col("sv.subvec").alias("codevec"))
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("qsub"),
+            F.col("codevec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = qsubs.join(cbook, on="subspace").select(
+        "subspace",
+        "code",
+        F.round(sqdist, 6).cast("decimal(18,6)").alias("qd"),
+    )
+    return (
+        codes.join(cand_ids, on=id_col)
+        .join(F.broadcast(adc), on=["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1484,3 +1484,74 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return similarity.pq_encode(embeddings, dim=64, m=4, n_codes=8)
+
+
+@register(
+    "ivfpq_topk",
+    op_ids="beyond-reference IVFPQ probe: IVF cell pruning + PQ "
+    "asymmetric distance (broadcast ADC lookup table, decimal-exact "
+    "partial sums)",
+    description="top-10 neighbors of vec 0: candidates from its IVF "
+    "cell, scored as m=4 code-table lookups per candidate instead of "
+    "64-float math — the standard large-scale ANN index, end to end",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_CTE},
+        subs AS (
+            SELECT vec_id, s.subspace,
+                   list_slice(embedding, s.subspace * 16 + 1,
+                              s.subspace * 16 + 16) AS subvec
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 3)) AS subspace) s
+        ),
+        cbook AS (
+            SELECT vec_id AS code_id, subspace, subvec AS codevec
+            FROM subs WHERE vec_id < 8
+        ),
+        pqscored AS (
+            SELECT vec_id, subspace, code_id,
+                   ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6)
+                       AS dist
+            FROM (SELECT v.vec_id, v.subspace, c.code_id,
+                         unnest(v.subvec) AS x, unnest(c.codevec) AS y
+                  FROM subs v JOIN cbook c USING (subspace))
+            GROUP BY 1, 2, 3
+        ),
+        pqcodes AS (
+            SELECT vec_id, subspace, code_id AS code
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id, subspace
+                      ORDER BY dist ASC, code_id ASC) AS rn
+                  FROM pqscored)
+            WHERE rn = 1
+        ),
+        qdist AS (
+            SELECT c.subspace, c.code_id AS code,
+                   CAST(ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+                              6) AS DECIMAL(18,6)) AS qd
+            FROM (SELECT c.subspace, c.code_id,
+                         unnest(q.subvec) AS x, unnest(c.codevec) AS y
+                  FROM (SELECT * FROM subs WHERE vec_id = 0) q
+                  JOIN cbook c USING (subspace)) AS c(subspace, code_id, x, y)
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT a.vec_id FROM assign a
+            JOIN (SELECT cell_id FROM assign WHERE vec_id = 0) qc
+              ON a.cell_id = qc.cell_id
+        )
+        SELECT p.vec_id, SUM(qd) AS adc_dist
+        FROM pqcodes p
+        JOIN cand USING (vec_id)
+        JOIN qdist d ON d.subspace = p.subspace AND d.code = p.code
+        GROUP BY 1
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT 10
+    """,
+)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        embeddings, query_id=0, n_centroids=8, dim=64, m=4, n_codes=8, k=10
+    )

@@ -120,3 +120,18 @@ class TestPQEncode:
                     for c in range(4)
                 ]
                 assert got[(i, s)] == min(dists)[1]
+
+    def test_ivfpq_query_vector_ranks_first_at_zero(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import ivfpq_topk
+
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = ivfpq_topk(df, query_id=0, n_centroids=4, dim=8, m=2, n_codes=4, k=5).collect()
+        # vec 0 is a codebook seed: its codes reconstruct it exactly, so
+        # its asymmetric distance to itself is 0 and it ranks first
+        assert out[0].vec_id == 0 and float(out[0].adc_dist) == 0.0
+        dists = [float(r.adc_dist) for r in out]
+        assert dists == sorted(dists)
