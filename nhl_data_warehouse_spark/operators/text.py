@@ -441,3 +441,206 @@ def token_entropy(
         )
         .select(id_col, "n_tokens", "n_distinct_terms", "entropy_nats")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring of every document against a fixed query
+    term set — the ranking half of the search stack the inverted index
+    (``inverted_index``) builds storage for.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Robertson-Sparck
+    Jones form, always positive), rounded to 6 dp and carried as
+    DECIMAL; each term's contribution idf * tf(k1+1)/(tf + k1(1-b +
+    b·dl/avgdl)) is one fixed-association chain of IEEE double ops
+    rounded to 12 dp, summed as DECIMAL so the distributed sum is
+    order-free (suite libm-proofing convention).
+
+    Scale: tokens are filtered to the query terms BEFORE the (doc,
+    term) aggregate, so the shuffle carries only query-term hits —
+    O(matches), not O(corpus tokens). N/sum_dl is a 1-row broadcast;
+    per-term df is an aggregate of the already-tiny tf relation;
+    the final top-k is TakeOrderedAndProject (no global sort).
+    """
+    arr = _ws_tokens(text_col)
+    base = df.select(F.col(id_col), arr.alias("toks"))
+    base = base.persist()  # corpus stats + per-doc tf both read it
+    dl = base.select(id_col, F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_dl"),
+    )
+    toks = base.select(F.col(id_col), F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df_docs").cast("double")
+    idf = (
+        F.round(F.log(F.lit(1.0) + (n_d - df_d + 0.5) / (df_d + 0.5)), 6)
+        .cast("decimal(12,6)")
+        .alias("idf")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = F.round(
+        (F.col("idf").cast("double") * (tf_d * (k1 + 1.0)))
+        / (tf_d + k1 * ((1.0 - b) + (b * dl_d) / avgdl)),
+        12,
+    ).cast("decimal(24,12)")
+    idf_by_term = dfreq.join(F.broadcast(stats)).select("term", idf)
+    scored = (
+        tf.join(F.broadcast(idf_by_term), on="term")
+        .join(dl, on=id_col)
+        .join(F.broadcast(stats))
+        .select(F.col(id_col), F.col("dl"), contrib.alias("contrib"))
+    )
+    return (
+        scored.groupBy(id_col, "dl")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum("contrib").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _word_bigrams(text_col: str):
+    """Consecutive (not distinct) word bigrams as 'w1 w2' strings."""
+    arr = _ws_tokens(text_col)
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    corpus-wide word bigrams: PMI = ln(p(w1 w2) / (p(w1)·p(w2))) with
+    bigram probabilities over total bigram occurrences and unigram
+    probabilities over total token occurrences — the phrase-mining
+    pass a tokenizer-training pipeline runs to pick merge candidates.
+
+    The inner ratio is a fixed-association chain of IEEE double ops
+    (deterministic cross-engine); only ln is rounded (6 dp). Top-k by
+    PMI desc with (w1, w2) tiebreak is fully deterministic.
+
+    Scale: bigram counting is one map-side-combined aggregate; the
+    ``min_count`` filter shrinks the bigram relation to frequent
+    phrases BEFORE the unigram-count joins, and corpus totals ride a
+    1-row broadcast. Nothing shuffles raw text.
+    """
+    uni = df.select(F.explode(_ws_tokens(text_col)).alias("w"))
+    uni = uni.persist()  # total count + per-term counts
+    bi = df.select(F.explode(_word_bigrams(text_col)).alias("gram"))
+    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    c_bi = (
+        bi.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .select(
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+    )
+    totals = uni.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
+        df.select(F.explode(_word_bigrams(text_col)).alias("g")).agg(
+            F.count(F.lit(1)).alias("t_bi")
+        )
+    )
+    joined = (
+        c_bi.join(c_uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), on="w1")
+        .join(c_uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_w2"), on="w2")
+        .join(F.broadcast(totals))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("t_bi").cast("double")
+    p_a = F.col("c_w1").cast("double") / F.col("t_uni").cast("double")
+    p_b = F.col("c_w2").cast("double") / F.col("t_uni").cast("double")
+    pmi = F.round(F.log(p_ab / (p_a * p_b)), 6).cast("decimal(12,6)")
+    return (
+        joined.select("w1", "w2", "c_ab", "c_w1", "c_w2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics: the fraction
+    of word ``n``-grams that are duplicates of an earlier occurrence,
+    and the share of bigram slots taken by the single most frequent
+    bigram — the two strongest cheap signals for looped boilerplate
+    and keyword stuffing (Rae et al. 2021 repetition filters).
+
+    Fractions are one double division of exact integer counts
+    (deterministic cross-engine). Docs shorter than ``n`` tokens have
+    no n-gram slots and are excluded (nothing to measure).
+
+    Scale: both metrics are (doc, gram) map-side-combined aggregates
+    that shuffle hashed gram keys only; no all-pairs work, no text
+    movement, and the two per-doc summaries co-partition on the doc
+    id for the final join.
+    """
+    arr = _ws_tokens(text_col)
+    grams_n = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gn = df.select(F.col(id_col), F.explode(grams_n).alias("gram"))
+    ng = (
+        gn.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+    )
+    bg = df.select(F.col(id_col), F.explode(_word_bigrams(text_col)).alias("gram"))
+    nb = (
+        bg.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    dup_frac = (F.col("n_grams") - F.col("n_distinct_grams")).cast(
+        "double"
+    ) / F.col("n_grams").cast("double")
+    top_bi_frac = F.col("top_bigram_count").cast("double") / F.col(
+        "n_bigrams"
+    ).cast("double")
+    return ng.join(nb, on=id_col).select(
+        id_col,
+        "n_grams",
+        "n_distinct_grams",
+        dup_frac.alias("dup_ngram_frac"),
+        "n_bigrams",
+        "top_bigram_count",
+        top_bi_frac.alias("top_bigram_frac"),
+    )

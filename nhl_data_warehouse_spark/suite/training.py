@@ -1555,3 +1555,147 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         embeddings, query_id=0, n_centroids=8, dim=64, m=4, n_codes=8, k=10
     )
+
+
+_DOCS_ARR_CTE = """
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents
+    )
+"""
+
+_BM25_TERMS = ("spark", "join", "window", "sketch")
+
+
+@register(
+    "bm25_doc_ranking",
+    op_ids="beyond-reference BM25 retrieval scoring (RSJ idf, "
+    "length-normalized tf; the ranking half of the inverted-index "
+    "search stack)",
+    description="top-20 docs for a fixed 4-term query; idf 6dp-decimal, "
+    "per-term contributions 12dp-decimal-summed (order-free), score "
+    "6dp; tokens filtered to query terms before any shuffle",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        dl AS (SELECT doc_id, len(arr) AS dl FROM docs),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(len(arr)) AS sum_dl FROM docs),
+        toks AS (SELECT doc_id, unnest(arr) AS term FROM docs),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN {str(_BM25_TERMS)}
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT term,
+                   CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+                                        / (CAST(df_docs AS DOUBLE) + 0.5)), 6)
+                        AS DECIMAL(12,6)) AS idf
+            FROM (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1), stats
+        ),
+        contrib AS (
+            SELECT tf.doc_id, dl.dl,
+                   CAST(round((CAST(idf AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2))
+                              / (CAST(tf AS DOUBLE)
+                                 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+                              12) AS DECIMAL(24,12)) AS c
+            FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
+        )
+        SELECT doc_id, dl, COUNT(*) AS n_hit_terms,
+               CAST(round(CAST(SUM(c) AS DOUBLE), 6) AS DECIMAL(12,6)) AS bm25
+        FROM contrib
+        GROUP BY 1, 2
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.bm25_scores(documents, list(_BM25_TERMS), k=20)
+
+
+@register(
+    "pmi_collocations",
+    op_ids="beyond-reference PMI collocation mining (corpus-wide "
+    "bigram vs unigram pointwise mutual information — tokenizer "
+    "merge-candidate / phrase extraction)",
+    description="top-30 bigrams with count >= 5 by PMI (6dp, "
+    "(w1,w2) tiebreak); min-count filter shrinks the bigram relation "
+    "before the unigram joins; totals ride a 1-row broadcast",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        uni AS (SELECT unnest(arr) AS w FROM docs),
+        bi AS (
+            SELECT array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+        ),
+        c_uni AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM uni) AS t_uni,
+                   (SELECT COUNT(*) FROM bi) AS t_bi
+        ),
+        c_bi AS (
+            SELECT string_split(gram, ' ')[1] AS w1,
+                   string_split(gram, ' ')[2] AS w2,
+                   COUNT(*) AS c_ab
+            FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        )
+        SELECT w1, w2, c_ab, a.c_w AS c_w1, b.c_w AS c_w2,
+               CAST(round(ln((CAST(c_ab AS DOUBLE) / CAST(t_bi AS DOUBLE))
+                             / ((CAST(a.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE))
+                                * (CAST(b.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6)
+                    AS DECIMAL(12,6)) AS pmi
+        FROM c_bi
+        JOIN c_uni a ON a.w = w1
+        JOIN c_uni b ON b.w = w2
+        CROSS JOIN totals
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT 30
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.pmi_bigrams(documents, min_count=5, k=30)
+
+
+@register(
+    "repetition_signals",
+    op_ids="beyond-reference Gopher-style repetition filters "
+    "(duplicate word-5-gram fraction + most-frequent-bigram share "
+    "per document)",
+    description="within-doc repetition metrics for boilerplate/"
+    "keyword-stuffing removal; exact integer counts, fractions are "
+    "single double divisions; (doc,gram) map-side-combined aggs only",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        g5 AS (
+            SELECT doc_id, array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i)
+        ),
+        ng AS (
+            SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams
+            FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        bg AS (
+            SELECT doc_id, array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+        ),
+        nb AS (
+            SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+            FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_grams, n_distinct_grams,
+               CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS dup_ngram_frac,
+               n_bigrams, top_bigram_count,
+               CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                   AS top_bigram_frac
+        FROM ng JOIN nb USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.repetition_signals(documents, n=5)

@@ -311,3 +311,93 @@ class TestContainmentAndEntropy:
         assert got[3].n_tokens == 3 and got[3].n_distinct_terms == 2
         expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
         assert abs(float(got[3].entropy_nats) - expected) < 1e-6
+
+
+class TestBm25:
+    def test_ranking_and_length_normalization(self, spark):
+        from nhl_data_warehouse_spark.operators.text import bm25_scores
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark spark spark shuffle"),            # tf=3, short
+                (2, "spark " + "filler " * 40),              # tf=1, long
+                (3, "join window join"),                      # 2 distinct hits
+                (4, "nothing relevant here at all"),          # no hits
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_scores(df, ["spark", "join", "window"], k=10).collect()
+        got = {r.doc_id: r for r in out}
+        assert 4 not in got  # zero-hit docs never appear
+        assert got[1].n_hit_terms == 1 and got[3].n_hit_terms == 2
+        # higher tf + shorter doc beats single hit in a long doc
+        assert float(got[1].bm25) > float(got[2].bm25)
+        # all scores positive with RSJ idf
+        assert all(float(r.bm25) > 0 for r in out)
+        # output is sorted by score desc
+        scores = [float(r.bm25) for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_idf_downweights_ubiquitous_terms(self, spark):
+        from nhl_data_warehouse_spark.operators.text import bm25_scores
+
+        # "common" appears in every doc, "rare" in one; same tf/dl profile
+        rows = [(i, "common pad pad pad") for i in range(9)]
+        rows.append((9, "rare pad pad pad"))
+        rows.append((10, "common rare pad pad"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in bm25_scores(df, ["common", "rare"], k=20).collect()
+        }
+        # doc 10 has both terms; its score is dominated by "rare"
+        assert float(got[9].bm25) > float(got[0].bm25)
+        assert got[10].n_hit_terms == 2
+
+
+class TestPmiBigrams:
+    def test_glued_phrase_tops_independent_pair(self, spark):
+        from nhl_data_warehouse_spark.operators.text import pmi_bigrams
+
+        # "new york" always adjacent (perfect collocation); "the cat"
+        # co-occurs but both words also appear apart constantly.
+        doc = ("new york " * 1 + "the cat sat . the dog sat . cat the dog . ") * 6
+        df = spark.createDataFrame(
+            [(i, doc) for i in range(2)], "doc_id long, text string"
+        )
+        out = pmi_bigrams(df, min_count=5, k=50).collect()
+        by_pair = {(r.w1, r.w2): float(r.pmi) for r in out}
+        assert ("new", "york") in by_pair
+        assert by_pair[("new", "york")] == max(by_pair.values())
+        assert by_pair[("new", "york")] > by_pair[("the", "cat")]
+
+    def test_min_count_prunes(self, spark):
+        from nhl_data_warehouse_spark.operators.text import pmi_bigrams
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta " * 4 + "gamma delta " * 8)],
+            "doc_id long, text string",
+        )
+        pairs = {(r.w1, r.w2) for r in pmi_bigrams(df, min_count=6, k=50).collect()}
+        assert ("gamma", "delta") in pairs          # 8 occurrences pass
+        assert ("alpha", "beta") not in pairs        # 4 occurrences pruned
+
+
+class TestRepetitionSignals:
+    def test_exact_fractions(self, spark):
+        from nhl_data_warehouse_spark.operators.text import repetition_signals
+
+        rows = [
+            (1, "a b c d e " * 3),        # 15 tokens: 11 5-gram slots, 5 distinct
+            (2, "a b c d e f g h i j"),   # all unique: dup frac 0
+            (3, "x y"),                    # shorter than n: excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in repetition_signals(df, n=5).collect()}
+        assert 3 not in got
+        assert got[1].n_grams == 11 and got[1].n_distinct_grams == 5
+        assert abs(got[1].dup_ngram_frac - 6 / 11) < 1e-12
+        assert got[2].dup_ngram_frac == 0.0
+        # doc 1 bigrams: 14 slots, "a b" appears 3 times -> top share 3/14
+        assert got[1].n_bigrams == 14 and got[1].top_bigram_count == 3
+        assert abs(got[1].top_bigram_frac - 3 / 14) < 1e-12
