@@ -9,6 +9,7 @@ transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -48,8 +49,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         # queries persist reused intermediates (LSH bands, capped
-        # shingles); drop them so measurements stay independent
+        # shingles); drop them so measurements stay independent.
+        # localCheckpoint blocks (connected components, packing) are
+        # NOT catalog-cached — without the explicit unpersist below
+        # they accumulate across the 100+ queries and the resulting
+        # heap pressure inflates late-run timings several-fold.
         spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        del df
+        gc.collect()
     total = round(time.time() - t_total, 3)
 
     print(

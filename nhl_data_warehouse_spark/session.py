@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # Long-running-driver hygiene: the app status store retains
+        # up to 1000 SQL executions (full plan-description strings +
+        # per-node metrics) even with the UI off. Wide plans here (LSH
+        # explode chains, AQE re-plans) make those strings MB-sized, so
+        # an unbounded store degrades a driver that serves hundreds of
+        # queries per session. Keep only a short recent window.
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.worker.ui.retainedExecutors", "10")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if extra_conf:
