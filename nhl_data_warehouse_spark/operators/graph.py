@@ -85,3 +85,42 @@ def pagerank(
             )
         )
     return ranks.select(F.col("__node").alias(node_col), "rank")
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Bipartite co-occurrence projection (market-basket mining): count
+    how many groups contain each unordered item pair — the
+    recommendation / collocation shape (orders x parts here; documents
+    x entities, sessions x pages elsewhere).
+
+    Distinct (group, item) first, then a self-equi-join on the group
+    key with ``item_a < item_b`` so each pair counts once per group.
+    Scale: the join co-partitions both sides on the group key (one
+    shuffle each, and AQE handles residual skew); per-group output is
+    C(n_items, 2), so bounded basket sizes keep it linear in groups —
+    cap or sample oversized groups (``sampling.group_cap``) before
+    projecting when group size is unbounded.
+
+    ``top_k`` orders by (count desc, item_a, item_b) — a deterministic
+    total order, so the selected set is reproducible.
+    """
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    ).distinct()
+    pairs = items.join(
+        items.select(F.col("_g"), F.col("item_a").alias("item_b")),
+        on="_g",
+    ).filter(F.col("item_a") < F.col("item_b"))
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n_groups").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        ).limit(top_k)
+    return counts

@@ -412,3 +412,66 @@ def ivfpq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def kmeans_lloyd_step(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One synchronous Lloyd iteration — the building block every
+    iterative clustering loop (k-means, IVF centroid training, semantic
+    dedup) repeats: assign each vector to its nearest centroid
+    (squared-L2, 6dp-rounded, ties to the lower cell id), then
+    recompute each centroid as the element-wise mean of its members.
+    Seed centroids are the first ``n_centroids`` vectors by id (the
+    deterministic stand-in the IVF family also uses); a training loop
+    feeds the returned means back in unchanged.
+
+    Returns one row per (cell_id, dim): ``n_members`` and the 6dp
+    ``centroid_val``. Per-element values are rounded to 12dp and summed
+    as DECIMAL so the mean is order-free (the pagerank/zscore exact-sum
+    convention) — a re-run on any partitioning, or any other engine,
+    reproduces it bit-for-bit.
+
+    Scale: centroid set is k rows -> broadcast; assignment is a narrow
+    map over the (100 TB) vector side; recompute shuffles (cell, dim)
+    partial sums only — map-side combine makes the shuffle ~k*dim rows
+    per task, independent of input size.
+    """
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        F.round(sqdist, 6).alias("_d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell_id").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell_id", vec_col)
+    )
+    exploded = assigned.select(
+        "cell_id", F.posexplode(vec_col).alias("dim", "_x")
+    )
+    exact = F.round(F.col("_x").cast("double"), 12).cast("decimal(20,12)")
+    return exploded.groupBy("cell_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum(exact).cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(12,6)")
+        .alias("centroid_val"),
+    )

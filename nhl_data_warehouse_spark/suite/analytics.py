@@ -492,3 +492,68 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = incremental.algebraic_state(history, ["l_returnflag"], "l_quantity")
     s2 = incremental.algebraic_state(delta, ["l_returnflag"], "l_quantity")
     return incremental.finish(incremental.merge_states(s1, s2))
+
+
+@register(
+    "copurchase_pairs",
+    op_ids="beyond-reference co-occurrence mining (bipartite projection "
+    "self-join, the market-basket / entity-collocation shape)",
+    description="top-30 part pairs by number of orders containing both — "
+    "distinct (order, part), self-join on the order key with item_a < item_b",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               COUNT(*) AS n_groups
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_groups DESC, item_a ASC, item_b ASC
+        LIMIT 30
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return graph.cooccurrence_pairs(
+        lineitem, group_col="l_orderkey", item_col="l_partkey", top_k=30
+    )
+
+
+@register(
+    "equi_depth_bins",
+    op_ids="beyond-reference exact quantile binning (ntile; "
+    "approx_value_percentiles is the sketch twin at scale)",
+    description="8 equal-population order-price bins via a globally ordered "
+    "ntile with a deterministic (price, orderkey) tiebreak; per-bin count and "
+    "exact bounds",
+    oracle="""
+        WITH binned AS (
+            SELECT ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS bin,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT bin, COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM binned GROUP BY bin
+    """,
+)
+def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth binning is a global sort (single-partition window)
+    — correct as the small-data baseline and the oracle anchor; at 100 TB
+    use the sketch twin (approx_percentile cutpoints joined back as bin
+    edges), which this suite covers as approx_value_percentiles."""
+    from pyspark.sql.window import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -1699,3 +1699,47 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return text.repetition_signals(documents, n=5)
+
+
+@register(
+    "kmeans_lloyd_step",
+    op_ids="beyond-reference iterative clustering primitive (one Lloyd step: "
+    "broadcast assign + decimal-exact centroid recompute)",
+    description="assign vectors to nearest of 8 seed centroids (sq-L2, 6dp, "
+    "ties to lower cell) and recompute per-dim centroid means — the loop "
+    "body of k-means / IVF training / semantic dedup",
+    oracle="""
+        WITH cents AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+                       WHERE vec_id < 8),
+        dists AS (
+            SELECT vec_id, cell_id,
+                   ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6) AS d
+            FROM (SELECT e.vec_id, c.cell_id, unnest(e.embedding) AS x,
+                         unnest(c.cv) AS y
+                  FROM embeddings e, cents c)
+            GROUP BY vec_id, cell_id
+        ),
+        assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT vec_id, cell_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d ASC, cell_id ASC) AS rn
+                FROM dists) WHERE rn = 1
+        ),
+        members AS (
+            SELECT a.cell_id,
+                   generate_subscripts(e.embedding, 1) - 1 AS dim,
+                   unnest(e.embedding) AS x
+            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        )
+        SELECT cell_id, dim, COUNT(*) AS n_members,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 12)
+                                        AS DECIMAL(20,12))) AS DOUBLE)
+                          / COUNT(*), 6) AS DECIMAL(12,6)) AS centroid_val
+        FROM members GROUP BY cell_id, dim
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd_step(embeddings, n_centroids=8)

@@ -174,3 +174,48 @@ class TestWeightedSample:
         # different salt -> different (still deterministic) sample
         c = weighted_sample_topk(df, "w", ["doc_id"], k=50, salt="other").collect()
         assert [r.doc_id for r in a] != [r.doc_id for r in c]
+
+
+class TestCooccurrencePairs:
+    def test_counts_and_topk_order(self, spark):
+        from nhl_data_warehouse_spark.operators import graph
+
+        rows = [  # baskets: {A,B,C}, {A,B}, {A,B} (dup line), {B,C}, {D}
+            (1, "A"), (1, "B"), (1, "C"),
+            (2, "A"), (2, "B"),
+            (2, "A"),  # duplicate item in the same group counts once
+            (3, "B"), (3, "C"),
+            (4, "D"),
+        ]
+        df = spark.createDataFrame(rows, "g long, item string")
+        out = graph.cooccurrence_pairs(df, "g", "item", top_k=2).collect()
+        assert [(r.item_a, r.item_b, r.n_groups) for r in out] == [
+            ("A", "B", 2),
+            ("B", "C", 2),
+        ]
+        full = {
+            (r.item_a, r.item_b): r.n_groups
+            for r in graph.cooccurrence_pairs(df, "g", "item").collect()
+        }
+        assert full == {("A", "B"): 2, ("B", "C"): 2, ("A", "C"): 1}
+
+
+class TestEquiDepthBins:
+    def test_bins_partition_rows_evenly(self, spark):
+        from pyspark.sql.window import Window
+
+        df = spark.createDataFrame(
+            [(i, float(100 - i)) for i in range(10)], "k long, v double"
+        )
+        w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+        out = (
+            df.select("v", F.ntile(4).over(w).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .orderBy("bin")
+            .collect()
+        )
+        # 10 rows over 4 bins: 3,3,2,2 with contiguous non-overlapping bounds
+        assert [r.n for r in out] == [3, 3, 2, 2]
+        for a, b in zip(out, out[1:]):
+            assert a.hi < b.lo

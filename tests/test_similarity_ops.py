@@ -135,3 +135,41 @@ class TestPQEncode:
         assert out[0].vec_id == 0 and float(out[0].adc_dist) == 0.0
         dists = [float(r.adc_dist) for r in out]
         assert dists == sorted(dists)
+
+
+class TestKMeansLloydStep:
+    def test_means_match_python_reference(self, spark):
+        # centroids = vecs 0,1; vec 2 joins cell 0 (near-copy of 0),
+        # vec 3 joins cell 1 (farther from 0's cell? verify by hand
+        # below against a plain python Lloyd step)
+        out = similarity.kmeans_lloyd_step(_vecs(spark), n_centroids=2).collect()
+        rows = [(0, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+                (1, [0.0, 1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0]),
+                (2, [0.99, 0.01, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+                (3, [-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0])]
+        cents = {c: v for c, v in rows[:2]}
+
+        def sqd(a, b):
+            return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+        assign = {}
+        for vid, v in rows:
+            assign[vid] = min(cents, key=lambda c: (sqd(v, cents[c]), c))
+        expected = {}
+        for c in cents:
+            members = [v for vid, v in rows if assign[vid] == c]
+            for d in range(DIM):
+                expected[(c, d)] = (
+                    len(members),
+                    round(sum(m[d] for m in members) / len(members), 6),
+                )
+        got = {(r.cell_id, r.dim): (r.n_members, float(r.centroid_val)) for r in out}
+        assert got.keys() == expected.keys()
+        for k in expected:
+            assert got[k][0] == expected[k][0]
+            assert got[k][1] == pytest.approx(expected[k][1], abs=1e-6)
+
+    def test_rerun_bit_identical(self, spark):
+        a = sorted(map(tuple, similarity.kmeans_lloyd_step(_vecs(spark), 2).collect()))
+        b = sorted(map(tuple, similarity.kmeans_lloyd_step(_vecs(spark), 2).collect()))
+        assert a == b
