@@ -557,3 +557,133 @@ def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+_COSUPPLY_EDGES_SQL = """
+        shared AS (
+            SELECT s_a, s_b, COUNT(*) AS n_shared FROM (
+                SELECT p1.l_partkey, p1.l_suppkey AS s_a, p2.l_suppkey AS s_b
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p1
+                JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p2
+                  ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            ) GROUP BY s_a, s_b
+        ),
+        edges AS (
+            SELECT s_a AS a, s_b AS b FROM shared
+            WHERE CAST(n_shared AS DOUBLE) >
+                  1.1 * (SELECT CAST(SUM(n_shared) AS DOUBLE) / COUNT(*)
+                         FROM shared)
+        )
+"""
+
+
+@register(
+    "triangle_cosupply",
+    op_ids="beyond-reference distributed triangle counting (degree-ordered "
+    "orientation — Suri-Vassilvitskii wedge scheme, O(m^1.5) shuffle bound)",
+    description="suppliers co-supplying the same part above 1.1x the mean "
+    "shared-part count form an undirected graph; per-supplier triangle "
+    "participation counts — the clustering-coefficient / community-density "
+    "primitive",
+    oracle=f"""
+        WITH {_COSUPPLY_EDGES_SQL},
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+        )
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (SELECT x AS node FROM tri UNION ALL
+              SELECT y FROM tri UNION ALL
+              SELECT z FROM tri)
+        GROUP BY node
+    """,
+)
+def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.graph import triangle_counts
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    shared = (
+        ps.alias("p1")
+        .join(
+            ps.alias("p2"),
+            (F.col("p1.l_partkey") == F.col("p2.l_partkey"))
+            & (F.col("p1.l_suppkey") < F.col("p2.l_suppkey")),
+        )
+        .groupBy(
+            F.col("p1.l_suppkey").alias("a"), F.col("p2.l_suppkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    mean_shared = shared.agg(
+        (F.sum("n_shared").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    edges = (
+        shared.join(F.broadcast(mean_shared))
+        .filter(F.col("n_shared").cast("double") > 1.1 * F.col("m"))
+        .select("a", "b")
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "bfs_trade_hops",
+    op_ids="beyond-reference bounded multi-hop reachability (frontier BFS: "
+    "per-level broadcast join + anti-join, min-hop semantics)",
+    description="directed nation trade graph (customer nation -> supplier "
+    "nation, edges above 1.1x mean lineitem weight); minimum hop distance "
+    "from nation 0 within 4 hops",
+    oracle="""
+        WITH RECURSIVE w AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   COUNT(*) AS weight
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst FROM w
+            WHERE CAST(weight AS DOUBLE) >
+                  1.1 * (SELECT CAST(SUM(weight) AS DOUBLE) / COUNT(*) FROM w)
+        ),
+        reach(node, hop) AS (
+            SELECT CAST(0 AS INTEGER), 0
+            UNION
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.hop < 4
+        )
+        SELECT node, MIN(hop) AS hop FROM reach GROUP BY node
+    """,
+)
+def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.graph import bfs_hops
+
+    nation, customer, supplier, orders, lineitem = load(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    w = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    mean_w = w.agg(
+        (F.sum("weight").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    edges = (
+        w.join(F.broadcast(mean_w))
+        .filter(F.col("weight").cast("double") > 1.1 * F.col("m"))
+        .select("src", "dst")
+    )
+    seeds = nation.select(F.col("n_nationkey").alias("node")).filter(
+        F.col("node") == 0
+    )
+    return bfs_hops(edges, seeds, max_hops=4)

@@ -219,3 +219,51 @@ class TestEquiDepthBins:
         assert [r.n for r in out] == [3, 3, 2, 2]
         for a, b in zip(out, out[1:]):
             assert a.hi < b.lo
+
+
+class TestTriangleCounts:
+    def test_k4_and_star(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import triangle_counts
+
+        # K4: 4 triangles, each node in exactly 3
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(k4, "a long, b long")
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+        # star has no triangles
+        star = spark.createDataFrame([(0, i) for i in range(1, 5)], "a long, b long")
+        assert triangle_counts(star).count() == 0
+
+    def test_canonicalizes_dups_reverses_loops(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+            "a long, b long",
+        )
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestBfsHops:
+    def test_min_hop_on_diamond_path(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import bfs_hops
+
+        #   0 -> 1 -> 3 -> 4,  0 -> 2 -> 3 (two paths to 3), 5 isolated
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 0)],
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    def test_hop_bound_and_multi_seed(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import bfs_hops
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,), (4,)], "node long")
+        got = {r.node: r.hop for r in bfs_hops(chain, seeds, max_hops=2).collect()}
+        assert got == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}
