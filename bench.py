@@ -42,12 +42,19 @@ def main() -> None:
     spark.range(10).toPandas()  # spins up Arrow/Python workers
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_total = time.time()
     for name, spec in REGISTRY.items():
         t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Per-query fault isolation: one broken query must never cost
+        # the timings of the other ~120 (r1's bench died at query 30).
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            df = None
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
         # queries persist reused intermediates (LSH bands, capped
         # shingles); drop them so measurements stay independent.
         # localCheckpoint blocks (connected components, packing) are
@@ -61,17 +68,16 @@ def main() -> None:
         gc.collect()
     total = round(time.time() - t_total, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

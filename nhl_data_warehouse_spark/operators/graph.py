@@ -49,9 +49,12 @@ def pagerank(
     )
     trans = trans.localCheckpoint()  # pin: reused every iteration
     init = round(1.0 / n_nodes, 6)
+    # rank is carried as double (6dp-rounded each iteration): exactness
+    # lives in the per-edge DECIMAL partial sums below; a double final
+    # schema is what the driver's oracle comparison can hash (W1)
     ranks = nodes.select(
         F.col(node_col).alias("__node"),
-        F.lit(init).cast("decimal(12,6)").alias("rank"),
+        F.lit(init).cast("double").alias("rank"),
     )
     for _ in range(n_iter):
         contrib = (
@@ -79,9 +82,7 @@ def pagerank(
                     + F.lit(damping)
                     * F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)),
                     6,
-                )
-                .cast("decimal(12,6)")
-                .alias("rank"),
+                ).alias("rank"),
             )
         )
     return ranks.select(F.col("__node").alias(node_col), "rank")
@@ -105,6 +106,11 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Input may contain duplicates / both directions / self-loops; it is
     canonicalized first. Output: (node, n_triangles) for nodes in >= 1
     triangle.
+
+    Broadcast-size assumption: the degree table is |V|-sized and is
+    broadcast into both lookups — valid while |V| fits Spark's ~8 GB
+    broadcast ceiling (dimension-scale node sets). For billion-node
+    graphs remove the hints and let AQE choose shuffle joins.
     """
     e = (
         edges.select(
@@ -194,9 +200,16 @@ def bfs_hops(
     broadcast join. ``localCheckpoint`` pins each level's frontier to
     keep the loop's lineage flat. Early-exits when a frontier drains.
 
-    Returns (node, hop) with hop 0 for seeds.
+    Broadcast-size assumption: frontier/visited are |V|-sized tables;
+    this caps at Spark's broadcast ceiling (~8 GB), fine for graphs up
+    to low-billions of edges over dimension-scale node sets. Beyond
+    that, drop the explicit hints and let AQE pick shuffle joins.
+
+    Returns (node, hop) with hop 0 for seeds, named ``node_col``.
     """
-    visited = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("hop"))
+    visited = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("hop")
+    ).distinct()  # duplicate seed rows must not duplicate hop-0 output
     frontier = visited.localCheckpoint()
     for h in range(1, max_hops + 1):
         fr = F.broadcast(frontier.select(F.col("node").alias("_fn")))
@@ -211,7 +224,7 @@ def bfs_hops(
             break
         visited = visited.unionAll(nxt)
         frontier = nxt
-    return visited
+    return visited.select(F.col("node").alias(node_col), "hop")
 
 
 def cooccurrence_pairs(

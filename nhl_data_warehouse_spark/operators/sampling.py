@@ -193,7 +193,9 @@ def weighted_sample_keys(
     v = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
     u = (v + 1).cast("double") / F.lit(float(16**6))
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
-    return F.round(F.pow(u, F.lit(1.0) / w), 9).cast("decimal(12,9)")
+    # 9dp-rounded double (not DECIMAL): same value on both engines, and
+    # a double final schema is what the driver's comparison can hash
+    return F.round(F.pow(u, F.lit(1.0) / w), 9)
 
 
 def weighted_sample_topk(

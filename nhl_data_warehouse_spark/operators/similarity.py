@@ -19,7 +19,7 @@ Two tiers, mirroring how ANN systems scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -164,14 +164,22 @@ def ivf_assign(
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
         id_col, vec_col, "cell_id", cos.alias("_cos")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cell_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    # argmax via min_by over struct(-cos, cell_id): lexicographic struct
+    # ordering encodes the tie-break (lower cell id), and the groupBy
+    # gets map-side partial aggregation — shuffles one row per vector
+    # instead of sort-shuffling all n*k scored rows (a window argmin
+    # would). At 100 TB * k centroids that is the whole ballgame.
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell_id"), F.col(vec_col).alias("_v")),
+                F.struct(F.negate(F.col("_cos")), F.col("cell_id")),
+            ).alias("_best")
+        )
+        .select(id_col, F.col("_best._v").alias(vec_col), F.col("_best.cell_id"))
     )
+    return best.select(id_col, vec_col, "cell_id")
 
 
 def ivf_topk(
@@ -258,7 +266,9 @@ def vector_stats_pandas(
     return df.select(
         id_col,
         F.size(vec_col).alias("dim"),
-        l2_norm(F.col(vec_col)).cast("decimal(12,6)").alias("l2_norm"),
+        # double, not DECIMAL: the driver floats the oracle's decimals,
+        # so a Decimal in the final schema can never hash-match (W1)
+        l2_norm(F.col(vec_col)).alias("l2_norm"),
         max_abs(F.col(vec_col)).alias("max_abs_component"),
     )
 
@@ -322,13 +332,23 @@ def pq_encode(
         "code_id",
         F.round(sqdist, 6).alias("dist"),
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(
-        F.col("dist").asc(), F.col("code_id").asc()
-    )
+    # argmin via min_by over struct(dist, code_id) — partial agg, one
+    # shuffled row per (vec, subspace) instead of a window sort over
+    # the n_codes-wide scored set (see ivf_assign).
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "subspace", F.col("code_id").alias("code"), "dist")
+        scored.groupBy(id_col, "subspace")
+        .agg(
+            F.min_by(
+                F.struct(F.col("code_id"), F.col("dist")),
+                F.struct(F.col("dist"), F.col("code_id")),
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            "subspace",
+            F.col("_best.code_id").alias("code"),
+            F.col("_best.dist").alias("dist"),
+        )
     )
 
 
@@ -408,7 +428,9 @@ def ivfpq_topk(
         codes.join(cand_ids, on=id_col)
         .join(F.broadcast(adc), on=["subspace", "code"])
         .groupBy(id_col)
-        .agg(F.sum("qd").alias("adc_dist"))
+        # exact decimal sum internally; final projection is double (the
+        # driver floats oracle decimals, so DECIMAL outputs never match)
+        .agg(F.sum("qd").cast("double").alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -459,11 +481,17 @@ def kmeans_lloyd_step(
         "cell_id",
         F.round(sqdist, 6).alias("_d"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell_id").asc())
+    # argmin via min_by over struct(dist, cell_id) — partial agg, one
+    # shuffled row per vector instead of a window sort over n*k rows.
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("cell_id", vec_col)
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell_id"), F.col(vec_col).alias("_v")),
+                F.struct(F.col("_d"), F.col("cell_id")),
+            ).alias("_best")
+        )
+        .select(F.col("_best.cell_id").alias("cell_id"), F.col("_best._v").alias(vec_col))
     )
     exploded = assigned.select(
         "cell_id", F.posexplode(vec_col).alias("dim", "_x")
@@ -471,7 +499,7 @@ def kmeans_lloyd_step(
     exact = F.round(F.col("_x").cast("double"), 12).cast("decimal(20,12)")
     return exploded.groupBy("cell_id", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum(exact).cast("double") / F.count(F.lit(1)), 6)
-        .cast("decimal(12,6)")
-        .alias("centroid_val"),
+        F.round(F.sum(exact).cast("double") / F.count(F.lit(1)), 6).alias(
+            "centroid_val"
+        ),
     )

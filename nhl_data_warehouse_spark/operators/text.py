@@ -258,10 +258,19 @@ def tfidf_top_terms(
         .select(id_col, "term", "tf", "df_docs", (F.col("tf") * idf).alias("tfidf"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    # rank on the exact decimal; the final projection is double (the
+    # driver floats oracle decimals, so DECIMAL outputs never hash-match)
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
-        .select(id_col, "term", "tf", "df_docs", "tfidf", "term_rank")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_docs",
+            F.col("tfidf").cast("double").alias("tfidf"),
+            "term_rank",
+        )
     )
 
 
@@ -435,9 +444,7 @@ def token_entropy(
         tf.join(totals, on=id_col)
         .groupBy(id_col, "n_tokens", "n_distinct_terms")
         .agg(
-            F.round(-F.sum(term_h).cast("double"), 6)
-            .cast("decimal(12,6)")
-            .alias("entropy_nats")
+            F.round(-F.sum(term_h).cast("double"), 6).alias("entropy_nats")
         )
         .select(id_col, "n_tokens", "n_distinct_terms", "entropy_nats")
     )
@@ -508,9 +515,7 @@ def bm25_scores(
         scored.groupBy(id_col, "dl")
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
-            F.round(F.sum("contrib").cast("double"), 6)
-            .cast("decimal(12,6)")
-            .alias("bm25"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25"),
         )
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
@@ -578,7 +583,7 @@ def pmi_bigrams(
     p_ab = F.col("c_ab").cast("double") / F.col("t_bi").cast("double")
     p_a = F.col("c_w1").cast("double") / F.col("t_uni").cast("double")
     p_b = F.col("c_w2").cast("double") / F.col("t_uni").cast("double")
-    pmi = F.round(F.log(p_ab / (p_a * p_b)), 6).cast("decimal(12,6)")
+    pmi = F.round(F.log(p_ab / (p_a * p_b)), 6)
     return (
         joined.select("w1", "w2", "c_ab", "c_w1", "c_w2", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())

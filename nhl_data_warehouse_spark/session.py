@@ -91,9 +91,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    from nhl_data_warehouse_spark.suite.registry import normalize_timestamps
+
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = normalize_timestamps(df, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

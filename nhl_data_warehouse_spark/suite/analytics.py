@@ -35,12 +35,12 @@ DEC = "decimal(18,2)"
             FROM orders GROUP BY 1
         )
         SELECT order_month, 'n_orders' AS metric,
-               CAST(n_orders AS DECIMAL(18,2)) AS value FROM wide
+               CAST(n_orders AS DOUBLE) AS value FROM wide
         UNION ALL
-        SELECT order_month, 'sum_total', CAST(sum_total AS DECIMAL(18,2))
+        SELECT order_month, 'sum_total', CAST(sum_total AS DOUBLE)
         FROM wide
         UNION ALL
-        SELECT order_month, 'n_custs', CAST(n_custs AS DECIMAL(18,2))
+        SELECT order_month, 'n_custs', CAST(n_custs AS DOUBLE)
         FROM wide
     """,
 )
@@ -49,9 +49,9 @@ def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
     ).agg(
-        F.count(F.lit(1)).cast(DEC).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("sum_total"),
-        F.count_distinct("o_custkey").cast(DEC).alias("n_custs"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_total"),
+        F.count_distinct("o_custkey").cast("double").alias("n_custs"),
     )
     return wide.unpivot(
         ["order_month"], ["n_orders", "sum_total", "n_custs"], "metric", "value"
@@ -100,8 +100,8 @@ def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderpriority, order_day,
                COALESCE(n_orders, 0) AS n_orders,
-               MAX(revenue) OVER (PARTITION BY o_orderpriority, g)
-                   AS revenue_ffill,
+               CAST(MAX(revenue) OVER (PARTITION BY o_orderpriority, g)
+                    AS DOUBLE) AS revenue_ffill,
                is_gap
         FROM grp
     """,
@@ -122,7 +122,7 @@ def gapfill_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
         )
     )
-    return timeseries.gap_fill(
+    out = timeseries.gap_fill(
         daily,
         key_col="o_orderpriority",
         day_col="order_day",
@@ -131,6 +131,8 @@ def gapfill_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_fill=["n_orders"],
         ffill=["revenue"],
     )
+    # exact decimal fill internally; double final schema (driver W1)
+    return out.withColumn("revenue_ffill", F.col("revenue_ffill").cast("double"))
 
 
 @register(
@@ -148,8 +150,8 @@ def gapfill_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate < TIMESTAMP '1996-01-01'
             GROUP BY 1, 2
         )
-        SELECT o_orderpriority, order_day, revenue,
-               SUM(revenue) OVER w AS rolling_7d_sum,
+        SELECT o_orderpriority, order_day, CAST(revenue AS DOUBLE) AS revenue,
+               CAST(SUM(revenue) OVER w AS DOUBLE) AS rolling_7d_sum,
                COUNT(revenue) OVER w AS rolling_7d_n,
                CAST(SUM(revenue) OVER w AS DOUBLE) / (COUNT(revenue) OVER w)
                    AS rolling_7d_avg
@@ -173,8 +175,12 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
     )
-    return timeseries.rolling_days(
+    out = timeseries.rolling_days(
         daily, "o_orderpriority", "order_day", "revenue", days=7
+    )
+    # exact decimal window sums internally; double final schema (W1)
+    return out.withColumn("revenue", F.col("revenue").cast("double")).withColumn(
+        "rolling_7d_sum", F.col("rolling_7d_sum").cast("double")
     )
 
 
@@ -413,7 +419,7 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
             SELECT n_nationkey AS node, CAST(0.04 AS DECIMAL(12,6)) AS pr
             FROM nation
         ),{",".join(its)}
-        SELECT node, pr FROM {prev}
+        SELECT node, CAST(pr AS DOUBLE) AS pr FROM {prev}
     """
 
 
@@ -463,11 +469,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2))
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                    AS sum_v,
                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
                              * CAST(l_quantity AS DECIMAL(12,2))
-                             AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sumsq_v,
+                             AS DECIMAL(24,4))) AS DOUBLE) AS sumsq_v,
                MIN(l_quantity) AS min_v,
                MAX(l_quantity) AS max_v,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
@@ -491,7 +497,11 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = lineitem.filter(F.col("l_shipdate") >= "1997-01-01")
     s1 = incremental.algebraic_state(history, ["l_returnflag"], "l_quantity")
     s2 = incremental.algebraic_state(delta, ["l_returnflag"], "l_quantity")
-    return incremental.finish(incremental.merge_states(s1, s2))
+    out = incremental.finish(incremental.merge_states(s1, s2))
+    # exact decimal states internally; double final schema (driver W1)
+    return out.withColumn("sum_v", F.col("sum_v").cast("double")).withColumn(
+        "sumsq_v", F.col("sumsq_v").cast("double")
+    )
 
 
 @register(

@@ -33,9 +33,9 @@ DEC4 = "decimal(18,4)"
     description="TPC-H Q1-shaped grouped aggregation with exact decimal sums",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sum_disc_price,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -49,12 +49,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(DEC4)
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             (
                 F.sum(F.col("l_quantity").cast(DEC)).cast("double")
                 / F.count(F.lit(1))
@@ -73,7 +77,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRIM(REPLACE(l_returnflag, '"', '')) AS returnflag_clean,
                CAST(l_shipdate AS DATE) AS ship_date,
                CAST(l_quantity AS BIGINT) AS qty_long,
-               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(9,4)) AS gross_price
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 + l_tax AS DECIMAL(9,4)) AS DOUBLE) AS gross_price
         FROM lineitem
     """,
 )
@@ -90,7 +95,9 @@ def clean_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1) + F.col("l_tax")).cast(DEC4)
-        ).alias("gross_price"),
+        )
+        .cast("double")
+        .alias("gross_price"),
     )
 
 
@@ -119,7 +126,7 @@ def md5_lineage_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the team_statistics division-header cleaner on part.p_type)",
     oracle="""
         SELECT p_brand, COUNT(*) AS n_parts,
-               SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM (
             SELECT p_brand, p_retailprice,
                    CASE WHEN UPPER(p_type) LIKE '%PROMO%' THEN NULL ELSE p_type END AS type_clean
@@ -141,7 +148,7 @@ def case_nullout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast(DEC)).alias("sum_price"),
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("sum_price"),
         )
     )
 
@@ -152,7 +159,8 @@ def case_nullout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="JSON field extraction from a text column (VARIANT parity)",
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type
@@ -172,9 +180,9 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="single-pass null-count quality gate aggregate",
     oracle="""
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-               SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
-               SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source
         FROM documents
     """,
 )
@@ -199,7 +207,7 @@ def null_count_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="inner equi-join to a broadcast dimension (mart's games x team_stats)",
     oracle="""
         SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
@@ -211,7 +219,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -222,7 +230,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q5-shaped snowflake join: revenue by region, dims broadcast",
     oracle="""
         SELECT r.r_name AS region,
-               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS revenue,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_lineitems
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -246,7 +254,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(DEC4)
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -360,10 +370,11 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="per-customer running revenue ordered by order date",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_revenue
         FROM orders
     """,
 )
@@ -377,7 +388,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("running_revenue"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
     )
 
 
@@ -389,7 +403,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(r_name, 'ALL') AS region,
                COALESCE(n_name, 'ALL') AS nation,
                COUNT(*) AS n_customers,
-               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -405,7 +419,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_acctbal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -423,7 +437,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
                COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price
         FROM orders
@@ -438,7 +452,7 @@ def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
@@ -512,7 +526,8 @@ def range_join_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
             FROM flagged
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM numbered
         GROUP BY user_id, session_id
@@ -552,7 +567,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
         )
-        SELECT region_name, nation_name, revenue, rk
+        SELECT region_name, nation_name,
+               CAST(revenue AS DOUBLE) AS revenue, rk
         FROM (SELECT *, ROW_NUMBER() OVER (
                   PARTITION BY region_name
                   ORDER BY revenue DESC, nation_name) AS rk
@@ -578,7 +594,8 @@ def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN v_sql_region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
         )
-        SELECT region_name, nation_name, revenue, rk
+        SELECT region_name, nation_name,
+               CAST(revenue AS DOUBLE) AS revenue, rk
         FROM (SELECT *, ROW_NUMBER() OVER (
                   PARTITION BY region_name
                   ORDER BY revenue DESC, nation_name) AS rk

@@ -28,23 +28,34 @@ def register(name: str, *, oracle: str | None, op_ids: str, description: str):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Read the named driver parquet tables.
+def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
+    """Normalize driver-shaped timestamp encodings to plain TIMESTAMP.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
-    a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``);
-    normalize it to a microsecond timestamp — the same truncation
-    DuckDB applies when casting ns to its µs TIMESTAMP, so oracle
-    comparisons agree exactly.
+    Two parquet shapes occur in the wild:
+
+    - TIMESTAMP(NANOS), which Spark reads as a nanosecond long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` (``events.ts`` only);
+      truncate ns→µs exactly like DuckDB's cast to its µs TIMESTAMP.
+    - TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads
+      as TIMESTAMP_NTZ. The session timezone is pinned UTC, so casting
+      to TIMESTAMP is a pure re-tagging — no instant shift — and it
+      restores compatibility with ``unix_micros``/``window`` etc.
     """
     from pyspark.sql import functions as F
 
-    out = []
-    for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # integer `div`, NOT `/`: float division of ns-since-epoch
-            # longs exceeds double's 2^53 mantissa and loses microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        out.append(df)
-    return out
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT `/`: float division of ns-since-epoch
+        # longs exceeds double's 2^53 mantissa and loses microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Read the named driver parquet tables, timestamps normalized."""
+    return [
+        normalize_timestamps(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
+        for n in names
+    ]

@@ -50,7 +50,8 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey,
                COALESCE(s.n_orders, 0) AS n_orders,
-               COALESCE(s.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+               CAST(COALESCE(s.revenue, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM customer c
         LEFT JOIN (
             SELECT o_custkey, COUNT(*) AS n_orders,
@@ -70,7 +71,7 @@ def outer_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(per_cust, on="c_custkey", how="left").select(
         "c_custkey",
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("revenue", F.lit(0).cast(DEC)).alias("revenue"),
+        F.coalesce("revenue", F.lit(0).cast(DEC)).cast("double").alias("revenue"),
     )
 
 
@@ -139,7 +140,7 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUPING(o_orderstatus) AS g_status,
                GROUPING(o_orderpriority) AS g_priority,
                COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -150,7 +151,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("long").alias("g_status"),
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
     )
 
 
@@ -242,7 +243,7 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS count_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type
     """,
 )
@@ -258,7 +259,7 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value": F.sum(F.col("value").cast(DEC)),
         },
         n_salts=16,
-    )
+    ).withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 @register(
@@ -268,7 +269,8 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderpriority,
                COUNT(*) AS count_items,
-               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
@@ -285,7 +287,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("count_items"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
     )
 
 
@@ -296,7 +298,8 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
@@ -388,7 +391,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
                COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -404,7 +407,7 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT o_orderstatus, o_orderpriority,
                GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
                COUNT(*) AS n_orders,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -456,7 +459,7 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(floor(value / 10.0) AS BIGINT) AS bin,
                COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type, bin
     """,
@@ -470,7 +473,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -483,7 +488,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys are not known at schema time",
     oracle="""
         SELECT event_type, 'k' AS prop_key, COUNT(*) AS n,
-               SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS sum_value
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_value
         FROM events
         WHERE props->>'$.k' IS NOT NULL
         GROUP BY event_type
@@ -501,7 +507,9 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "prop_key")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("prop_value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("prop_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select("event_type", "prop_key", "n", "sum_value")
     )

@@ -58,7 +58,7 @@ REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS D
     description="top-10 unshipped BUILDING-segment orders by revenue",
     oracle=f"""
         SELECT l_orderkey,
-               SUM({REVENUE_SQL}) AS revenue,
+               CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -80,7 +80,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > "1997-03-15 00:00:00")
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -128,7 +128,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_ids="J1,J2,§2.5 (TPC-H Q5: 6-way star join, broadcast dims)",
     description="revenue from EUROPE orders where supplier and customer share a nation",
     oracle=f"""
-        SELECT n_name, SUM({REVENUE_SQL}) AS revenue
+        SELECT n_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -163,7 +163,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .join(europe_nations, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
 
 
@@ -172,8 +172,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     op_ids="§2.2,§2.5 (TPC-H Q6: selective scan + scalar agg; filters push to parquet)",
     description="revenue delta from discount-band lineitems in 1996",
     oracle="""
-        SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_discount AS DECIMAL(9,4))) AS revenue
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -191,9 +191,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC4)
-            ).alias("revenue")
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC4))
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -203,7 +203,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_ids="J1,J2,§2.5 (TPC-H Q7: nation-pair join with disjunctive pair predicate)",
     description="shipping volume between FRANCE/GERMANY stand-ins (nations 1 and 2) by year",
     oracle=f"""
-        SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -246,7 +247,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             _revenue().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(F.sum("volume").cast("double").alias("revenue"))
     )
 
 
@@ -318,7 +319,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_ids="J1,§2.5,§2.6 (TPC-H Q10: returned-revenue top-20 customers)",
     description="top-20 customers by revenue lost to returns in Q4-1996",
     oracle=f"""
-        SELECT c_custkey, c_name, SUM({REVENUE_SQL}) AS revenue, c_acctbal, n_name
+        SELECT c_custkey, c_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -342,7 +344,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -356,10 +358,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l_commitdate in schema; bands from datediff(shipdate, orderdate))",
     oracle="""
         SELECT delay_band,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM (
             SELECT o_orderpriority,
                    CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'LATE'
@@ -471,7 +473,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
         FROM supplier, revenue
         WHERE s_suppkey = supplier_no
           AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -493,7 +495,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
         .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
@@ -543,7 +549,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     description="top-100 orders whose total quantity exceeds 250, with customer",
     oracle="""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         FROM customer, orders, lineitem
         WHERE o_orderkey IN (
               SELECT l_orderkey FROM lineitem
@@ -568,7 +574,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -579,7 +585,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     op_ids="J1,§2.2 (TPC-H Q19: OR-of-ANDs join predicate, CNF-pushable)",
     description="revenue from three brand/size/quantity band combinations",
     oracle=f"""
-        SELECT SUM({REVENUE_SQL}) AS revenue
+        SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
         FROM lineitem, part
         WHERE p_partkey = l_partkey
           AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -608,7 +614,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
 
 
@@ -686,7 +692,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     "2000) per odd nation",
     oracle="""
         SELECT c_nationkey, COUNT(*) AS numcust,
-               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_nationkey IN (1, 3, 5, 7, 9)
           AND c_acctbal > (
@@ -719,7 +725,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
 
@@ -834,9 +840,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {PS_CTE}
         SELECT n_name AS nation,
                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-               SUM({REVENUE_SQL}
-                   - CAST(ps_supplycost AS DECIMAL(18,2))
-                     * CAST(l_quantity AS DECIMAL(18,2))) AS sum_profit
+               CAST(SUM({REVENUE_SQL}
+                        - CAST(ps_supplycost AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_profit
         FROM part, supplier, lineitem, partsupp, orders, nation
         WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
           AND ps_partkey = l_partkey AND p_partkey = l_partkey
@@ -872,7 +879,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit.alias("profit"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("profit").alias("sum_profit"))
+        .agg(F.sum("profit").cast("double").alias("sum_profit"))
     )
 
 
@@ -891,7 +898,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND n_name = 'NATION_7'
             GROUP BY ps_partkey
         )
-        SELECT ps_partkey, value_
+        SELECT ps_partkey, CAST(value_ AS DOUBLE) AS value_
         FROM n7
         WHERE CAST(value_ AS DOUBLE)
               > (SELECT CAST(SUM(value_) AS DOUBLE) * 0.0001 FROM n7)
@@ -917,7 +924,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n7.join(F.broadcast(total))
         .filter(F.col("value_").cast("double") > F.col("threshold"))
-        .select("ps_partkey", "value_")
+        .select("ps_partkey", F.col("value_").cast("double").alias("value_"))
     )
 
 

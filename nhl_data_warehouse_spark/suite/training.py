@@ -274,7 +274,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sums AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY 1, 2)
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM sums GROUP BY doc_id
     """,
 )
@@ -343,7 +344,8 @@ def _planes_sql_values(n_planes: int = 8, dim: int = 64) -> str:
                    SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
             FROM comps GROUP BY vec_id
         )
-        SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY bucket
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vectors
+        FROM buckets GROUP BY bucket
     """,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,7 +647,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT source, lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM deduped GROUP BY source, lang
     """,
 )
@@ -783,7 +785,7 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
 )
@@ -791,10 +793,12 @@ def event_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nhl_data_warehouse_spark.streaming.windows import windowed_event_counts
 
     (events,) = load(spark, sf_dir, "events")
-    return windowed_event_counts(
+    out = windowed_event_counts(
         events.withColumn("value", F.col("value").cast("decimal(18,2)")),
         window_duration="1 hour",
     )
+    # exact decimal sum inside; double in the final schema (driver W1)
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 # ---------------------------------------------------------------------------
@@ -1145,7 +1149,8 @@ _TOKS_CTE = """
                                 AS DECIMAL(12,6)) AS tfidf
             FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         )
-        SELECT doc_id, term, tf, df_docs, tfidf, term_rank
+        SELECT doc_id, term, tf, df_docs,
+               CAST(tfidf AS DOUBLE) AS tfidf, term_rank
         FROM (SELECT *, ROW_NUMBER() OVER (
                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
               FROM scored)
@@ -1207,7 +1212,7 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_TOKS_CTE},
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
-        SELECT term, COUNT(*) AS df_docs, SUM(tf) AS total_tf,
+        SELECT term, COUNT(*) AS df_docs, CAST(SUM(tf) AS BIGINT) AS total_tf,
                array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
                    AS postings
         FROM tf GROUP BY term
@@ -1241,11 +1246,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS start_offset
             FROM counts
         )
-        SELECT doc_id, source, n_tokens, start_offset,
-               start_offset // 512 AS first_block,
-               (start_offset + GREATEST(n_tokens, 1) - 1) // 512 AS last_block,
-               (start_offset + GREATEST(n_tokens, 1) - 1) // 512
-                   - start_offset // 512 + 1 AS n_blocks
+        SELECT doc_id, source, n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS first_block,
+               CAST((start_offset + GREATEST(n_tokens, 1) - 1) // 512 AS BIGINT)
+                   AS last_block,
+               CAST((start_offset + GREATEST(n_tokens, 1) - 1) // 512
+                    - start_offset // 512 + 1 AS BIGINT) AS n_blocks
         FROM cum
     """,
 )
@@ -1333,11 +1340,10 @@ def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM h
         )
         SELECT doc_id, n_chars,
-               CAST(round(pow(CAST(vi + 1 AS DOUBLE) / CAST(16777216 AS DOUBLE),
-                              CAST(1 AS DOUBLE)
-                              / GREATEST(CAST(n_chars AS DOUBLE),
-                                         CAST(1 AS DOUBLE))), 9)
-                    AS DECIMAL(12,9)) AS sample_key
+               round(pow(CAST(vi + 1 AS DOUBLE) / CAST(16777216 AS DOUBLE),
+                         CAST(1 AS DOUBLE)
+                         / GREATEST(CAST(n_chars AS DOUBLE),
+                                    CAST(1 AS DOUBLE))), 9) AS sample_key
         FROM v
         ORDER BY sample_key DESC, doc_id
         LIMIT 20
@@ -1366,15 +1372,15 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_TOKS_CTE},
         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         totals AS (
-            SELECT doc_id, SUM(tf) AS n_tokens,
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
                    COUNT(*) AS n_distinct_terms
             FROM tf GROUP BY 1
         )
         SELECT t.doc_id, n_tokens, n_distinct_terms,
-               CAST(round(-CAST(SUM(CAST(round(
+               round(-CAST(SUM(CAST(round(
                    (CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
                    * ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 12)
-                   AS DECIMAL(24,12))) AS DOUBLE), 6) AS DECIMAL(12,6))
+                   AS DECIMAL(24,12))) AS DOUBLE), 6)
                    AS entropy_nats
         FROM tf t JOIN totals USING (doc_id)
         GROUP BY 1, 2, 3
@@ -1430,9 +1436,9 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Arrow batch out; norms 6dp-rounded per suite convention",
     oracle="""
         SELECT vec_id, len(embedding) AS dim,
-               CAST(round(sqrt(list_sum(list_transform(embedding,
+               round(sqrt(list_sum(list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
-                    AS DECIMAL(12,6)) AS l2_norm,
+                   AS l2_norm,
                list_max(list_transform(embedding,
                         x -> abs(CAST(x AS DOUBLE)))) AS max_abs_component
         FROM embeddings
@@ -1541,7 +1547,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN (SELECT cell_id FROM assign WHERE vec_id = 0) qc
               ON a.cell_id = qc.cell_id
         )
-        SELECT p.vec_id, SUM(qd) AS adc_dist
+        SELECT p.vec_id, CAST(SUM(qd) AS DOUBLE) AS adc_dist
         FROM pqcodes p
         JOIN cand USING (vec_id)
         JOIN qdist d ON d.subspace = p.subspace AND d.code = p.code
@@ -1603,7 +1609,7 @@ _BM25_TERMS = ("spark", "join", "window", "sketch")
             FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
         )
         SELECT doc_id, dl, COUNT(*) AS n_hit_terms,
-               CAST(round(CAST(SUM(c) AS DOUBLE), 6) AS DECIMAL(12,6)) AS bm25
+               round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
         FROM contrib
         GROUP BY 1, 2
         ORDER BY bm25 DESC, doc_id ASC
@@ -1642,10 +1648,10 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
         )
         SELECT w1, w2, c_ab, a.c_w AS c_w1, b.c_w AS c_w2,
-               CAST(round(ln((CAST(c_ab AS DOUBLE) / CAST(t_bi AS DOUBLE))
-                             / ((CAST(a.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE))
-                                * (CAST(b.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6)
-                    AS DECIMAL(12,6)) AS pmi
+               round(ln((CAST(c_ab AS DOUBLE) / CAST(t_bi AS DOUBLE))
+                        / ((CAST(a.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE))
+                           * (CAST(b.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6)
+                   AS pmi
         FROM c_bi
         JOIN c_uni a ON a.w = w1
         JOIN c_uni b ON b.w = w2
@@ -1687,10 +1693,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
             GROUP BY 1
         )
-        SELECT doc_id, n_grams, n_distinct_grams,
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_distinct_grams,
                CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
                    AS dup_ngram_frac,
-               n_bigrams, top_bigram_count,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams, top_bigram_count,
                CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
                    AS top_bigram_frac
         FROM ng JOIN nb USING (doc_id)
@@ -1734,9 +1740,9 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
         )
         SELECT cell_id, dim, COUNT(*) AS n_members,
-               CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 12)
-                                        AS DECIMAL(20,12))) AS DOUBLE)
-                          / COUNT(*), 6) AS DECIMAL(12,6)) AS centroid_val
+               ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 12)
+                                   AS DECIMAL(20,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid_val
         FROM members GROUP BY cell_id, dim
     """,
 )

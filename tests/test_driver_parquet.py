@@ -1,0 +1,86 @@
+"""Queries against the REAL driver testdata parquet.
+
+Round-1 lesson (VERDICT W2): pytest stayed green while two operators
+hard-errored against the driver's parquet, because no test read the
+actual files — the fixtures were all synthetic DataFrames. These tests
+read ``/root/testdata/sf0.001`` through the same ``registry.load``
+path the driver exercises, so encoding drift in the testdata (ns
+longs vs TIMESTAMP_NTZ vs TIMESTAMP) breaks CI before it breaks the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"driver testdata not present at {SF_DIR}"
+)
+
+
+def test_load_normalizes_timestamp_ntz(spark):
+    from nhl_data_warehouse_spark.suite.registry import load
+
+    events, orders, lineitem = load(spark, SF_DIR, "events", "orders", "lineitem")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp"
+    assert dict(lineitem.dtypes)["l_shipdate"] == "timestamp"
+
+
+def test_range_join_pairs_runs_on_driver_parquet(spark):
+    """W2 regression: unix_micros over the driver-shaped ts column."""
+    from nhl_data_warehouse_spark.operators.rangejoin import range_join_pairs
+    from nhl_data_warehouse_spark.suite.registry import load
+
+    (events,) = load(spark, SF_DIR, "events")
+    out = range_join_pairs(events, key="user_id", gap_minutes=5)
+    assert out.columns == ["user_id", "a_id", "b_id", "gap_seconds"]
+    assert out.count() >= 0  # forces full execution
+
+
+def test_sessionize_runs_on_driver_parquet(spark):
+    from nhl_data_warehouse_spark.operators.sessions import sessionize_batch
+    from nhl_data_warehouse_spark.suite.registry import load
+
+    (events,) = load(spark, SF_DIR, "events")
+    out = sessionize_batch(events, gap_minutes=30)
+    rows = out.limit(5).collect()
+    assert {"user_id", "session_id", "n_events"} <= set(out.columns)
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_every_registered_query_builds_a_plan(spark):
+    """Analysis-time smoke over the full registry at sf0.001: building
+    the DataFrame catches schema/type errors (the class of failure the
+    driver hit) without paying full execution for all 122 queries."""
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    failures = {}
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+            df.schema  # forces analysis
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures
+
+
+def test_no_decimal_in_final_schemas(spark):
+    """W1 regression: the driver floats oracle DECIMAL/HUGEINT cells,
+    so any DecimalType column in a final query schema can never
+    hash-match. Keep decimals internal, double/bigint at the edge."""
+    from pyspark.sql.types import DecimalType
+
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_DIR)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

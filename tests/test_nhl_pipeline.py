@@ -281,6 +281,41 @@ class TestMergeUpsert:
         assert {r.unique_key: r.payload for r in spark.table("upsert_t").collect()} == out
         spark.sql("DROP TABLE upsert_t")
 
+    def test_partitioned_merge_leaves_untouched_partitions_alone(self, spark, tmp_path):
+        """A 1-partition update must not rewrite other partitions'
+        files (the 100 TB contract of merge_upsert_partitioned)."""
+        import glob
+
+        from nhl_data_warehouse_spark import write
+
+        path = str(tmp_path / "pmerge")
+        base = spark.createDataFrame(
+            [("k1", "old1", "d1"), ("k2", "old2", "d1"), ("k3", "old3", "d2")],
+            "unique_key string, payload string, ds string",
+        )
+        write.merge_upsert_partitioned(spark, base, path, "unique_key", ["ds"])
+        d2_before = sorted(glob.glob(f"{path}/ds=d2/*.parquet"))
+        assert d2_before
+
+        incoming = spark.createDataFrame(
+            [("k2", "NEW2", "d1"), ("k9", "new9", "d1")],
+            "unique_key string, payload string, ds string",
+        )
+        write.merge_upsert_partitioned(spark, incoming, path, "unique_key", ["ds"])
+
+        out = {
+            r.unique_key: (r.payload, r.ds)
+            for r in spark.read.parquet(path).collect()
+        }
+        assert out == {
+            "k1": ("old1", "d1"),
+            "k2": ("NEW2", "d1"),
+            "k3": ("old3", "d2"),
+            "k9": ("new9", "d1"),
+        }
+        # the untouched partition's file set is byte-identical
+        assert sorted(glob.glob(f"{path}/ds=d2/*.parquet")) == d2_before
+
 
 class TestRunnerQualityGates:
     def test_gate_fails_model_after_materialization(self, spark):

@@ -159,6 +159,17 @@ def test_gapfill_spine_join_broadcasts(spark, registry):
     assert "SortMergeJoin" not in plan
 
 
+def test_vector_argmin_uses_partial_min_by_not_window(spark, registry):
+    # ivf_assign / pq_encode / kmeans: nearest-centroid selection must
+    # be a min_by aggregation (map-side partial, one shuffled row per
+    # vector) — a row_number window would sort-shuffle all n*k scored
+    # rows, the difference between shuffling n and n*k at 100TB (W4)
+    for q in ("ann_ivf_cells", "pq_codes", "kmeans_lloyd_step"):
+        plan = plan_of(registry[q].fn(spark, SF))
+        assert "partial_min_by" in plan, q
+        assert "row_number" not in plan, q
+
+
 def test_tfidf_topk_window_is_doc_partitioned(spark, registry):
     # top-k terms is a per-doc window — partitioned, parallel; a
     # global window here would funnel the corpus through one task

@@ -25,12 +25,22 @@ TABLES = (
 ).split()
 
 
-def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
+def _norm(v, float_coerce: bool = False):
+    """Normalize a cell for cross-engine comparison.
+
+    Mirrors the external driver exactly (VERDICT r1 §W1): the driver
+    floats DuckDB DECIMAL/HUGEINT cells (``70282.6``) while Spark's
+    ``Decimal('70282.60')`` stringifies with its trailing zero — so a
+    Decimal reaching the final projection on either side is a
+    hash-mismatch even when values are identical. We therefore do NOT
+    smooth with ``Decimal.normalize()``: Spark cells stringify as-is,
+    DuckDB DECIMAL/HUGEINT cells (``float_coerce=True``) go through
+    ``float`` first. Local green ⇒ driver green.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, Decimal):
-        return str(v.normalize())
+    if float_coerce and isinstance(v, (Decimal, int)):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -40,16 +50,37 @@ def _norm(v):
     return str(v)
 
 
-def norm_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+def norm_rows(
+    columns: list[str], rows: list[tuple], coerce: set[str] | None = None
+) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return [tuple(_norm(r[i]) for i in order) for r in rows]
+    coerce = coerce or set()
+    return [
+        tuple(_norm(r[i], columns[i] in coerce) for i in order) for r in rows
+    ]
 
 
-def frame_signature(columns: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+def frame_signature(
+    columns: list[str], rows: list[tuple], coerce: set[str] | None = None
+) -> tuple[int, list[str], str]:
     cols_sorted = sorted(columns)
-    lines = sorted("\x1f".join(r) for r in norm_rows(columns, rows))
+    lines = sorted("\x1f".join(r) for r in norm_rows(columns, rows, coerce))
     digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     return len(rows), cols_sorted, digest
+
+
+RISKY_DUCK_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
+
+def risky_spark_cols(sdf) -> list[str]:
+    return [c for c, t in sdf.dtypes if t.startswith("decimal")]
+
+
+def risky_duck_cols(con, sql: str) -> tuple[list[str], set[str]]:
+    """(columns whose DuckDB type is DECIMAL/HUGEINT, and the coercion set)."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    risky = [c for c, t, *_ in desc if any(t.startswith(r) for r in RISKY_DUCK_TYPES)]
+    return risky, set(risky)
 
 
 def main() -> int:
@@ -78,15 +109,23 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, args.sf)
             s_cols = sdf.columns
+            s_risky = risky_spark_cols(sdf)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
             continue
+        if s_risky:
+            # driver-unsafe regardless of values — Spark Decimals keep
+            # their trailing zeros while the driver floats the oracle's
+            failures.append(name)
+            print(f"FAIL  {name}: spark output has DECIMAL columns {s_risky}")
+            continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
             continue
         try:
+            d_risky, coerce = risky_duck_cols(con, spec.oracle)
             rel = con.execute(spec.oracle)
             d_cols = [d[0] for d in rel.description]
             d_rows = rel.fetchall()
@@ -94,8 +133,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
             continue
+        if d_risky:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle output has DECIMAL/HUGEINT columns {d_risky}")
+            continue
         sn, sc, sh = frame_signature(s_cols, s_rows)
-        dn, dc, dh = frame_signature(d_cols, d_rows)
+        dn, dc, dh = frame_signature(d_cols, d_rows, coerce)
         status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
         dt = time.time() - t0
         print(f"{status:5s} {name}: spark {sn} rows, duckdb {dn} rows  [{dt:.1f}s]")
