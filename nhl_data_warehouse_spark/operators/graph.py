@@ -120,6 +120,7 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .filter(F.col("_a") < F.col("_b"))
         .distinct()
     )
+    e = e.persist()  # read 3x: two degree projections + the orient join
     deg = (
         e.select(F.col("_a").alias("_n"))
         .unionAll(e.select(F.col("_b").alias("_n")))
@@ -157,6 +158,9 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .select("_o.src", "_o.dst", "_o.dst_deg")
     )
+    # read 3x (wedge self-join both sides + closing-edge probe): pin it
+    # so canonicalize/degree/orient runs once, not three times
+    o = o.persist()
     o1, o2 = o.alias("o1"), o.alias("o2")
     lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
         (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
@@ -207,6 +211,10 @@ def bfs_hops(
 
     Returns (node, hop) with hop 0 for seeds, named ``node_col``.
     """
+    # pin the edge list: every level's join + isEmpty() is an action,
+    # and an unpinned edge DataFrame re-runs its whole derivation
+    # (often a multi-join aggregate) once per level
+    edges = edges.persist()
     visited = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).alias("hop")
     ).distinct()  # duplicate seed rows must not duplicate hop-0 output

@@ -559,6 +559,7 @@ def pmi_bigrams(
     uni = df.select(F.explode(_ws_tokens(text_col)).alias("w"))
     uni = uni.persist()  # total count + per-term counts
     bi = df.select(F.explode(_word_bigrams(text_col)).alias("gram"))
+    bi = bi.persist()  # per-gram counts + corpus total (one tokenize pass)
     c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
     c_bi = (
         bi.groupBy("gram")
@@ -571,9 +572,7 @@ def pmi_bigrams(
         )
     )
     totals = uni.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
-        df.select(F.explode(_word_bigrams(text_col)).alias("g")).agg(
-            F.count(F.lit(1)).alias("t_bi")
-        )
+        bi.agg(F.count(F.lit(1)).alias("t_bi"))
     )
     joined = (
         c_bi.join(c_uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1"), on="w1")
