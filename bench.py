@@ -39,6 +39,32 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # join/window/explode on the 2 tiny dims: JIT-compiles the shuffle,
+    # broadcast-join, and window machinery so the first real query
+    # isn't charged for it (registry order puts TPC-H Q3 first)
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "r_name", "row_number() over (order by n desc, r_name) as rk"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    (
+        nation.select(F.explode(F.split("n_name", "")).alias("c"))
+        .groupBy("c")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     spark.range(10).toPandas()  # spins up Arrow/Python workers
 
     timings: dict[str, float] = {}
