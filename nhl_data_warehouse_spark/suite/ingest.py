@@ -1,0 +1,371 @@
+"""Ingest-surface suite: driver-checkable queries for the §2 operators
+that live OUTSIDE the parquet tables — the scrape/REST extractors, the
+CSV/JSON COPY loads they feed, catalog context, and view
+materialization. Round 1 left these "pytest-only" (VERDICT coverage
+table); each query here runs the real ingest code on deterministic
+in-module fixtures (network-free injectable fetchers, per-call temp
+dirs) and returns a value-stable DataFrame the DuckDB oracle can
+hash-match.
+
+Determinism notes: audit timestamp columns (``updated_at``) are never
+selected; ``source_file`` is a fixed basename; ``unique_key`` md5s are
+precomputed in-module with hashlib over the exact landed bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+# ---------------------------------------------------------------------------
+# S1 + S6: HTML scrape -> CSV landing -> typed COPY load
+# ---------------------------------------------------------------------------
+
+_GAMES_HEADER = (
+    "game_date game_time visitor visitor_goals home home_goals "
+    "ot_so attendance length_of_game"
+).split()
+
+_GAMES_ROWS = [
+    ["2025-01-04", "19:00", "Colorado Avalanche", "3", "Dallas Stars", "4",
+     "OT", "18,532", "2:32"],
+    ["2025-01-05", "19:30", "Winnipeg Jets", "5", "Colorado Avalanche", "2",
+     "", "17,800", "2:28"],
+    ["2025-01-06", "", "Chicago Blackhawks", "", "Dallas Stars", "",
+     "", "0", ""],
+]
+
+_STANDINGS_ROWS = [
+    ["team", "gp"],
+    ["Winnipeg Jets", "82"],
+    ["Dallas Stars", "82"],
+]
+
+
+def _html_table(rows: list[list[str]], header: list[str] | None = None) -> str:
+    body = ""
+    if header is not None:
+        body += "<tr>" + "".join(f"<th>{c}</th>" for c in header) + "</tr>"
+    for r in rows:
+        body += "<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>"
+    return f"<html><body><table>{body}</table></body></html>"
+
+
+def _fake_page(url: str) -> str:
+    if "games" in url:
+        return _html_table(_GAMES_ROWS, header=_GAMES_HEADER)
+    return _html_table(_STANDINGS_ROWS[1:], header=_STANDINGS_ROWS[0])
+
+
+def _games_expected() -> list[dict]:
+    """Expected load_games_csv output rows, unique_key included —
+    md5(source_file || '|'-joined raw payload), with the thousands
+    separators already stripped at scrape time."""
+    fname = "nhl_2025_output_seasons.csv"
+    out = []
+    for r in _GAMES_ROWS:
+        raw = [c.replace(",", "") if c.replace(",", "").isdigit() else c for c in r]
+        payload = "|".join(raw)
+        out.append(
+            {
+                "source_file": fname,
+                "unique_key": hashlib.md5((fname + payload).encode()).hexdigest(),
+                "game_date": r[0],
+                "visitor": r[2],
+                "visitor_goals": int(r[3]) if r[3] else None,
+                "home": r[4],
+                "home_goals": int(r[5]) if r[5] else None,
+                "guests_in_attendance": int(r[7].replace(",", "")),
+                "length_of_game_minutes": (
+                    int(r[8].split(":")[0]) * 60 + int(r[8].split(":")[1])
+                    if r[8]
+                    else None
+                ),
+            }
+        )
+    return out
+
+
+def _values_sql(rows: list[dict], types: dict[str, str]) -> str:
+    """VALUES-table SQL for DuckDB from literal rows."""
+    cols = list(rows[0])
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "DATE":
+            return f"DATE '{v}'"
+        if t in ("BIGINT", "INTEGER"):
+            return f"CAST({v} AS {t})"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ", ".join(
+        "(" + ", ".join(lit(r[c], types[c]) for c in cols) + ")" for r in rows
+    )
+    collist = ", ".join(cols)
+    return f"SELECT * FROM (VALUES {values}) AS t({collist})"
+
+
+_GAMES_TYPES = {
+    "source_file": "VARCHAR",
+    "unique_key": "VARCHAR",
+    "game_date": "DATE",
+    "visitor": "VARCHAR",
+    "visitor_goals": "BIGINT",
+    "home": "VARCHAR",
+    "home_goals": "BIGINT",
+    "guests_in_attendance": "BIGINT",
+    "length_of_game_minutes": "INTEGER",
+}
+
+
+@register(
+    "scrape_ingest_roundtrip",
+    op_ids="S1,S3,S6,S8,P1-P5,P7 (HTML scrape -> CSV landing -> typed COPY "
+    "load, end to end on an injected fetcher)",
+    description="the reference's hockey-reference ingest path: parse the "
+    "first <table>, land CSV with thousands-separators stripped, COPY-load "
+    "with positional schema + permissive casts + md5 lineage keys",
+    oracle=_values_sql(_games_expected(), _GAMES_TYPES),
+)
+def scrape_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.sources.csv_source import load_games_csv
+    from nhl_data_warehouse_spark.sources.extract import scrape_season_tables
+
+    landing = tempfile.mkdtemp(prefix="suite_scrape_")
+    scrape_season_tables(2025, landing, fetch=_fake_page)
+    return load_games_csv(spark, f"{landing}/csv/seasons").select(
+        "source_file",
+        "unique_key",
+        "game_date",
+        "visitor",
+        "visitor_goals",
+        "home",
+        "home_goals",
+        "guests_in_attendance",
+        "length_of_game_minutes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 + S7 + P12 + P14: REST extract -> JSON landing -> VARIANT-style load
+# ---------------------------------------------------------------------------
+
+_SCHEDULE_PAYLOAD = {
+    "season": {"id": "s-2024-REG", "year": 2024, "type": "REG"},
+    "games": [
+        {
+            "id": "g-REG-001",
+            "home": {"alias": "DAL"},
+            "away": {"alias": "COL"},
+            "home_points": 4,
+            "away_points": 3,
+        },
+        {
+            "id": "g-REG-002",
+            "home": {"alias": "COL"},
+            "away": {"alias": "WPG"},
+            "home_points": 2,
+            "away_points": 5,
+        },
+    ],
+}
+
+_EMPTY_PAYLOAD = {"season": {"id": "s-2024-PST", "year": 2024, "type": "PST"}}
+
+_SCHEDULE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "season",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("year", T.LongType()),
+                    T.StructField("type", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "games",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField(
+                            "home",
+                            T.StructType([T.StructField("alias", T.StringType())]),
+                        ),
+                        T.StructField(
+                            "away",
+                            T.StructType([T.StructField("alias", T.StringType())]),
+                        ),
+                        T.StructField("home_points", T.LongType()),
+                        T.StructField("away_points", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _json_expected() -> list[dict]:
+    fname = "regular_season_t1.json"
+    doc = json.dumps(_SCHEDULE_PAYLOAD, indent=4)
+    key = hashlib.md5((fname + doc).encode()).hexdigest()
+    return [
+        {
+            "source_file": fname,
+            "unique_key": key,
+            "game_id": g["id"],
+            "home_alias": g["home"]["alias"],
+            "away_alias": g["away"]["alias"],
+            "home_points": g["home_points"],
+            "away_points": g["away_points"],
+        }
+        for g in _SCHEDULE_PAYLOAD["games"]
+    ]
+
+
+_JSON_TYPES = {
+    "source_file": "VARCHAR",
+    "unique_key": "VARCHAR",
+    "game_id": "VARCHAR",
+    "home_alias": "VARCHAR",
+    "away_alias": "VARCHAR",
+    "home_points": "BIGINT",
+    "away_points": "BIGINT",
+}
+
+
+@register(
+    "rest_json_ingest_roundtrip",
+    op_ids="S2,S3,S7,S8,P11,P12,P14 (REST extract with empty-payload guard "
+    "-> pretty-printed JSON landing -> whole-document load -> typed "
+    "projection + lateral explode)",
+    description="the reference's API ingest path: one schedule document "
+    "lands (the empty-payload one is guard-skipped and writes nothing), "
+    "loads as one VARIANT-style row, and explodes to per-game rows",
+    oracle=_values_sql(_json_expected(), _JSON_TYPES),
+)
+def rest_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.sources.extract import extract_api_endpoint
+    from nhl_data_warehouse_spark.sources.json_source import (
+        guard_has_games,
+        load_json_raw,
+    )
+
+    landing = tempfile.mkdtemp(prefix="suite_rest_")
+    landed = extract_api_endpoint(
+        "regular_season", landing, lambda ep: _SCHEDULE_PAYLOAD, date_tag="t1"
+    )
+    skipped = extract_api_endpoint(
+        "post_season", landing, lambda ep: _EMPTY_PAYLOAD, date_tag="t1"
+    )
+    assert landed is not None and skipped is None  # P14 guard fired
+    loaded = load_json_raw(
+        spark, f"{landing}/json/regular_season", _SCHEDULE_SCHEMA
+    )
+    return (
+        guard_has_games(loaded)
+        .select(
+            "source_file",
+            "unique_key",
+            F.explode("games").alias("g"),
+        )
+        .select(
+            "source_file",
+            "unique_key",
+            F.col("g.id").alias("game_id"),
+            F.col("g.home.alias").alias("home_alias"),
+            F.col("g.away.alias").alias("away_alias"),
+            F.col("g.home_points").alias("home_points"),
+            F.col("g.away_points").alias("away_points"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M3: view materialization reachable through SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "view_materialization_sql",
+    op_ids="M1,M3 (view materialization: dbt's default — register, then "
+    "query through the catalog name; Catalyst inlines the view so "
+    "predicates push through it)",
+    description="orders rollup materialized as a temp view and consumed "
+    "via spark.sql over the view name, proving the M1 surface end to end",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderstatus <> 'X'
+        GROUP BY o_orderpriority
+    """,
+)
+def view_materialization_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.write import as_view
+
+    (orders,) = load(spark, sf_dir, "orders")
+    as_view(orders, "v_m1_orders")
+    # the filter is written OVER the view; Catalyst inlines it so the
+    # predicate reaches the parquet scan (M1's performance contract)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM v_m1_orders
+        WHERE o_orderstatus <> 'X'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10/S11: parameterized catalog read under session context
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "catalog_context_read",
+    op_ids="S10,S11,M3 (ensure/use database + parameterized table read — "
+    "the reference's Snowflake session-context pattern)",
+    description="nation dimension written into a named database, then read "
+    "back via the catalog under USE-database context (idempotent overwrite)",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def catalog_context_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark import catalog
+    from nhl_data_warehouse_spark.write import overwrite_table
+
+    import shutil
+
+    (nation,) = load(spark, sf_dir, "nation")
+    catalog.ensure_database(spark, "nhl_suite_ctx")
+    # a stale location survives DROP when a prior session crashed (or a
+    # fresh metastore doesn't know the old table): clear both
+    spark.sql("DROP TABLE IF EXISTS nhl_suite_ctx.ctx_nation")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/nhl_suite_ctx.db/ctx_nation", ignore_errors=True)
+    overwrite_table(
+        nation.select("n_nationkey", "n_name"), "nhl_suite_ctx.ctx_nation"
+    )
+    catalog.use_database(spark, "nhl_suite_ctx")
+    try:
+        out = catalog.read_table(spark, "ctx_nation")
+    finally:
+        catalog.use_database(spark, "default")
+    return out

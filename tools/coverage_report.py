@@ -17,12 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SECTION2 = {
     "S1 HTML table scrape": (
         "sources/extract.py:scrape_season_tables (+stdlib first-table parser)",
-        "tests/test_extract.py",
+        "tests/test_extract.py; query scrape_ingest_roundtrip",
     ),
     "S2 REST JSON extract": (
         "sources/extract.py:extract_api_endpoint ('games' guard); "
         "sources/restjson_source.py (Spark 4 Python DataSource: executor-side parallel fetch)",
-        "tests/test_extract.py",
+        "tests/test_extract.py; query rest_json_ingest_roundtrip",
     ),
     "S3 CSV file sink": ("sources/extract.py (landing write); write.py", "tests/test_extract.py"),
     "S4 local->S3 transfer": (
@@ -51,8 +51,8 @@ SECTION2 = {
         "pathGlobFilter('*.csv'/'*.json') in both sources",
         "tests/test_nhl_pipeline.py",
     ),
-    "S10 parameterized table read": ("catalog.py:read_table", "tests/test_nhl_pipeline.py::TestCatalogContext"),
-    "S11 session context (USE db)": ("catalog.py:ensure_database/use_database", "tests/test_nhl_pipeline.py::TestCatalogContext"),
+    "S10 parameterized table read": ("catalog.py:read_table", "tests/test_nhl_pipeline.py::TestCatalogContext; query catalog_context_read"),
+    "S11 session context (USE db)": ("catalog.py:ensure_database/use_database", "tests/test_nhl_pipeline.py::TestCatalogContext; query catalog_context_read"),
     "P1 positional projection": ("schemas.py explicit StructTypes", "query clean_cast_project"),
     "P2 column skip ($7)": ("csv_source.py (ot_so_marker never selected)", "tests/test_nhl_pipeline.py"),
     "P3 permissive casts": ("functions/cleaning.py + try_cast", "queries clean_cast_project; tests (malformed rows)"),
@@ -66,7 +66,7 @@ SECTION2 = {
     "P11 JSON field extraction": ("struct access in staging.py:teams", "query json_extract"),
     "P12 JSON parse": ("json_source.py:from_json with schema", "query json_extract"),
     "P13 NOT NULL conjunctive filter": ("staging.py:team_statistics (na.drop)", "query case_nullout_filter"),
-    "P14 payload guard": ("json_source.py:guard_has_games; extract.py", "tests/test_extract.py"),
+    "P14 payload guard": ("json_source.py:guard_has_games; extract.py", "tests/test_extract.py; query rest_json_ingest_roundtrip"),
     "J1 inner equi-join (visitor)": ("operators/mart.py:seasonal_metrics_agg", "queries join_broadcast_dim, regional_revenue"),
     "J2 inner equi-join (home)": ("operators/mart.py:seasonal_metrics_agg", "same"),
     "J3 anti-join incremental dedup": ("write.py:incremental_insert (left_anti)", "query anti_join_incremental; idempotency tests"),
@@ -75,9 +75,9 @@ SECTION2 = {
     "U1 UNION distinct": ("mart.py + write.py:union_distinct", "query union_distinct_branches"),
     "A1 null-count quality gate": ("plans/quality.py:null_check", "query null_count_quality; drive tests"),
     "A2 seasonal aggregate (implied)": ("mart.py:seasonal_team_rollup", "queries pricing_summary, monthly_order_stats"),
-    "M1 view materialization": ("write.py:as_view; runner materializations", "tests/test_nhl_pipeline.py"),
+    "M1 view materialization": ("write.py:as_view; runner materializations", "tests/test_nhl_pipeline.py; query view_materialization_sql"),
     "M2 incremental delete+insert": ("write.py:incremental_insert", "rerun-appends-0 tests"),
-    "M3 table alias": ("write.py:saveAsTable names", "tests"),
+    "M3 table alias": ("write.py:saveAsTable names", "tests; queries catalog_context_read, view_materialization_sql"),
     "M4 append-only + load-once": ("sources/ledger.py + streaming checkpoint", "ledger replay + streaming restart tests"),
     "M5 retry/orchestration": ("plans/runner.py (topo order, retries)", "tests/test_nhl_pipeline.py"),
     "§2.6 windows/sort/limit": ("native (beyond-reference)", "queries window_rank_topn, window_running_sum, window_lag_gap"),
