@@ -1708,6 +1708,45 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_typo_pairs",
+    op_ids="beyond-reference fuzzy matching: blocked edit-distance "
+    "pairs (record-linkage blocking — prefix block + length band, "
+    "exact Levenshtein only on co-blocked candidates)",
+    description="categorical-value near-collisions across the brand and "
+    "source vocabularies (Brand#1 ~ Brand#13, src1 ~ src13): pairs "
+    "within 1 edit sharing a first character — the typo-clustering / "
+    "entity-resolution primitive, never all-pairs (block fan-out "
+    "bounds the join like LSH band width does)",
+    oracle="""
+        WITH vocab AS (
+            SELECT DISTINCT p_brand AS term FROM part
+            UNION
+            SELECT DISTINCT source FROM documents
+        )
+        SELECT a.term AS a, b.term AS b,
+               levenshtein(a.term, b.term) AS dist
+        FROM vocab a JOIN vocab b
+          ON substring(a.term, 1, 1) = substring(b.term, 1, 1)
+         AND a.term < b.term
+         AND abs(length(a.term) - length(b.term)) <= 1
+        WHERE levenshtein(a.term, b.term) <= 1
+    """,
+)
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.fuzzyjoin import (
+        blocked_edit_distance_pairs,
+    )
+
+    part, documents = load(spark, sf_dir, "part", "documents")
+    vocab = part.select(F.col("p_brand").alias("term")).unionByName(
+        documents.select(F.col("source").alias("term"))
+    )
+    return blocked_edit_distance_pairs(
+        vocab, "term", max_dist=1, prefix_len=1, length_band=1
+    )
+
+
+@register(
     "kmeans_lloyd_step",
     op_ids="beyond-reference iterative clustering primitive (one Lloyd step: "
     "broadcast assign + decimal-exact centroid recompute)",
