@@ -42,6 +42,7 @@ _PRIORITY = [
     "sessionize_events",
     "scrape_ingest_roundtrip",
     "rest_json_ingest_roundtrip",
+    "streaming_hourly_stats",
     "view_materialization_sql",
     "catalog_context_read",
 ]

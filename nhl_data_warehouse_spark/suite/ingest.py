@@ -335,6 +335,67 @@ def view_materialization_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.7: REAL streaming execution (microbatch run, not a batch twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_stats",
+    op_ids="S5,§2.7 streaming EXECUTION: Structured Streaming file source "
+    "-> watermarked tumbling window -> memory sink, availableNow "
+    "microbatches (the driver-checkable proof the streaming path runs, "
+    "not just its batch twin)",
+    description="event_hourly_stats computed by an actual streaming query: "
+    "the events parquet is consumed as a file-source stream, aggregated "
+    "through the same windowed_event_counts operator in streaming mode, "
+    "and drained with trigger(availableNow) — results must equal the "
+    "batch oracle exactly",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.windows import windowed_event_counts
+    from nhl_data_warehouse_spark.suite.registry import normalize_timestamps
+
+    # the file streaming source wants a directory; point a temp dir at
+    # the events parquet via symlink so nothing is copied
+    src_dir = tempfile.mkdtemp(prefix="suite_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ckpt = tempfile.mkdtemp(prefix="suite_stream_ckpt_")
+    name = "stream_hourly_" + os.path.basename(ckpt).split("_")[-1]
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    stream = normalize_timestamps(stream, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    agg = windowed_event_counts(stream, window_duration="1 hour", streaming=True)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # exact decimal sums inside the stream; double in the final schema
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S10/S11: parameterized catalog read under session context
 # ---------------------------------------------------------------------------
 

@@ -69,6 +69,31 @@ def test_every_registered_query_builds_a_plan(spark):
     assert not failures, failures
 
 
+def test_driver_window_composition():
+    """The external driver checks the first ~50 registered queries;
+    keep the round's priorities (round-1 hard-errors, ingest surface,
+    streaming execution, all of TPC-H, the dedup/ANN families) inside
+    that window — an accidental import reorder silently forfeits their
+    driver verdicts."""
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    assert window[0] == "range_join_pairs"
+    assert window[1] == "sessionize_events"
+    for must in (
+        "scrape_ingest_roundtrip",
+        "rest_json_ingest_roundtrip",
+        "streaming_hourly_stats",
+        "view_materialization_sql",
+        "catalog_context_read",
+        "lsh_verified_near_dups",
+        "near_dup_clusters",
+        "ann_ivf_topk",
+    ):
+        assert must in window, must
+    assert sum(1 for n in window if n.startswith("tpch_")) == 21
+
+
 def test_no_decimal_in_final_schemas(spark):
     """W1 regression: the driver floats oracle DECIMAL/HUGEINT cells,
     so any DecimalType column in a final query schema can never
