@@ -648,3 +648,45 @@ def repetition_signals(
         "top_bigram_count",
         top_bi_frac.alias("top_bigram_frac"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide adjacent symbol-pair frequencies — the inner loop of
+    BPE tokenizer training (Sennrich et al. 2016): each iteration picks
+    the most frequent adjacent pair and merges it. This operator is one
+    such counting pass over the base (character) vocabulary; a training
+    loop re-runs it on the re-segmented corpus after each merge.
+
+    Segmentation: whitespace words, each split into characters; pairs
+    never cross word boundaries (the standard end-of-word convention).
+    Top-k by (count desc, pair asc) — a deterministic total order.
+
+    Scale: words explode to (pair) rows and one map-side-combined
+    count aggregate shuffles only the pair vocabulary (bounded by
+    |alphabet|^2 on the first iteration, merge-vocab-sized later) —
+    the same aggregate shape a 100 TB corpus pass needs; top-k plans
+    as TakeOrderedAndProject.
+    """
+    words = df.select(F.explode(_ws_tokens(text_col)).alias("w"))
+    chars = F.split(F.col("w"), "")
+    pairs = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.concat_ws(" ", F.slice(chars, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )

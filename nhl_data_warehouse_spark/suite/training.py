@@ -1708,6 +1708,38 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_merge_candidates",
+    op_ids="beyond-reference tokenizer training primitive: BPE merge-pair "
+    "counting (adjacent symbol-pair frequencies within words, the inner "
+    "loop of Sennrich-style BPE training)",
+    description="top-50 adjacent character pairs by corpus frequency "
+    "(count >= 2, pairs never cross word boundaries; count desc / pair "
+    "asc total order) — one counting pass of a BPE training loop",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT substring(w, i, 1) || ' ' || substring(w, i + 1, 1) AS pair
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+            WHERE length(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS pair_count
+        FROM pairs GROUP BY pair
+        HAVING COUNT(*) >= 2
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(documents, k=50, min_count=2)
+
+
+@register(
     "vocab_typo_pairs",
     op_ids="beyond-reference fuzzy matching: blocked edit-distance "
     "pairs (record-linkage blocking — prefix block + length band, "

@@ -401,3 +401,25 @@ class TestRepetitionSignals:
         # doc 1 bigrams: 14 slots, "a b" appears 3 times -> top share 3/14
         assert got[1].n_bigrams == 14 and got[1].top_bigram_count == 3
         assert abs(got[1].top_bigram_frac - 3 / 14) < 1e-12
+
+
+class TestBpeMergeCandidates:
+    def test_pair_counts_within_words(self, spark):
+        from nhl_data_warehouse_spark.operators.text import bpe_merge_candidates
+
+        df = spark.createDataFrame(
+            [(1, "aab aab"), (2, "ba x")], "doc_id long, text string"
+        )
+        got = {r.pair: r.pair_count for r in
+               bpe_merge_candidates(df, min_count=1, k=10).collect()}
+        # "aab" twice -> 'a a' x2, 'a b' x2; "ba" -> 'b a'; "x" has no
+        # pair (single char); pairs never cross word boundaries
+        assert got == {"a a": 2, "a b": 2, "b a": 1}
+
+    def test_min_count_and_topk_order(self, spark):
+        from nhl_data_warehouse_spark.operators.text import bpe_merge_candidates
+
+        df = spark.createDataFrame([(1, "aab aab ba")], "doc_id long, text string")
+        rows = bpe_merge_candidates(df, min_count=2, k=1).collect()
+        # ties on count=2 break on pair asc -> 'a a' wins the k=1 cut
+        assert [(r.pair, r.pair_count) for r in rows] == [("a a", 2)]
