@@ -134,3 +134,59 @@ def pack_next_fit(
     return narrow.groupBy("group_key").applyInPandas(
         pack, "group_key string, item_id long, weight long, bin long"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-context
+    preprocessing shape: each document becomes ceil((n - overlap) /
+    stride) windows of ``chunk_size`` tokens with ``overlap`` tokens
+    shared between neighbors, so no boundary-spanning fact is lost to
+    a hard cut. Returns (id, chunk_index, start_token, n_chunk_tokens,
+    chunk_text).
+
+    Pure array expressions (split -> sequence of stride starts ->
+    slice) inside whole-stage codegen: a narrow 1->N per-row explode,
+    no shuffle, no Python — the chunk fan-out is bounded by
+    n_tokens/stride per document. Empty documents produce no chunks;
+    a final short window is kept (standard convention) unless it is
+    fully contained in the previous one.
+    """
+    assert 0 <= overlap < chunk_size
+    stride = chunk_size - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride, ... while start < n and (start == 0
+    # or start + overlap < n)  — the containment condition drops a
+    # trailing window that would add no new tokens
+    n_chunks = F.when(
+        n <= chunk_size, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_index"),
+                s.cast("long").alias("start_token"),
+                F.least(n - s, F.lit(chunk_size)).cast("long").alias(
+                    "n_chunk_tokens"
+                ),
+                F.concat_ws(" ", F.slice(toks, s + 1, chunk_size)).alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_index:int,start_token:bigint,"
+        "n_chunk_tokens:bigint,chunk_text:string>>"
+    ))
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_index", "c.start_token", "c.n_chunk_tokens", "c.chunk_text"
+    )

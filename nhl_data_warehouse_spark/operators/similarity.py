@@ -503,3 +503,50 @@ def kmeans_lloyd_step(
             "centroid_val"
         ),
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector affine int8 quantization — the 4x memory/bandwidth
+    reduction serving and coarse-scoring layers apply to embedding
+    stores (float32 -> int8 with per-vector (min, max) dequant params).
+
+    q_i = floor((x_i - vmin) * 255 / (vmax - vmin)) - 128, clamped to
+    [-128, 127]; constant vectors quantize to 0. Codes are returned as
+    a comma-joined string (``q_codes``) plus the dequant params — a
+    flat, engine-portable representation.
+
+    Everything is array-expression work (aggregate for min/max,
+    transform for the code map) inside whole-stage codegen: a narrow
+    per-row projection, no shuffle, no Python — at 100 TB this is a
+    single streaming pass over the vector column.
+    """
+    x0 = F.element_at(F.col(vec_col), 1).cast("double")
+    vmin = F.aggregate(
+        F.col(vec_col), x0, lambda acc, x: F.least(acc, x.cast("double"))
+    )
+    vmax = F.aggregate(
+        F.col(vec_col), x0, lambda acc, x: F.greatest(acc, x.cast("double"))
+    )
+    with_range = df.select(
+        F.col(id_col), F.col(vec_col), vmin.alias("vmin"), vmax.alias("vmax")
+    )
+
+    def code(x):
+        raw = F.floor(
+            ((x.cast("double") - F.col("vmin")) * F.lit(255.0))
+            / (F.col("vmax") - F.col("vmin"))
+        ) - F.lit(128)
+        clamped = F.least(F.greatest(raw, F.lit(-128)), F.lit(127))
+        return F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(clamped)
+
+    return with_range.select(
+        id_col,
+        "vmin",
+        "vmax",
+        F.size(vec_col).alias("dim"),
+        F.concat_ws(
+            ",", F.transform(F.col(vec_col), lambda x: code(x).cast("string"))
+        ).alias("q_codes"),
+    )

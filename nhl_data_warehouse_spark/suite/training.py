@@ -1708,6 +1708,80 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunking_overlap",
+    op_ids="beyond-reference RAG/long-context chunking: overlapping "
+    "token windows per document (pure array expressions, narrow 1->N "
+    "explode, no shuffle)",
+    description="documents cut into 64-token chunks with 16-token "
+    "overlap: stable (doc, chunk_index) keys, absolute start offsets, "
+    "a kept short tail, and the chunk text — the retrieval-indexing "
+    "preprocessing shape",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, arr, len(arr) AS n,
+                   CASE WHEN len(arr) = 0 THEN 0
+                        WHEN len(arr) <= 64 THEN 1
+                        ELSE CAST(ceil((len(arr) - 16) / 48.0) AS INT)
+                   END AS n_chunks
+            FROM docs
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_index,
+               CAST(i * 48 AS BIGINT) AS start_token,
+               CAST(LEAST(n - i * 48, 64) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(arr, i * 48 + 1, i * 48 + 64), ' ')
+                   AS chunk_text
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i)
+        WHERE n_chunks > 0
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.packing import chunk_documents
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return chunk_documents(documents, chunk_size=64, overlap=16)
+
+
+@register(
+    "embedding_int8_quantize",
+    op_ids="beyond-reference embedding quantization: per-vector affine "
+    "int8 codes + dequant params (float32 -> int8, one codegen pass, "
+    "no shuffle, no Python)",
+    description="each embedding reduced to 64 int8 codes with "
+    "per-vector (min, max) dequantization params — the 4x "
+    "memory/bandwidth layer of a serving/coarse-scoring stack",
+    oracle="""
+        WITH r AS (
+            SELECT vec_id, embedding,
+                   CAST(list_aggregate(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE)), 'min') AS DOUBLE) AS vmin,
+                   CAST(list_aggregate(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE) AS vmax
+            FROM embeddings
+        )
+        SELECT vec_id, vmin, vmax, len(embedding) AS dim,
+               array_to_string(list_transform(embedding, x ->
+                   CAST(CASE WHEN vmax = vmin THEN 0
+                        ELSE LEAST(GREATEST(
+                            CAST(floor(((CAST(x AS DOUBLE) - vmin) * 255.0)
+                                       / (vmax - vmin)) AS BIGINT) - 128,
+                            -128), 127)
+                   END AS VARCHAR)), ',') AS q_codes
+        FROM r
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_int8(embeddings)
+
+
+@register(
     "bpe_merge_candidates",
     op_ids="beyond-reference tokenizer training primitive: BPE merge-pair "
     "counting (adjacent symbol-pair frequencies within words, the inner "

@@ -90,3 +90,43 @@ def test_pack_next_fit_oversized_doc_gets_own_bin(spark):
     )
     got = {r.item_id: r.bin for r in pack_next_fit(df, budget=10).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+class TestChunkDocuments:
+    def test_overlap_and_tail(self, spark):
+        from nhl_data_warehouse_spark.operators.packing import chunk_documents
+
+        text10 = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, text10), (2, "a b"), (3, ""), (4, "solo")],
+            "doc_id long, text string",
+        )
+        got = {}
+        for r in chunk_documents(df, chunk_size=4, overlap=2).collect():
+            got.setdefault(r.doc_id, []).append(r)
+        # doc 1: stride 2 over 10 tokens -> ceil((10-2)/2)=4 chunks;
+        # starts 0,2,4,6; last chunk holds t6..t9 (no lost tail)
+        c1 = sorted(got[1], key=lambda r: r.chunk_index)
+        assert [r.start_token for r in c1] == [0, 2, 4, 6]
+        assert [r.n_chunk_tokens for r in c1] == [4, 4, 4, 4]
+        assert c1[0].chunk_text == "t0 t1 t2 t3"
+        assert c1[-1].chunk_text == "t6 t7 t8 t9"
+        # short doc: single whole-doc chunk; empty doc: no chunks
+        assert [(r.start_token, r.n_chunk_tokens, r.chunk_text) for r in got[2]] == [
+            (0, 2, "a b")
+        ]
+        assert 3 not in got
+        assert got[4][0].chunk_text == "solo"
+
+    def test_every_token_covered(self, spark):
+        from nhl_data_warehouse_spark.operators.packing import chunk_documents
+
+        n = 23
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(n)))], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, chunk_size=5, overlap=1).collect()
+        covered = set()
+        for r in rows:
+            covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+        assert covered == set(range(n))

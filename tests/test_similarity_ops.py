@@ -173,3 +173,22 @@ class TestKMeansLloydStep:
         a = sorted(map(tuple, similarity.kmeans_lloyd_step(_vecs(spark), 2).collect()))
         b = sorted(map(tuple, similarity.kmeans_lloyd_step(_vecs(spark), 2).collect()))
         assert a == b
+
+
+class TestInt8Quantize:
+    def test_codes_and_degenerate_vector(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0, 2.0]), (2, [5.0, 5.0, 5.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+        # affine map: 0 -> -128, mid -> floor(127.5)-128 = -1, max -> 127
+        assert got[1].q_codes == "-128,-1,127"
+        assert (got[1].vmin, got[1].vmax, got[1].dim) == (0.0, 2.0, 3)
+        # constant vector: scale undefined -> all zeros, params preserved
+        assert got[2].q_codes == "0,0,0"
+        assert got[2].vmin == got[2].vmax == 5.0
