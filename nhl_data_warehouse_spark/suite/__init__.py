@@ -43,6 +43,7 @@ _PRIORITY = [
     "scrape_ingest_roundtrip",
     "rest_json_ingest_roundtrip",
     "streaming_hourly_stats",
+    "streaming_user_totals",
     "view_materialization_sql",
     "catalog_context_read",
 ]

@@ -395,6 +395,71 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_user_totals",
+    op_ids="§2.7 CUSTOM stateful streaming EXECUTION: "
+    "applyInPandasWithState running per-user accumulators drained with "
+    "availableNow — driver-checkable proof the custom state-machine "
+    "path runs and converges to the batch aggregate",
+    description="per-user lifetime (count, value sum) maintained by the "
+    "running_user_totals state machine over a file-source stream; value "
+    "is carried as exact integer cents inside the state so the final "
+    "emission equals the batch oracle bit-for-bit",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_value
+        FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.stateful import running_user_totals
+
+    src_dir = tempfile.mkdtemp(prefix="suite_state_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ckpt = tempfile.mkdtemp(prefix="suite_state_ckpt_")
+    name = "stream_totals_" + os.path.basename(ckpt).split("_")[-1]
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    # exact integer cents through the double-typed state slot: pandas
+    # int64 sums are exact and floats are exact integers below 2^53,
+    # so the accumulated value is order-independent
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    totals = running_user_totals(
+        stream.select("user_id", cents.cast("double").alias("value"))
+    )
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode re-emits a user's row each micro-batch that touches
+    # it; n_events is strictly monotone per user, so max_by keeps the
+    # final state regardless of how the file source batched
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value"), F.col("n_events")
+            ).alias("_f")
+        )
+        .select(
+            "user_id",
+            F.col("_f.n_events").alias("n_events"),
+            (F.col("_f.sum_value") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # S10/S11: parameterized catalog read under session context
 # ---------------------------------------------------------------------------

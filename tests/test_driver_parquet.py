@@ -84,6 +84,7 @@ def test_driver_window_composition():
         "scrape_ingest_roundtrip",
         "rest_json_ingest_roundtrip",
         "streaming_hourly_stats",
+        "streaming_user_totals",
         "view_materialization_sql",
         "catalog_context_read",
         "lsh_verified_near_dups",
