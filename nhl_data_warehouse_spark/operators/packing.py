@@ -157,9 +157,14 @@ def chunk_documents(
     a final short window is kept (standard convention) unless it is
     fully contained in the previous one.
     """
+    from nhl_data_warehouse_spark.operators.text import _ws_tokens
+
     assert 0 <= overlap < chunk_size
     stride = chunk_size - overlap
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # the suite's one canonical tokenization (same as the oracles'
+    # string_split contract) — chunk offsets must agree with every
+    # text operator's token counts
+    toks = _ws_tokens(text_col)
     n = F.size(toks)
     # starts: 0, stride, 2*stride, ... while start < n and (start == 0
     # or start + overlap < n)  — the containment condition drops a

@@ -59,8 +59,11 @@ def cosine_topk(
         cos = dot
     else:
         cos = dot / (_norm(F.col(vec_col)) * _norm(query_vec))
+    # + 0.0 maps -0.0 to +0.0 (orthogonal vectors can round to negative
+    # zero in DuckDB while Spark's round clamps it — the driver's repr
+    # hash distinguishes the two)
     scored = embeddings.select(
-        F.col(id_col), F.round(cos, 6).alias("cosine")
+        F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
@@ -499,7 +502,9 @@ def kmeans_lloyd_step(
     exact = F.round(F.col("_x").cast("double"), 12).cast("decimal(20,12)")
     return exploded.groupBy("cell_id", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum(exact).cast("double") / F.count(F.lit(1)), 6).alias(
+        # + 0.0 normalizes -0.0 (negative component means rounding to
+        # zero): see cosine_topk
+        (F.round(F.sum(exact).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
             "centroid_val"
         ),
     )

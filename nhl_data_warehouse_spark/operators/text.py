@@ -444,7 +444,13 @@ def token_entropy(
         tf.join(totals, on=id_col)
         .groupBy(id_col, "n_tokens", "n_distinct_terms")
         .agg(
-            F.round(-F.sum(term_h).cast("double"), 6).alias("entropy_nats")
+            # + 0.0 maps IEEE -0.0 to +0.0: Spark's round() clamps tiny
+            # negatives to 0.0 while DuckDB's keeps -0.0, and the
+            # driver's repr-based hash distinguishes them (a doc whose
+            # tokens are all identical has entropy exactly -0.0 there)
+            (F.round(-F.sum(term_h).cast("double"), 6) + F.lit(0.0)).alias(
+                "entropy_nats"
+            )
         )
         .select(id_col, "n_tokens", "n_distinct_terms", "entropy_nats")
     )
@@ -582,7 +588,8 @@ def pmi_bigrams(
     p_ab = F.col("c_ab").cast("double") / F.col("t_bi").cast("double")
     p_a = F.col("c_w1").cast("double") / F.col("t_uni").cast("double")
     p_b = F.col("c_w2").cast("double") / F.col("t_uni").cast("double")
-    pmi = F.round(F.log(p_ab / (p_a * p_b)), 6)
+    # + 0.0 normalizes -0.0 (ratio just under 1): see token_entropy
+    pmi = F.round(F.log(p_ab / (p_a * p_b)), 6) + F.lit(0.0)
     return (
         joined.select("w1", "w2", "c_ab", "c_w1", "c_w2", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())

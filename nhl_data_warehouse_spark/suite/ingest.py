@@ -24,6 +24,46 @@ from pyspark.sql import types as T
 
 from nhl_data_warehouse_spark.suite.registry import load, register
 
+# scratch dirs / memory-sink views from PRIOR invocations of the same
+# query, reclaimed on the next invocation (their results have been
+# consumed by then) so repeated bench/check/driver passes don't
+# accumulate /tmp state or driver-memory sink tables. Scoped per
+# prefix: one query's cleanup can never touch another's live landing.
+_PRIOR_DIRS: dict[str, list[str]] = {}
+_PRIOR_VIEWS: dict[str, list[str]] = {}
+
+
+def _fresh_dir(prefix: str) -> str:
+    import shutil
+
+    for d in _PRIOR_DIRS.get(prefix, []):
+        shutil.rmtree(d, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PRIOR_DIRS[prefix] = [d]
+    return d
+
+
+def _fresh_memory_sink(spark: SparkSession, base: str, suffix: str) -> str:
+    for t in _PRIOR_VIEWS.get(base, []):
+        try:
+            spark.catalog.dropTempView(t)
+        except Exception:  # noqa: BLE001 — already gone
+            pass
+    name = base + suffix
+    _PRIOR_VIEWS[base] = [name]
+    return name
+
+
+def _drain(q, timeout_s: int = 300) -> None:
+    """availableNow queries must fully drain before the sink is read;
+    awaitTermination returns False (it does not raise) on timeout, and
+    a partially-drained memory sink would fail the comparison with a
+    confusing value mismatch instead of a loud error."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming drain exceeded {timeout_s}s")
+
+
 # ---------------------------------------------------------------------------
 # S1 + S6: HTML scrape -> CSV landing -> typed COPY load
 # ---------------------------------------------------------------------------
@@ -139,7 +179,7 @@ def scrape_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nhl_data_warehouse_spark.sources.csv_source import load_games_csv
     from nhl_data_warehouse_spark.sources.extract import scrape_season_tables
 
-    landing = tempfile.mkdtemp(prefix="suite_scrape_")
+    landing = _fresh_dir("suite_scrape_")
     scrape_season_tables(2025, landing, fetch=_fake_page)
     return load_games_csv(spark, f"{landing}/csv/seasons").select(
         "source_file",
@@ -262,7 +302,7 @@ def rest_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_json_raw,
     )
 
-    landing = tempfile.mkdtemp(prefix="suite_rest_")
+    landing = _fresh_dir("suite_rest_")
     landed = extract_api_endpoint(
         "regular_season", landing, lambda ep: _SCHEDULE_PAYLOAD, date_tag="t1"
     )
@@ -366,10 +406,12 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the file streaming source wants a directory; point a temp dir at
     # the events parquet via symlink so nothing is copied
-    src_dir = tempfile.mkdtemp(prefix="suite_stream_src_")
+    src_dir = _fresh_dir("suite_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    ckpt = tempfile.mkdtemp(prefix="suite_stream_ckpt_")
-    name = "stream_hourly_" + os.path.basename(ckpt).split("_")[-1]
+    ckpt = _fresh_dir("suite_stream_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_hourly_", os.path.basename(ckpt).split("_")[-1]
+    )
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
@@ -385,7 +427,7 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # exact decimal sums inside the stream; double in the final schema
     return spark.table(name).select(
         "window_start",
@@ -418,10 +460,12 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nhl_data_warehouse_spark.streaming.stateful import running_user_totals
 
-    src_dir = tempfile.mkdtemp(prefix="suite_state_src_")
+    src_dir = _fresh_dir("suite_state_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    ckpt = tempfile.mkdtemp(prefix="suite_state_ckpt_")
-    name = "stream_totals_" + os.path.basename(ckpt).split("_")[-1]
+    ckpt = _fresh_dir("suite_state_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_totals_", os.path.basename(ckpt).split("_")[-1]
+    )
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
@@ -440,7 +484,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # update mode re-emits a user's row each micro-batch that touches
     # it; n_events is strictly monotone per user, so max_by keeps the
     # final state regardless of how the file source batched

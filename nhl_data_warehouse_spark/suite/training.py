@@ -310,7 +310,7 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
                   FROM embeddings e, q)
             GROUP BY vec_id
         )
-        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) + 0.0 AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
@@ -388,7 +388,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM cand c, q)
             GROUP BY vec_id
         )
-        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) + 0.0 AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
@@ -501,7 +501,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM cand c, q)
             GROUP BY vec_id
         )
-        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) AS cosine
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) + 0.0 AS cosine
         FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
@@ -1380,7 +1380,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(-CAST(SUM(CAST(round(
                    (CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
                    * ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 12)
-                   AS DECIMAL(24,12))) AS DOUBLE), 6)
+                   AS DECIMAL(24,12))) AS DOUBLE), 6) + 0.0
                    AS entropy_nats
         FROM tf t JOIN totals USING (doc_id)
         GROUP BY 1, 2, 3
@@ -1651,7 +1651,7 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(ln((CAST(c_ab AS DOUBLE) / CAST(t_bi AS DOUBLE))
                         / ((CAST(a.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE))
                            * (CAST(b.c_w AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6)
-                   AS pmi
+                   + 0.0 AS pmi
         FROM c_bi
         JOIN c_uni a ON a.w = w1
         JOIN c_uni b ON b.w = w2
@@ -1887,7 +1887,7 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT cell_id, dim, COUNT(*) AS n_members,
                ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 12)
                                    AS DECIMAL(20,12))) AS DOUBLE)
-                     / COUNT(*), 6) AS centroid_val
+                     / COUNT(*), 6) + 0.0 AS centroid_val
         FROM members GROUP BY cell_id, dim
     """,
 )

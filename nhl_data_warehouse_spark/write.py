@@ -121,9 +121,13 @@ def merge_upsert_partitioned(
     On Delta/Iceberg the same logical op is ``MERGE`` with partition
     predicates and becomes a single atomic commit.
     """
-    import os
-
-    if not os.path.isdir(path):
+    # existence via the Hadoop FileSystem API, NOT os.path: the landing
+    # contract allows any Hadoop-FS URI (s3a://...), where a local stat
+    # is always False and the initial-write branch would collide
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         df.write.partitionBy(*partition_by).parquet(path)
         return
     touched = df.select(*partition_by).distinct()

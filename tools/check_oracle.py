@@ -25,22 +25,20 @@ TABLES = (
 ).split()
 
 
-def _norm(v, float_coerce: bool = False):
+def _norm(v):
     """Normalize a cell for cross-engine comparison.
 
-    Mirrors the external driver exactly (VERDICT r1 §W1): the driver
-    floats DuckDB DECIMAL/HUGEINT cells (``70282.6``) while Spark's
-    ``Decimal('70282.60')`` stringifies with its trailing zero — so a
-    Decimal reaching the final projection on either side is a
-    hash-mismatch even when values are identical. We therefore do NOT
-    smooth with ``Decimal.normalize()``: Spark cells stringify as-is,
-    DuckDB DECIMAL/HUGEINT cells (``float_coerce=True``) go through
-    ``float`` first. Local green ⇒ driver green.
+    Mirrors the external driver (VERDICT r1 §W1): no
+    ``Decimal.normalize()`` smoothing — a Decimal reaching the final
+    projection stringifies with its trailing zeros and can never match
+    the driver's floated oracle cell, which is why the loop below
+    HARD-FAILS on any DECIMAL/HUGEINT output column on either side
+    instead of trying to coerce its way to a match. Note repr() keeps
+    the -0.0/0.0 distinction, exactly like the driver — queries must
+    normalize negative zero themselves (the ``+ 0.0`` convention).
     """
     if v is None:
         return "NULL"
-    if float_coerce and isinstance(v, (Decimal, int)):
-        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -50,21 +48,14 @@ def _norm(v, float_coerce: bool = False):
     return str(v)
 
 
-def norm_rows(
-    columns: list[str], rows: list[tuple], coerce: set[str] | None = None
-) -> list[tuple]:
+def norm_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    coerce = coerce or set()
-    return [
-        tuple(_norm(r[i], columns[i] in coerce) for i in order) for r in rows
-    ]
+    return [tuple(_norm(r[i]) for i in order) for r in rows]
 
 
-def frame_signature(
-    columns: list[str], rows: list[tuple], coerce: set[str] | None = None
-) -> tuple[int, list[str], str]:
+def frame_signature(columns: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
     cols_sorted = sorted(columns)
-    lines = sorted("\x1f".join(r) for r in norm_rows(columns, rows, coerce))
+    lines = sorted("\x1f".join(r) for r in norm_rows(columns, rows))
     digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
     return len(rows), cols_sorted, digest
 
@@ -76,11 +67,10 @@ def risky_spark_cols(sdf) -> list[str]:
     return [c for c, t in sdf.dtypes if t.startswith("decimal")]
 
 
-def risky_duck_cols(con, sql: str) -> tuple[list[str], set[str]]:
-    """(columns whose DuckDB type is DECIMAL/HUGEINT, and the coercion set)."""
+def risky_duck_cols(con, sql: str) -> list[str]:
+    """Columns whose DuckDB output type is DECIMAL/HUGEINT."""
     desc = con.execute(f"DESCRIBE ({sql})").fetchall()
-    risky = [c for c, t, *_ in desc if any(t.startswith(r) for r in RISKY_DUCK_TYPES)]
-    return risky, set(risky)
+    return [c for c, t, *_ in desc if any(t.startswith(r) for r in RISKY_DUCK_TYPES)]
 
 
 def main() -> int:
@@ -104,6 +94,14 @@ def main() -> int:
     names = args.names or list(REGISTRY)
     failures = []
     for name in names:
+        # reclaim the previous query's persisted intermediates and
+        # localCheckpoint blocks (LSH bands, capped shingles, oriented
+        # edges, ...) — without this the 130+ collect()s accumulate
+        # heap state and late queries slow down several-fold, the
+        # exact long-running-driver failure bench.py guards against
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
         spec = REGISTRY[name]
         t0 = time.time()
         try:
@@ -125,7 +123,7 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
             continue
         try:
-            d_risky, coerce = risky_duck_cols(con, spec.oracle)
+            d_risky = risky_duck_cols(con, spec.oracle)
             rel = con.execute(spec.oracle)
             d_cols = [d[0] for d in rel.description]
             d_rows = rel.fetchall()
@@ -138,7 +136,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle output has DECIMAL/HUGEINT columns {d_risky}")
             continue
         sn, sc, sh = frame_signature(s_cols, s_rows)
-        dn, dc, dh = frame_signature(d_cols, d_rows, coerce)
+        dn, dc, dh = frame_signature(d_cols, d_rows)
         status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
         dt = time.time() - t0
         print(f"{status:5s} {name}: spark {sn} rows, duckdb {dn} rows  [{dt:.1f}s]")
