@@ -339,3 +339,82 @@ def test_gap_fill_matches_naive(spark, obs):
             assert out[day] == (obs[d], obs[d], 0)
         else:
             assert out[day] == (0, last, 1)
+
+
+# --- chunk_documents: coverage/overlap invariants on arbitrary docs ---
+
+words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(words, min_size=1, max_size=4),
+       chunk=st.integers(2, 8), ov=st.integers(0, 6))
+def test_chunking_covers_every_token_exactly(spark, docs, chunk, ov):
+    from nhl_data_warehouse_spark.operators.packing import chunk_documents
+
+    ov = min(ov, chunk - 1)
+    stride = chunk - ov
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_size=chunk, overlap=ov).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_index)
+        if n == 0:
+            assert got == []
+            continue
+        # every token covered, starts on the stride grid, chunk text
+        # round-trips, and consecutive chunks overlap by exactly `ov`
+        # (except a short tail)
+        covered = set()
+        for r in got:
+            assert r.start_token % stride == 0
+            assert r.chunk_text == " ".join(
+                ws[r.start_token : r.start_token + r.n_chunk_tokens]
+            )
+            covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+        assert covered == set(range(n))
+
+
+# --- blocked fuzzy matching: soundness + in-block completeness ---
+
+fuzzy_words = st.lists(
+    st.text(alphabet="abx", min_size=1, max_size=4), min_size=1, max_size=10
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=fuzzy_words)
+def test_fuzzy_pairs_sound_and_complete_within_block(spark, vals):
+    from nhl_data_warehouse_spark.operators.fuzzyjoin import (
+        blocked_edit_distance_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        (r.a, r.b): r.dist
+        for r in blocked_edit_distance_pairs(df, "v", max_dist=1).collect()
+    }
+    uniq = sorted(set(vals))
+    expected = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1 :]:
+            if a[0] == b[0] and abs(len(a) - len(b)) <= 1 and lev(a, b) <= 1:
+                expected[(a, b)] = lev(a, b)
+    assert got == expected
