@@ -171,6 +171,54 @@ def proportional_rebalance(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled corpus mix (the mT5/XLM-R multilingual
+    sampling rule): target share of group g is n_g^alpha / sum n^alpha
+    — alpha=1 keeps natural proportions, alpha->0 approaches uniform,
+    the usual 0.2-0.7 range boosts low-resource groups without
+    flattening the mix. Shares are solved IN-ENGINE from the observed
+    counts, then rows are kept by the same deterministic hash-threshold
+    filter as ``proportional_rebalance`` (bottleneck group survives
+    whole, no collect, no RNG).
+
+    ``pow`` is libm work — rounded to 6 dp (the suite's ln()/cosine
+    convention) so a last-ulp difference between engines cannot flip a
+    row across the keep threshold.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    palpha = F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)), 6)
+    # one row per group at this point — unpartitioned windows over the
+    # bounded group set are the cheap way to get the two global scalars
+    w = Window.partitionBy()
+    with_share = counts.select(
+        group_col,
+        "_n",
+        (palpha / F.sum(palpha).over(w)).alias("_share"),
+    )
+    scale = F.min(F.col("_n") / F.col("_share")).over(w)
+    rates = with_share.select(
+        group_col,
+        ((scale * F.col("_share")) / F.col("_n")).alias("_rate"),
+    )
+    bucket = hash_bucket(id_cols, salt)
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(F.col("_rate") * F.lit(float(_HEX_SPACE))))),
+        _HEX_DIGITS,
+        "0",
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter((F.col("_rate") >= 1.0) | (bucket < threshold))
+        .drop("_rate")
+    )
+
+
 def weighted_sample_keys(
     df: DataFrame,
     weight_col: str,

@@ -1708,6 +1708,47 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_mix",
+    op_ids="beyond-reference temperature-scaled corpus mix (mT5/XLM-R "
+    "alpha-sampling: share_g = n_g^alpha / sum n^alpha, solved "
+    "in-engine, deterministic hash filter)",
+    description="alpha=0.3 language mix: low-resource languages boosted "
+    "toward (not all the way to) uniform, bottleneck language kept "
+    "whole; pow rounded 6dp per the suite's libm convention",
+    oracle="""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        sh AS (
+            SELECT lang, n,
+                   round(pow(CAST(n AS DOUBLE), 0.3), 6)
+                     / SUM(round(pow(CAST(n AS DOUBLE), 0.3), 6)) OVER ()
+                       AS share
+            FROM counts
+        ),
+        rates AS (
+            SELECT lang, (MIN(n / share) OVER ()) * share / n AS rate
+            FROM sh
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE r.rate >= 1.0
+           OR substring(md5('tmix-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import temperature_rebalance
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        documents.select("doc_id", "lang"),
+        group_col="lang",
+        alpha=0.3,
+        id_cols=["doc_id"],
+        salt="tmix-v1",
+    )
+
+
+@register(
     "doc_chunking_overlap",
     op_ids="beyond-reference RAG/long-context chunking: overlapping "
     "token windows per document (pure array expressions, narrow 1->N "

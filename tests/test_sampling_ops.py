@@ -119,3 +119,30 @@ class TestProportionalRebalance:
             df, "lang", {"en": 1.0}, id_cols=["doc_id"]
         )
         assert [r["lang"] for r in out.collect()] == ["en"]
+
+
+class TestTemperatureRebalance:
+    def test_alpha_boosts_small_groups(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import temperature_rebalance
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = temperature_rebalance(df, "g", alpha=0.3, id_cols=["id"])
+        got = {r.g: r.n for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+        # the small (bottleneck) group survives whole; the big group is
+        # downsampled toward — but not all the way to — the small one
+        assert got["small"] == 100
+        assert 100 < got["big"] < 900
+        # deterministic: a rerun selects the identical row set
+        again = {r.g: r.n for r in temperature_rebalance(df, "g", alpha=0.3, id_cols=["id"]).groupBy("g").count().withColumnRenamed("count", "n").collect()}
+        assert again == got
+
+    def test_alpha_one_is_natural_mix(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import temperature_rebalance
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out = temperature_rebalance(df, "g", alpha=1.0, id_cols=["id"])
+        # alpha=1: target shares equal observed shares -> every rate is
+        # 1.0 and nothing is dropped
+        assert out.count() == 300
