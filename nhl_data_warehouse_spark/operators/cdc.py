@@ -78,3 +78,46 @@ def apply_changes(
     remaining = target.join(F.broadcast(latest.select(*keys).distinct()), on=list(keys), how="left_anti")
     merged = remaining.unionByName(upserts)
     write.overwrite_table_staged(spark, merged, target_table)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Key-level reconciliation of two table snapshots — the audit op
+    behind "did the migration/backfill change what it should have":
+    each key is classified ``added`` (only in new), ``removed`` (only
+    in old), ``changed`` (both sides, any compared column differs,
+    NULL-safely), or ``unchanged``. Returns (keys..., change_type).
+
+    Scale: each side is reduced to (keys, md5 of the compared columns)
+    BEFORE the full-outer join, so the shuffle carries one narrow row
+    per key and the wide payload columns never move — the difference
+    between diffing two 100 TB snapshots and diffing two key sets.
+    NULLs are md5'd via a sentinel so NULL vs '' vs absent differ.
+    """
+
+    def fingerprint(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*keys, fp.alias(f"_fp_{side}"))
+
+    o = fingerprint(old, "old")
+    n = fingerprint(new, "new")
+    joined = o.join(n, on=list(keys), how="full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*keys, change.alias("change_type"))

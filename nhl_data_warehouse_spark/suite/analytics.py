@@ -505,6 +505,60 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_orders",
+    op_ids="beyond-reference snapshot reconciliation (key-level diff of "
+    "two table versions: added/removed/changed/unchanged via narrow "
+    "per-key fingerprints — wide payloads never shuffle)",
+    description="orders vs a deterministically perturbed next snapshot "
+    "(keys %97 removed, %89 reprioritized, %101 cloned as new keys); "
+    "one change_type per key — the backfill/migration audit op",
+    oracle="""
+        WITH new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 89 = 0 THEN 'X-RECLASSIFIED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.cdc import snapshot_diff
+
+    (orders,) = load(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit("X-RECLASSIFIED")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_orderpriority", "o_totalprice"],
+    )
+
+
+@register(
     "copurchase_pairs",
     op_ids="beyond-reference co-occurrence mining (bipartite projection "
     "self-join, the market-basket / entity-collocation shape)",

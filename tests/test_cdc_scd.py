@@ -122,3 +122,28 @@ class TestScd2:
             (None, False),
             ("Atlanta", True),
         }
+
+
+class TestSnapshotDiff:
+    def test_classifies_all_four_ways(self, spark):
+        from nhl_data_warehouse_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 1.0),      # unchanged
+             (2, "B", 2.0),      # changed (string)
+             (3, "c", 3.0),      # changed (NULL -> value, null-safe)
+             (5, "e", 5.0)],     # added; key 4 removed
+            "k long, s string, v double",
+        )
+        got = {
+            r.k: r.change_type
+            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+        }
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "changed",
+            4: "removed", 5: "added",
+        }
