@@ -110,3 +110,38 @@ def test_no_decimal_in_final_schemas(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_load_normalizes_round1_nanos_long_format(spark, tmp_path):
+    """Round 1 shipped events.ts as TIMESTAMP(NANOS), which Spark reads
+    as a ns long under nanosAsLong; the loader must keep handling that
+    shape if the driver reverts its generator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nhl_data_warehouse_spark.suite.registry import load
+
+    d = tmp_path / "sfns"
+    d.mkdir()
+    ts_ns = [1_700_000_000_000_000_000 + i * 61_000_000_000 for i in range(6)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts_ns, pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 6),
+            "value": pa.array([float(i) for i in range(6)]),
+            "props": pa.array(['{"k": 1}'] * 6),
+        }
+    )
+    pq.write_table(table, d / "events.parquet", use_deprecated_int96_timestamps=False)
+
+    (events,) = load(spark, str(d), "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # ns truncates to µs exactly; gap between consecutive events is 61s
+    from nhl_data_warehouse_spark.operators.rangejoin import range_join_pairs
+
+    pairs = range_join_pairs(events, key="user_id", gap_minutes=5).collect()
+    # within each user: 3 events 61s apart -> pairs (0,1),(1,2),(0,2)
+    assert len(pairs) == 6
+    assert all(abs(r.gap_seconds) <= 300 for r in pairs)
