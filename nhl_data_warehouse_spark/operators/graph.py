@@ -171,9 +171,15 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.col("o1.dst").alias("x"),
         F.col("o2.dst").alias("y"),
     )
-    # closing edge respects the same total order, so it is oriented x->y
+    # closing edge respects the same total order, so it is oriented
+    # x->y. Broadcast the edge side: the wedge set is O(sum deg^2) =
+    # the big relation here, and shuffling it to meet an |E|-sized
+    # probe table inverts the size relationship a hash join wants.
+    # Valid while |E| fits the broadcast ceiling (same dimension-scale
+    # assumption as the degree table above); for larger graphs drop
+    # the hint and AQE picks a shuffled join.
     tri = wedges.join(
-        o.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        F.broadcast(o.select(F.col("src").alias("x"), F.col("dst").alias("y"))),
         on=["x", "y"],
     )
     return (
