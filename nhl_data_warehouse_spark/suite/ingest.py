@@ -504,6 +504,51 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_exactly_once",
+    op_ids="§2.7 streaming exactly-once dedup EXECUTION: "
+    "dropDuplicatesWithinWatermark over a stream that delivers every "
+    "event twice — the at-least-once -> exactly-once repair, run for "
+    "real and hash-matched against the batch distinct",
+    description="the events file is fed to the stream TWICE (two "
+    "symlinks); watermarked key dedup must emit each event exactly "
+    "once, equal to the batch table",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.windows import dedup_events_stream
+    from nhl_data_warehouse_spark.suite.registry import normalize_timestamps
+
+    src_dir = _fresh_dir("suite_dedup_src_")
+    # duplicate delivery: same physical file under two names
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_b.parquet")
+    ckpt = _fresh_dir("suite_dedup_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_dedup_", os.path.basename(ckpt).split("_")[-1]
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    stream = normalize_timestamps(stream, "events")
+    deduped = dedup_events_stream(stream, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # S10/S11: parameterized catalog read under session context
 # ---------------------------------------------------------------------------

@@ -1893,6 +1893,38 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_REF = ("src1", "src33", "srx4", "zzz9")
+
+
+@register(
+    "fuzzy_source_lookup",
+    op_ids="beyond-reference fuzzy semi-join lookup (blocked edit-distance "
+    "EXISTS — 'is this near-miss of a reference string in the corpus')",
+    description="documents whose source is within 1 edit of a fixed "
+    "reference list (same prefix block + length band): src1 matches "
+    "src1/src11/..., srx4 reaches src4 across a mid-string typo, zzz9 "
+    "matches nothing — the decontamination/entity-lookup shape",
+    oracle=f"""
+        SELECT doc_id, source FROM documents d
+        WHERE EXISTS (
+            SELECT 1 FROM (VALUES {", ".join(f"('{v}')" for v in _FUZZY_REF)})
+                AS ref(name)
+            WHERE substring(d.source, 1, 1) = substring(ref.name, 1, 1)
+              AND abs(length(d.source) - length(ref.name)) <= 1
+              AND levenshtein(d.source, ref.name) <= 1
+        )
+    """,
+)
+def fuzzy_source_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.fuzzyjoin import fuzzy_semi_match
+
+    (documents,) = load(spark, sf_dir, "documents")
+    ref = spark.createDataFrame([(v,) for v in _FUZZY_REF], "name string")
+    return fuzzy_semi_match(
+        documents.select("doc_id", "source"), ref, "source", "name", max_dist=1
+    )
+
+
 @register(
     "kmeans_lloyd_step",
     op_ids="beyond-reference iterative clustering primitive (one Lloyd step: "
