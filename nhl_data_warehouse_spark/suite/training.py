@@ -1708,6 +1708,38 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize_meta",
+    op_ids="beyond-reference multimodal resize plumbing (mapInPandas "
+    "media->media transform; mime retag + recomputed n_bytes)",
+    description="documents-as-media resized through resize_media: text "
+    "payloads are not decodable images, so the deterministic "
+    "truncation branch runs whether or not Pillow is installed — the "
+    "Spark contract (schema, Arrow batching, metadata recompute) is "
+    "what this verifies",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'text/plain;resized' AS mime,
+               CAST(GREATEST(octet_length(encode(text)) // 2, 1) AS BIGINT)
+                   AS n_bytes,
+               source
+        FROM documents
+    """,
+)
+def media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import multimodal
+
+    (documents,) = load(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(documents)
+    resized = multimodal.resize_media(media, max_dim=128)
+    return resized.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+@register(
     "sample_temperature_mix",
     op_ids="beyond-reference temperature-scaled corpus mix (mT5/XLM-R "
     "alpha-sampling: share_g = n_g^alpha / sum n^alpha, solved "
