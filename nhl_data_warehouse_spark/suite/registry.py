@@ -54,7 +54,16 @@ def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Read the named driver parquet tables, timestamps normalized."""
+    """Read the named driver parquet tables, timestamps normalized.
+
+    The session timezone is pinned to UTC here because the external
+    driver owns the SparkSession: every oracle (and the TIMESTAMP_NTZ
+    -> TIMESTAMP re-tagging above) assumes UTC wall clocks, and a
+    non-UTC caller session would shift `window()` / hour-truncation
+    boundaries (half-hour offsets shift them by 30 minutes). Runtime
+    conf — takes effect for all subsequent query planning.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return [
         normalize_timestamps(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
         for n in names
