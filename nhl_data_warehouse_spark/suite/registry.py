@@ -64,6 +64,13 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     conf — takes effect for all subsequent query planning.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # lets a caller session read TIMESTAMP(NANOS) parquet (the
+        # round-1 testdata shape) as a long we then normalize; without
+        # it the scan itself throws before normalization can run
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — static conf on some builds
+        pass
     return [
         normalize_timestamps(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
         for n in names
