@@ -402,10 +402,14 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nhl_data_warehouse_spark.streaming.windows import windowed_event_counts
-    from nhl_data_warehouse_spark.suite.registry import normalize_timestamps
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
 
     # the file streaming source wants a directory; point a temp dir at
     # the events parquet via symlink so nothing is copied
+    pin_session_defaults(spark)
     src_dir = _fresh_dir("suite_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     ckpt = _fresh_dir("suite_stream_ckpt_")
@@ -459,7 +463,9 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nhl_data_warehouse_spark.streaming.stateful import running_user_totals
+    from nhl_data_warehouse_spark.suite.registry import pin_session_defaults
 
+    pin_session_defaults(spark)
     src_dir = _fresh_dir("suite_state_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     ckpt = _fresh_dir("suite_state_ckpt_")
@@ -521,8 +527,12 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from nhl_data_warehouse_spark.streaming.windows import dedup_events_stream
-    from nhl_data_warehouse_spark.suite.registry import normalize_timestamps
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
 
+    pin_session_defaults(spark)
     src_dir = _fresh_dir("suite_dedup_src_")
     # duplicate delivery: same physical file under two names
     os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")

@@ -63,6 +63,17 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     boundaries (half-hour offsets shift them by 30 minutes). Runtime
     conf — takes effect for all subsequent query planning.
     """
+    pin_session_defaults(spark)
+    return [
+        normalize_timestamps(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
+        for n in names
+    ]
+
+
+def pin_session_defaults(spark: SparkSession) -> None:
+    """Pin the caller session's semantics the suite depends on — also
+    called by queries that read the testdata outside ``load`` (the
+    streaming executions)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         # lets a caller session read TIMESTAMP(NANOS) parquet (the
@@ -71,7 +82,3 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — static conf on some builds
         pass
-    return [
-        normalize_timestamps(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
-        for n in names
-    ]
