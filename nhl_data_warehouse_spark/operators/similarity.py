@@ -555,3 +555,38 @@ def quantize_embeddings_int8(
             ",", F.transform(F.col(vec_col), lambda x: code(x).cast("string"))
         ).alias("q_codes"),
     )
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec: Column,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    max_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): score the query's
+    bucket AND every bucket within ``max_flips`` sign-bit flips — the
+    standard recall repair for hyperplane LSH, trading a bounded
+    candidate-set growth (sum_{i<=f} C(n_planes, i) buckets) for the
+    neighbors a single-bucket probe misses when the query sits near a
+    hyperplane.
+
+    The probe set is a pure bit-arithmetic predicate
+    (``bit_count(bucket XOR query_bucket) <= max_flips``) — at 100 TB
+    with the bucket as partition key this still prunes to the probed
+    buckets' partitions; candidates then rank by exact cosine.
+    """
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    planes = plane_signs(n_planes, dim)
+    qb = F.lit(0)
+    for p, signs in enumerate(planes):
+        plane_col = F.array(*[F.lit(s) for s in signs])
+        d = _dot(query_vec, plane_col)
+        qb = qb + F.when(d > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    candidates = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(qb)) <= max_flips
+    )
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -400,6 +400,52 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_multiprobe_topk",
+    op_ids="beyond-reference multi-probe LSH (Lv et al. VLDB'07): probe "
+    "the query bucket plus every 1-bit-flip neighbor — the standard "
+    "recall repair for hyperplane LSH",
+    description="top-10 neighbors of vec 0 scored across its LSH bucket "
+    "and all Hamming-distance-1 buckets (9 of 256); candidate filter is "
+    "pure bit arithmetic, ranking is exact cosine",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        cand AS (SELECT e.* FROM embeddings e
+                 JOIN buckets b ON e.vec_id = b.vec_id
+                 JOIN qb ON bit_count(xor(b.bucket, qb.bucket)) <= 1),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        dots AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c, q)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) + 0.0 AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ann_multiprobe_topk(
+        embeddings, _query_vec(spark, sf_dir), n_planes=8, dim=64, k=10, max_flips=1
+    )
+
+
+@register(
     "embedding_near_dups",
     op_ids="beyond-reference embedding-cosine near-dup pairs (LSH candidates + exact verify)",
     description="vector pairs sharing an LSH bucket with cosine >= 0.4",
