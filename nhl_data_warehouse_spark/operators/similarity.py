@@ -191,15 +191,38 @@ def ivf_topk(
     query_id: int = 0,
     n_centroids: int = 8,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe: exact cosine top-k scored only within the query's
-    cell. nprobe=1; union more cells for higher recall."""
+    """IVF probe: exact cosine top-k scored only within the ``nprobe``
+    cells whose centroids are nearest the query — nprobe=1 is the
+    cheapest probe, larger values buy recall at a linear candidate-set
+    cost (the IVF twin of multi-probe LSH's bit flips).
+
+    The probed-cell set is a k-row ORDER/LIMIT over the centroid table
+    (tiny at any scale) broadcast into the candidate semi-join, so the
+    scan still prunes to the probed cells' partitions.
+    """
     assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     assigned = assigned.persist()  # probe lookup + candidate scan share it
-    qcell = assigned.filter(F.col(id_col) == query_id).select("cell_id")
-    cand = assigned.join(F.broadcast(qcell), on="cell_id").select(id_col, vec_col)
+    if nprobe <= 1:
+        qcells = assigned.filter(F.col(id_col) == query_id).select("cell_id")
+    else:
+        centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+        )
+        qcos = F.round(
+            _dot(F.col("_cv"), query_vec) / (_norm(F.col("_cv")) * _norm(query_vec)),
+            6,
+        )
+        qcells = (
+            centroids.select("cell_id", qcos.alias("_qc"))
+            .orderBy(F.col("_qc").desc(), F.col("cell_id").asc())
+            .limit(nprobe)
+            .select("cell_id")
+        )
+    cand = assigned.join(F.broadcast(qcells), on="cell_id").select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -1474,6 +1474,55 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk_nprobe2",
+    op_ids="beyond-reference IVF multi-cell probe (nprobe=2: the two "
+    "centroid cells nearest the query — IVF's recall knob, the twin "
+    "of multi-probe LSH's bit flips)",
+    description="top-10 neighbors of vec 0 scored across its two "
+    "nearest IVF cells; probed-cell set is a 2-row broadcast so the "
+    "candidate scan still prunes by cell",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_CTE},
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qscore AS (
+            SELECT cell_id,
+                   ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                         / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                            * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
+                         6) AS qc
+            FROM (SELECT c.cell_id, unnest(c.cv) AS x, unnest(q.qe) AS y
+                  FROM cents c, q)
+            GROUP BY cell_id
+        ),
+        probed AS (SELECT cell_id FROM qscore
+                   ORDER BY qc DESC, cell_id ASC LIMIT 2),
+        cand AS (
+            SELECT e.* FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN probed p ON a.cell_id = p.cell_id
+        ),
+        dots AS (
+            SELECT vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c, q)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 6) + 0.0 AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        embeddings, _query_vec(spark, sf_dir), query_id=0, n_centroids=8,
+        k=10, nprobe=2,
+    )
+
+
+@register(
     "embedding_vector_stats",
     op_ids="beyond-reference Arrow-vectorized Pandas UDF path: "
     "per-vector numpy stats (dim, L2 norm, max |component|)",
