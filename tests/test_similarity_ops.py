@@ -192,3 +192,48 @@ class TestInt8Quantize:
         # constant vector: scale undefined -> all zeros, params preserved
         assert got[2].q_codes == "0,0,0"
         assert got[2].vmin == got[2].vmax == 5.0
+
+
+class TestRecallDials:
+    def test_multiprobe_recovers_cross_bucket_neighbor(self, spark):
+        from pyspark.sql import functions as F
+
+        from nhl_data_warehouse_spark.operators.similarity import (
+            ann_bucketed_topk,
+            ann_multiprobe_topk,
+            lsh_hyperplane_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i == j or i + 8 == j) for j in range(64)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        q = F.array(*[F.lit(1.0 if j in (0, 8) else 0.0) for j in range(64)])
+        single = {r.vec_id for r in ann_bucketed_topk(df, q, k=40, dim=64).collect()}
+        multi = {
+            r.vec_id
+            for r in ann_multiprobe_topk(df, q, k=40, dim=64, max_flips=1).collect()
+        }
+        # multi-probe candidates are a superset: every single-bucket hit
+        # plus the 1-bit-flip buckets' vectors
+        assert single <= multi
+        buckets = {r.vec_id: r.bucket for r in lsh_hyperplane_buckets(df, dim=64).collect()}
+        qrow = ann_bucketed_topk(df, q, k=40, dim=64)
+        # and multi-probe saw at least one vector outside the query bucket
+        probed_buckets = {buckets[v] for v in multi}
+        assert len(probed_buckets) >= len({buckets[v] for v in single})
+
+    def test_nprobe2_is_superset_of_nprobe1(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import ivf_topk
+        from nhl_data_warehouse_spark.suite.registry import load
+
+        (emb,) = load(spark, "/root/testdata/sf0.001", "embeddings")
+        from nhl_data_warehouse_spark.suite.training import _query_vec
+
+        q = _query_vec(spark, "/root/testdata/sf0.001")
+        # k larger than the corpus: results ARE the candidate sets, so
+        # widening the probe can only add candidates, never lose them
+        big = emb.count() + 1
+        one = {r.vec_id for r in ivf_topk(emb, q, k=big, nprobe=1).collect()}
+        two = {r.vec_id for r in ivf_topk(emb, q, k=big, nprobe=2).collect()}
+        assert one <= two and len(two) > len(one)
