@@ -218,10 +218,8 @@ class TestRecallDials:
         # plus the 1-bit-flip buckets' vectors
         assert single <= multi
         buckets = {r.vec_id: r.bucket for r in lsh_hyperplane_buckets(df, dim=64).collect()}
-        qrow = ann_bucketed_topk(df, q, k=40, dim=64)
-        # and multi-probe saw at least one vector outside the query bucket
-        probed_buckets = {buckets[v] for v in multi}
-        assert len(probed_buckets) >= len({buckets[v] for v in single})
+        # and multi-probe saw at least as many distinct buckets
+        assert len({buckets[v] for v in multi}) >= len({buckets[v] for v in single})
 
     def test_nprobe2_is_superset_of_nprobe1(self, spark):
         from nhl_data_warehouse_spark.operators.similarity import ivf_topk
