@@ -71,28 +71,53 @@ def test_every_registered_query_builds_a_plan(spark):
 
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries;
-    keep the round's priorities (round-1 hard-errors, ingest surface,
-    streaming execution, all of TPC-H, the dedup/ANN families) inside
-    that window — an accidental import reorder silently forfeits their
-    driver verdicts."""
+    round 3's window is the 41 queries with no driver verdict in
+    rounds 1-2 plus the 9 riskiest fixed round-1 hash-fails — an
+    accidental import reorder silently forfeits their driver
+    verdicts. The exact lists come from CORRECTNESS_r01/r02.json
+    (see COVERAGE.md's driver-verdict history)."""
+    import json
+    from pathlib import Path
+
     from nhl_data_warehouse_spark.suite import REGISTRY
 
     window = list(REGISTRY)[:50]
-    assert window[0] == "range_join_pairs"
-    assert window[1] == "sessionize_events"
+    repo = Path(__file__).resolve().parents[1]
+    checked = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = repo / fname
+        if p.exists():
+            checked |= set(json.loads(p.read_text()))
+    never_checked_in_window = [n for n in window[:41] if n not in checked]
+    assert len(never_checked_in_window) == 41, (
+        "first 41 slots must all be never-driver-checked; intruders: "
+        f"{[n for n in window[:41] if n in checked]}"
+    )
     for must in (
-        "scrape_ingest_roundtrip",
-        "rest_json_ingest_roundtrip",
-        "streaming_hourly_stats",
-        "streaming_user_totals",
-        "view_materialization_sql",
-        "catalog_context_read",
-        "lsh_verified_near_dups",
-        "near_dup_clusters",
-        "ann_ivf_topk",
+        # training back half
+        "tfidf_top_terms",
+        "bm25_doc_ranking",
+        "pmi_collocations",
+        "repetition_signals",
+        "ivfpq_topk",
+        "pq_codes",
+        "sequence_token_spans",
+        "greedy_pack_bins",
+        "streaming_dedup_exactly_once",
+        "media_feature_extract",
+        "cdc_latest_state",
+        # riskiest fixed r1 hash-fails (decimal/HUGEINT class)
+        "pricing_summary",
+        "regional_revenue",
+        "pagerank_trade_graph",
+        "props_map_stats",
+        "gapfill_priority_revenue",
+        "grouping_sets_status_priority",
+        "rollup_region_nation",
+        "cube_status_priority",
+        "salted_hot_key_agg",
     ):
         assert must in window, must
-    assert sum(1 for n in window if n.startswith("tpch_")) == 21
 
 
 def test_no_decimal_in_final_schemas(spark):
