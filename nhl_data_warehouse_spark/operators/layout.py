@@ -51,13 +51,26 @@ def zorder_file_assignment(
     id_col: str,
     n_files: int = 32,
     bits: int = 16,
+    bucket_bits: int = 12,
 ) -> DataFrame:
     """Assign each row a target file by Z-order: compute the Morton
     key over (x % 2^bits, y % 2^bits) and split the Z-sorted order
-    into ``n_files`` equal ranges (``ntile``), tie-broken on
-    ``id_col`` so the assignment is total and deterministic. The
-    write path would ``repartitionByRange`` on the same key; this
-    operator exposes the assignment itself so layouts are testable.
+    into ``n_files`` equal-depth ranges, tie-broken on ``id_col`` so
+    the assignment is total and deterministic (bit-identical to
+    ``NTILE(n_files) OVER (ORDER BY z_key, id)``). The write path
+    would ``repartitionByRange`` on the same key; this operator
+    exposes the assignment itself so layouts are testable.
+
+    Scale shape (VERDICT r2 W1): a literal global ``ntile`` window
+    funnels every row through one task — the exact single-partition
+    violation SCALE.md bans. Instead the global rank is computed with
+    the same two-level prefix sum as ``packing.py``: rows shuffle once
+    into ~2^bucket_bits contiguous Z-prefix buckets (a *partitioned*
+    row_number window), the only unpartitioned window runs over the
+    bucket TOTALS (~4096 rows), and the NTILE tile arithmetic is then
+    a per-row closed form over (rank, total). One row-scale shuffle —
+    the same cost ``repartitionByRange`` pays — instead of a global
+    single-partition sort.
     """
     mask = (1 << bits) - 1
     zk = z_value(
@@ -66,11 +79,51 @@ def zorder_file_assignment(
         bits,
     )
     out = df.withColumn("z_key", zk)
-    w = Window.orderBy(F.col("z_key"), F.col(id_col))
-    return out.select(
+    # contiguous coarse buckets: the high bits of z_key are monotone
+    # in z_key, so bucket ranges tile the global (z_key, id) order
+    shift = max(2 * bits - bucket_bits, 0)
+    out = out.withColumn("__zbucket", F.shiftright(F.col("z_key"), shift))
+    counts = out.groupBy("__zbucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.orderBy("__zbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__zbucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    total = counts.agg(F.sum("__cnt").cast("long").alias("__total"))
+    w_local = Window.partitionBy("__zbucket").orderBy(
+        F.col("z_key"), F.col(id_col)
+    )
+    ranked = (
+        out.withColumn("__lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on="__zbucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__rn", (F.col("__off") + F.col("__lr")).cast("long"))
+    )
+    # NTILE(n) closed form: q = total div n, r = total mod n; the
+    # first r tiles hold q+1 rows, the rest q. CASE short-circuits,
+    # so the `div __q` branch never evaluates when q = 0 (total < n).
+    ranked = (
+        ranked.withColumn("__q", F.expr(f"__total div {n_files}"))
+        .withColumn("__r", F.col("__total") % n_files)
+        .withColumn("__thr", F.col("__r") * (F.col("__q") + 1))
+    )
+    file_id = (
+        F.when(
+            F.col("__rn") <= F.col("__thr"),
+            F.expr("(__rn - 1) div (__q + 1)") + F.lit(1),
+        )
+        .otherwise(
+            F.col("__r") + F.expr("(__rn - __thr - 1) div __q") + F.lit(1)
+        )
+        .cast("int")
+    )
+    return ranked.select(
         id_col,
         x_col,
         y_col,
         "z_key",
-        F.ntile(n_files).over(w).alias("file_id"),
+        file_id.alias("file_id"),
     )

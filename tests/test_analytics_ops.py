@@ -102,6 +102,50 @@ class TestZOrder:
             per_file[r.file_id] += 1
         assert per_file == {i: 8 for i in range(1, 9)}  # ntile is 1-based
 
+    def test_file_assignment_matches_ntile_on_uneven_total(self, spark):
+        # 67 rows / 8 files: NTILE gives three 9-row tiles then five
+        # 8-row tiles. The scale-safe two-level-rank form must stay
+        # bit-identical to the NTILE closed form the oracle runs.
+        from pyspark.sql.window import Window
+
+        df = spark.createDataFrame(
+            [(i, i * 7 % 100, i * 13 % 100) for i in range(67)],
+            "id long, x long, y long",
+        )
+        got = {
+            r.id: r.file_id
+            for r in zorder_file_assignment(
+                df, "x", "y", "id", n_files=8
+            ).collect()
+        }
+        from nhl_data_warehouse_spark.operators.layout import z_value
+
+        mask = 65535
+        ref_df = df.withColumn(
+            "z_key",
+            z_value(
+                F.col("x").bitwiseAND(F.lit(mask)),
+                F.col("y").bitwiseAND(F.lit(mask)),
+            ),
+        )
+        w = Window.orderBy("z_key", "id")
+        ref = {
+            r.id: r.file_id
+            for r in ref_df.select(
+                "id", F.ntile(8).over(w).alias("file_id")
+            ).collect()
+        }
+        assert got == ref
+
+    def test_file_assignment_fewer_rows_than_files(self, spark):
+        # total < n_files: q = 0, every row its own tile — the CASE
+        # guard must keep the `div q` branch unevaluated
+        df = spark.createDataFrame(
+            [(i, i, i) for i in range(5)], "id long, x long, y long"
+        )
+        out = zorder_file_assignment(df, "x", "y", "id", n_files=8).collect()
+        assert sorted(r.file_id for r in out) == [1, 2, 3, 4, 5]
+
 
 class TestCountMin:
     def test_estimate_at_least_truth_and_usually_exact(self, spark):

@@ -170,6 +170,17 @@ def test_vector_argmin_uses_partial_min_by_not_window(spark, registry):
         assert "row_number" not in plan, q
 
 
+def test_zorder_rank_window_is_bucket_partitioned(spark, registry):
+    # W1 fix (VERDICT r2): no global ntile — the row-scale row_number
+    # window must carry the Z-prefix bucket key; the only unpartitioned
+    # window runs over ~2^12 bucket totals
+    plan = plan_of(registry["zorder_file_assignment"].fn(spark, SF))
+    assert "ntile" not in plan
+    assert "__zbucket" in plan
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__zbucket" in m.group(1)
+
+
 def test_tfidf_topk_window_is_doc_partitioned(spark, registry):
     # top-k terms is a per-doc window — partitioned, parallel; a
     # global window here would funnel the corpus through one task
