@@ -79,16 +79,133 @@ def as_media_table(
     )
 
 
+def _header_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Read image dimensions from the container header with stdlib
+    ``struct`` alone — no codec library needed. Supports the three
+    formats whose headers carry explicit dimensions:
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height
+      as big-endian u32 at bytes 16..24.
+    - GIF (87a/89a): logical screen descriptor width/height as
+      little-endian u16 at bytes 6..10.
+    - JPEG: walk the marker segments to the first SOFn (baseline /
+      progressive frame header); height/width are big-endian u16 at
+      offsets 3/5 inside the segment.
+
+    Returns None for anything else (undecodable -> caller's fake).
+    """
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # SOF markers: C0-CF except C4 (DHT), C8 (JPG ext), CC (DAC)
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return None
+
+
+def png_payload(width: int, height: int) -> bytes:
+    """A minimal REAL grayscale PNG (8-bit, zero scanlines) built with
+    stdlib ``zlib``+``struct`` only — a decodable-image fixture
+    generator for tests and for deriving exact decode oracles from
+    synthetic data. Any PNG reader (including ``_header_dimensions``
+    and Pillow) recovers exactly (width, height)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def as_png_media_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_expr: str = "1 + doc_id % 64",
+    height_expr: str = "1 + coalesce(n_chars, 0) % 64",
+    source_col: str = "source",
+) -> DataFrame:
+    """Wrap a table into the media shape with REAL decodable PNG
+    payloads whose dimensions derive from row columns — so a decode
+    stage downstream has an exact, SQL-expressible oracle (the same
+    width/height expressions in any engine). The PNG bytes are built
+    per row with stdlib zlib (``png_payload``) inside Arrow-batched
+    mapInPandas; both expressions must be valid ANSI SQL over the
+    input columns."""
+    import pandas as pd
+
+    dims = df.selectExpr(
+        f"{id_col} AS media_id",
+        f"CAST({width_expr} AS INT) AS __w",
+        f"CAST({height_expr} AS INT) AS __h",
+        f"{source_col} AS __source",
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = [
+                png_payload(int(w), int(h))
+                for w, h in zip(pdf["__w"], pdf["__h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(p), "source": s}
+                        for p, s in zip(payloads, pdf["__source"])
+                    ],
+                }
+            )
+
+    return dims.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _decode_dimensions(payload: bytes) -> tuple[int, int, bool]:
     """Decode payload dimensions.
 
-    The REAL branch runs when Pillow is importable AND the payload is a
-    decodable image: ``PIL.Image.open`` reads only the header, so this
-    is cheap even for large files. Everything else (no Pillow in this
-    container, or a non-image payload like the text stand-ins the
-    suite uses) falls to a deterministic fake derived from the bytes,
-    flagged ``decoded_real=False`` so downstream can filter on it.
+    REAL branches, in order: stdlib header parsing (PNG/GIF/JPEG —
+    ``_header_dimensions``, no codec library needed), then Pillow if
+    importable (covers every other format Pillow knows;
+    ``PIL.Image.open`` reads only the header, so it is cheap even for
+    large files). Non-image payloads (like the text stand-ins parts of
+    the suite use) fall to a deterministic fake derived from the
+    bytes, flagged ``decoded_real=False`` so downstream can filter.
     """
+    dims = _header_dimensions(payload)
+    if dims is not None:
+        return dims[0], dims[1], True
     try:
         import io
 

@@ -758,15 +758,26 @@ def binary_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_extract",
-    op_ids="beyond-reference multimodal decode/feature plumbing (mapInPandas)",
-    description="Arrow-batched byte stats + stubbed decode over binary payloads "
-    "(no SQL oracle: Python mapInPandas semantics; driver rows-only check)",
-    oracle=None,
+    op_ids="beyond-reference multimodal decode/feature plumbing "
+    "(mapInPandas over REAL PNG payloads; stdlib header decode)",
+    description="documents wrapped as real zlib-built PNGs whose "
+    "dimensions derive from (doc_id, n_chars); extract_features "
+    "header-decodes them (no codec library), so width/height/"
+    "decoded_real have an exact SQL oracle",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(1 + doc_id % 64 AS INTEGER) AS width,
+               CAST(1 + coalesce(n_chars, 0) % 64 AS INTEGER) AS height,
+               TRUE AS decoded_real
+        FROM documents
+    """,
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    media = multimodal.as_media_table(documents)
-    return multimodal.extract_features(media)
+    media = multimodal.as_png_media_table(documents)
+    return multimodal.extract_features(media).select(
+        "media_id", "width", "height", "decoded_real"
+    )
 
 
 @register(
@@ -1813,9 +1824,12 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what this verifies",
     oracle="""
         SELECT doc_id AS media_id,
-               'text/plain;resized' AS mime,
-               CAST(GREATEST(octet_length(encode(text)) // 2, 1) AS BIGINT)
-                   AS n_bytes,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE 'text/plain;resized' END AS mime,
+               CAST(CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+                         THEN 0
+                         ELSE GREATEST(octet_length(encode(text)) // 2, 1)
+                    END AS BIGINT) AS n_bytes,
                source
         FROM documents
     """,
