@@ -103,7 +103,38 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+
+    # The consumer keeps only the last ~2 KB of stdout, and the full
+    # per-query dict (~139 entries) is ~4 KB — so emit three forms,
+    # most informative LAST so whatever survives a tail cut parses:
+    # 1. the full payload, persisted to a file next to this script;
+    # 2. the full payload on stdout (complete-capture consumers);
+    # 3. a compact one-line summary (total + slowest-10 + error count)
+    #    printed last, itself a valid single-JSON-line artifact.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout forms still carry the data
     print(json.dumps(payload))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries_full": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
