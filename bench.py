@@ -82,14 +82,12 @@ def main() -> None:
             df = None
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
         # queries persist reused intermediates (LSH bands, capped
-        # shingles); drop them so measurements stay independent.
-        # localCheckpoint blocks (connected components, packing) are
-        # NOT catalog-cached — without the explicit unpersist below
-        # they accumulate across the 100+ queries and the resulting
-        # heap pressure inflates late-run timings several-fold.
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(False)
+        # shingles); drop them so measurements stay independent and
+        # localCheckpoint blocks don't accumulate heap pressure
+        # across the 100+ queries (the release_cached caller contract)
+        from nhl_data_warehouse_spark.session import release_cached
+
+        release_cached(spark)
         del df
         gc.collect()
     total = round(time.time() - t_total, 3)

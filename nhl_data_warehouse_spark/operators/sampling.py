@@ -202,9 +202,14 @@ def temperature_rebalance(
         (palpha / F.sum(palpha).over(w)).alias("_share"),
     )
     scale = F.min(F.col("_n") / F.col("_share")).over(w)
+    # _share holds a window SUM of doubles whose summation ORDER the
+    # engine picks — a last-ulp drift there can shift floor(rate*16^8)
+    # by one and flip a row sitting exactly on its hash threshold.
+    # Rounding the final rate to 9 dp (both engines) absorbs the ulp
+    # while keeping ~4.3 threshold units of resolution.
     rates = with_share.select(
         group_col,
-        ((scale * F.col("_share")) / F.col("_n")).alias("_rate"),
+        F.round((scale * F.col("_share")) / F.col("_n"), 9).alias("_rate"),
     )
     bucket = hash_bucket(id_cols, salt)
     threshold = F.lpad(

@@ -72,6 +72,25 @@ def get_spark(
     return spark
 
 
+def release_cached(spark: SparkSession) -> None:
+    """Drop every cached block the last query pinned.
+
+    Several operators ``persist()`` an intermediate their plan reads
+    more than once (LSH bands, capped shingles, oriented edge lists,
+    tokenized corpora). The operators return LAZY DataFrames, so they
+    cannot unpersist before the caller has run its action — instead
+    the caller contract is: a long-lived session serving many queries
+    calls ``release_cached(spark)`` between them (as ``bench.py`` and
+    ``tools/check_oracle.py`` do). Covers both catalog-cached plans
+    and directly-persisted RDD blocks (``localCheckpoint`` output
+    from connected components / packing is NOT in the catalog and
+    leaks without the RDD sweep).
+    """
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver's parquet tables and register temp views.
 

@@ -543,9 +543,20 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    # Correctness here must not depend on how the file source batches
+    # the two deliveries (ADVICE r2): (a) maxFilesPerTrigger pins both
+    # symlinks into one micro-batch even if a future option changes
+    # availableNow's default draining, and (b) the watermark exceeds
+    # the testdata's whole event-time span (30 days), so even under
+    # multi-batch replay no duplicate's state has expired when its
+    # twin arrives.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(src_dir)
+    )
     stream = normalize_timestamps(stream, "events")
-    deduped = dedup_events_stream(stream, keys=["event_id"], watermark="1 hour")
+    deduped = dedup_events_stream(stream, keys=["event_id"], watermark="2400 hours")
     q = (
         deduped.select("event_id", "ts", "user_id", "event_type", "value")
         .writeStream.outputMode("append")

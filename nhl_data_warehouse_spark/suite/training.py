@@ -1866,7 +1866,7 @@ def media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM counts
         ),
         rates AS (
-            SELECT lang, (MIN(n / share) OVER ()) * share / n AS rate
+            SELECT lang, round((MIN(n / share) OVER ()) * share / n, 9) AS rate
             FROM sh
         )
         SELECT d.doc_id, d.lang

@@ -99,9 +99,9 @@ def main() -> int:
         # edges, ...) — without this the 130+ collect()s accumulate
         # heap state and late queries slow down several-fold, the
         # exact long-running-driver failure bench.py guards against
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist(False)
+        from nhl_data_warehouse_spark.session import release_cached
+
+        release_cached(spark)
         spec = REGISTRY[name]
         t0 = time.time()
         try:
