@@ -202,7 +202,7 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components (iterative min-label propagation; oracle is a recursive CTE)",
     description="transitive closure of verified near-dup pairs: cluster id = min "
     "reachable doc id; representatives are what survives dedup",
-    oracle=f"""
+    oracle=(_NEAR_DUP_CLUSTERS_ORACLE := f"""
         WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
         bands AS (
             {" UNION ALL ".join(
@@ -240,7 +240,7 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node AS doc_id, MIN(lab) AS cluster_id,
                (node = MIN(lab)) AS is_representative
         FROM reach GROUP BY node
-    """,
+    """),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
@@ -250,6 +250,31 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
     pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select("a_id", "b_id")
     cc = dedup.connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+@register(
+    "near_dup_clusters_kiveris",
+    op_ids="beyond-reference duplicate clustering, deep-graph fallback: "
+    "large-star/small-star alternation (Kiveris et al., SoCC'14 — "
+    "O(log^2 n) rounds vs min-label's diameter-many)",
+    description="identical transitive closure to near_dup_clusters, "
+    "computed by the star alternation that survives adversarial deep "
+    "dup chains; same recursive-CTE oracle (same fixed point)",
+    oracle=_NEAR_DUP_CLUSTERS_ORACLE,
+)
+def near_dup_clusters_kiveris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
+    pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select("a_id", "b_id")
+    cc = dedup.connected_components_kiveris(pairs)
     return cc.select(
         "doc_id",
         "cluster_id",

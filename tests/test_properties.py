@@ -173,6 +173,53 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expected
 
 
+@settings(max_examples=4, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_kiveris_components_match_union_find(spark, edges):
+    from nhl_data_warehouse_spark.operators.dedup import connected_components_kiveris
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_kiveris(df).collect()
+    }
+    assert got == expected
+
+
+def test_kiveris_converges_on_deep_chain(spark):
+    # the adversarial case min-label propagation can't touch: a
+    # 1000-link chain has diameter 1000, so label propagation needs
+    # ~1000 rounds; the star alternation must finish in max_iter=30
+    from nhl_data_warehouse_spark.operators.dedup import connected_components_kiveris
+
+    chain = [(i, i + 1) for i in range(1000)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    out = connected_components_kiveris(df, max_iter=30).collect()
+    assert len(out) == 1001
+    assert {r.cluster_id for r in out} == {0}
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=400),
