@@ -84,22 +84,28 @@ def zorder_file_assignment(
     shift = max(2 * bits - bucket_bits, 0)
     out = out.withColumn("__zbucket", F.shiftright(F.col("z_key"), shift))
     counts = out.groupBy("__zbucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    # one pass over the tiny bucket-totals relation yields both the
+    # exclusive prefix (bucket offset) and the grand total — no
+    # separate global aggregate, no cross join
     w_off = (
         Window.orderBy("__zbucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_all = (
+        Window.orderBy("__zbucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     offsets = counts.select(
         "__zbucket",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__total"),
     )
-    total = counts.agg(F.sum("__cnt").cast("long").alias("__total"))
     w_local = Window.partitionBy("__zbucket").orderBy(
         F.col("z_key"), F.col(id_col)
     )
     ranked = (
         out.withColumn("__lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), on="__zbucket")
-        .crossJoin(F.broadcast(total))
         .withColumn("__rn", (F.col("__off") + F.col("__lr")).cast("long"))
     )
     # NTILE(n) closed form: q = total div n, r = total mod n; the
