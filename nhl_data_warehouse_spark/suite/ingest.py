@@ -605,3 +605,148 @@ def catalog_context_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         catalog.use_database(spark, "default")
     return out
+
+
+# ---------------------------------------------------------------------------
+# S9 + P2: file-pattern pruning (pathGlobFilter) with decoy files
+# ---------------------------------------------------------------------------
+
+_GLOB_FILES = {
+    "wk1.csv": [
+        ["2025-02-01", "19:00", "Colorado Avalanche", "3", "Dallas Stars",
+         "4", "OT", "18532", "2:32"],
+        ["2025-02-02", "20:00", "Winnipeg Jets", "2", "Dallas Stars",
+         "1", "", "15000", "2:10"],
+    ],
+    "wk2.csv": [
+        ["2025-02-03", "18:30", "Dallas Stars", "5", "Chicago Blackhawks",
+         "2", "SO", "17111", "2:45"],
+    ],
+}
+
+# same CSV shape, non-matching names: if the glob ever loosens, these
+# rows appear in the output and the oracle hash breaks loudly
+_GLOB_DECOYS = {
+    "notes.txt": [
+        ["1999-01-01", "12:00", "Decoy Team", "9", "Decoy Team", "9",
+         "", "1", "9:59"],
+    ],
+    "wk1.csv.bak": [
+        ["1999-01-02", "12:00", "Stale Backup", "8", "Stale Backup", "8",
+         "", "1", "9:59"],
+    ],
+}
+
+
+def _glob_expected() -> list[dict]:
+    out = []
+    for fname, rows in _GLOB_FILES.items():
+        for r in rows:
+            payload = "|".join(r)
+            out.append(
+                {
+                    "source_file": fname,
+                    "unique_key": hashlib.md5((fname + payload).encode()).hexdigest(),
+                    "game_date": r[0],
+                    "visitor": r[2],
+                    "visitor_goals": int(r[3]),
+                    "home": r[4],
+                    "home_goals": int(r[5]),
+                    "guests_in_attendance": int(r[7]),
+                    "length_of_game_minutes": (
+                        int(r[8].split(":")[0]) * 60 + int(r[8].split(":")[1])
+                    ),
+                }
+            )
+    return out
+
+
+@register(
+    "glob_pruned_csv_load",
+    op_ids="S9,P2,S8 (file-pattern pruning: COPY's FILES pattern as "
+    "pathGlobFilter, resolved at scan planning so non-matching files "
+    "are never opened; OT/SO marker column present in the files but "
+    "positionally skipped)",
+    description="a landing dir holding two games CSVs plus two decoy "
+    "files (.txt, .csv.bak) whose rows would poison the result if the "
+    "glob ever loosened; only *.csv rows may surface",
+    oracle=_values_sql(_glob_expected(), _GAMES_TYPES),
+)
+def glob_pruned_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.sources.csv_source import load_games_csv
+
+    landing = _fresh_dir("suite_glob_")
+    header = ",".join(_GAMES_HEADER)
+    for fname, rows in {**_GLOB_FILES, **_GLOB_DECOYS}.items():
+        with open(os.path.join(landing, fname), "w") as f:
+            f.write(header + "\n")
+            for r in rows:
+                f.write(",".join(r) + "\n")
+    return load_games_csv(spark, landing).select(
+        "source_file",
+        "unique_key",
+        "game_date",
+        "visitor",
+        "visitor_goals",
+        "home",
+        "home_goals",
+        "guests_in_attendance",
+        "length_of_game_minutes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5: orchestrated pipeline with a transient per-stage failure
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runner_retry_pipeline",
+    op_ids="M5 (topological model runner + per-stage retry — the "
+    "reference's Airflow retries=1 policy — driven end-to-end: a "
+    "3-model DAG over the testdata where the middle model fails "
+    "transiently on its first attempt and must succeed on retry)",
+    description="region -> nation-join -> per-region nation counts "
+    "through PipelineRunner; the join stage raises once before "
+    "building its DataFrame, so the emitted mart exists only if "
+    "retry + topo ordering work",
+    oracle="""
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def runner_retry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.plans.runner import Model, PipelineRunner
+
+    nation, region = load(spark, sf_dir, "nation", "region")
+    attempts = {"n": 0}  # reset per invocation; closure shared by retries
+
+    def dim_region(spark_, **_):
+        return region.select("r_regionkey", "r_name")
+
+    def stg_nations(spark_, dim_region, **_):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("transient stage failure (exercises M5 retry)")
+        return nation.join(
+            F.broadcast(dim_region),
+            nation["n_regionkey"] == dim_region["r_regionkey"],
+        ).select("n_nationkey", "r_name")
+
+    def mart_region_counts(spark_, stg_nations, **_):
+        return stg_nations.groupBy("r_name").agg(
+            F.count(F.lit(1)).alias("n_nations")
+        )
+
+    runner = PipelineRunner(spark, retries=1, retry_delay_s=0.01)
+    runner.register(Model("dim_region", dim_region))
+    runner.register(Model("stg_nations", stg_nations, deps=["dim_region"]))
+    runner.register(
+        Model("mart_region_counts", mart_region_counts, deps=["stg_nations"])
+    )
+    results = runner.run()
+    assert attempts["n"] == 2, "retry path did not run"
+    return results["mart_region_counts"]

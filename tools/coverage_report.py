@@ -49,12 +49,12 @@ SECTION2 = {
     ),
     "S9 file-pattern pruning": (
         "pathGlobFilter('*.csv'/'*.json') in both sources",
-        "tests/test_nhl_pipeline.py",
+        "tests/test_nhl_pipeline.py; query glob_pruned_csv_load (decoy files)",
     ),
     "S10 parameterized table read": ("catalog.py:read_table", "tests/test_nhl_pipeline.py::TestCatalogContext; query catalog_context_read"),
     "S11 session context (USE db)": ("catalog.py:ensure_database/use_database", "tests/test_nhl_pipeline.py::TestCatalogContext; query catalog_context_read"),
     "P1 positional projection": ("schemas.py explicit StructTypes", "query clean_cast_project"),
-    "P2 column skip ($7)": ("csv_source.py (ot_so_marker never selected)", "tests/test_nhl_pipeline.py"),
+    "P2 column skip ($7)": ("csv_source.py (ot_so_marker never selected)", "tests/test_nhl_pipeline.py; query glob_pruned_csv_load"),
     "P3 permissive casts": ("functions/cleaning.py + try_cast", "queries clean_cast_project; tests (malformed rows)"),
     "P4 trim": ("functions/cleaning.py:clean_scraped", "query clean_cast_project"),
     "P5 strip quotes (replace)": ("functions/cleaning.py:clean_scraped", "query clean_cast_project"),
@@ -79,7 +79,7 @@ SECTION2 = {
     "M2 incremental delete+insert": ("write.py:incremental_insert", "rerun-appends-0 tests"),
     "M3 table alias": ("write.py:saveAsTable names", "tests; queries catalog_context_read, view_materialization_sql"),
     "M4 append-only + load-once": ("sources/ledger.py + streaming checkpoint", "ledger replay + streaming restart tests"),
-    "M5 retry/orchestration": ("plans/runner.py (topo order, retries)", "tests/test_nhl_pipeline.py"),
+    "M5 retry/orchestration": ("plans/runner.py (topo order, retries)", "tests/test_nhl_pipeline.py; query runner_retry_pipeline (transient failure + retry)"),
     "§2.6 windows/sort/limit": ("native (beyond-reference)", "queries window_rank_topn, window_running_sum, window_lag_gap"),
     "§2.7 streaming": ("streaming/ (windows, sessions, stateful)", "tests/test_streaming.py; query event_hourly_stats"),
 }
