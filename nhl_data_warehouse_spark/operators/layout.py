@@ -19,19 +19,35 @@ from pyspark.sql.window import Window
 
 def z_value(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton Z-value of two non-negative ints already reduced to
-    ``bits`` bits: x's bit i lands at 2i, y's at 2i+1."""
-    terms = []
-    for i in range(bits):
-        terms.append(
-            F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+    ``bits`` bits (``bits`` <= 32): x's bit i lands at 2i, y's at
+    2i+1. Computed with the binary-magic-numbers bit spread — 5
+    shift/or/mask rounds per operand instead of one term per bit
+    (~30 integer ops vs ~190 for the naive per-bit sum at 16 bits),
+    all inside whole-stage codegen. Values are identical to the
+    per-bit formulation ``z_value_sql`` emits for the oracles."""
+    assert bits <= 32
+
+    def spread(c: Column) -> Column:
+        # interleave zeros between the bits of a 32-bit value
+        c = c.cast("long")
+        c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(
+            F.lit(0x0000FFFF0000FFFF)
         )
-        terms.append(
-            F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(
+            F.lit(0x00FF00FF00FF00FF)
         )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(
+            F.lit(0x0F0F0F0F0F0F0F0F)
+        )
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(
+            F.lit(0x3333333333333333)
+        )
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(
+            F.lit(0x5555555555555555)
+        )
+        return c
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1)).cast("long")
 
 
 def z_value_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
