@@ -99,53 +99,110 @@ def zorder_file_assignment(
     # in z_key, so bucket ranges tile the global (z_key, id) order
     shift = max(2 * bits - bucket_bits, 0)
     out = out.withColumn("__zbucket", F.shiftright(F.col("z_key"), shift))
-    counts = out.groupBy("__zbucket").agg(F.count(F.lit(1)).alias("__cnt"))
-    # one pass over the tiny bucket-totals relation yields both the
-    # exclusive prefix (bucket offset) and the grand total — no
-    # separate global aggregate, no cross join
-    w_off = (
-        Window.orderBy("__zbucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = (
-        Window.orderBy("__zbucket")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    offsets = counts.select(
-        "__zbucket",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__cnt").over(w_all).cast("long").alias("__total"),
-    )
-    w_local = Window.partitionBy("__zbucket").orderBy(
-        F.col("z_key"), F.col(id_col)
-    )
-    ranked = (
-        out.withColumn("__lr", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), on="__zbucket")
-        .withColumn("__rn", (F.col("__off") + F.col("__lr")).cast("long"))
-    )
-    # NTILE(n) closed form: q = total div n, r = total mod n; the
-    # first r tiles hold q+1 rows, the rest q. CASE short-circuits,
-    # so the `div __q` branch never evaluates when q = 0 (total < n).
-    ranked = (
-        ranked.withColumn("__q", F.expr(f"__total div {n_files}"))
-        .withColumn("__r", F.col("__total") % n_files)
-        .withColumn("__thr", F.col("__r") * (F.col("__q") + 1))
-    )
-    file_id = (
-        F.when(
-            F.col("__rn") <= F.col("__thr"),
-            F.expr("(__rn - 1) div (__q + 1)") + F.lit(1),
-        )
-        .otherwise(
-            F.col("__r") + F.expr("(__rn - __thr - 1) div __q") + F.lit(1)
-        )
-        .cast("int")
-    )
+    ranked = _two_level_rank(out, "__zbucket", [F.col("z_key"), F.col(id_col)])
     return ranked.select(
         id_col,
         x_col,
         y_col,
         "z_key",
-        file_id.alias("file_id"),
+        _ntile_from_rank(n_files).alias("file_id"),
+    )
+
+
+def _two_level_rank(
+    out: DataFrame, bucket_col: str, order_cols: list[Column]
+) -> DataFrame:
+    """Exact global rank over ``order_cols`` without a global
+    single-partition sort, given a precomputed ``bucket_col`` that is
+    a MONOTONE function of the leading order column (so bucket ranges
+    tile the global order). Rows shuffle once into buckets (a
+    *partitioned* ``row_number`` window); the only unpartitioned
+    window runs over the bucket TOTALS; bucket offsets broadcast back.
+    Adds ``__rn`` (1-based global rank) and ``__total`` columns."""
+    counts = out.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # one pass over the tiny bucket-totals relation yields both the
+    # exclusive prefix (bucket offset) and the grand total — no
+    # separate global aggregate, no cross join
+    w_off = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        bucket_col,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__total"),
+    )
+    w_local = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return (
+        out.withColumn("__lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on=bucket_col)
+        .withColumn("__rn", (F.col("__off") + F.col("__lr")).cast("long"))
+    )
+
+
+def _ntile_from_rank(n_tiles: int) -> Column:
+    """NTILE(n) closed form over the ``__rn``/``__total`` columns
+    ``_two_level_rank`` adds: q = total div n, r = total mod n; the
+    first r tiles hold q+1 rows, the rest q. CASE short-circuits, so
+    the ``div q`` branch never evaluates when q = 0 (total < n)."""
+    q = F.expr(f"__total div {n_tiles}")
+    r = F.col("__total") % n_tiles
+    thr = r * (q + 1)
+    return (
+        F.when(
+            F.col("__rn") <= thr,
+            F.expr(f"(__rn - 1) div ((__total div {n_tiles}) + 1)") + F.lit(1),
+        )
+        .otherwise(
+            r
+            + F.expr(
+                f"(__rn - (__total % {n_tiles}) * ((__total div {n_tiles}) + 1) - 1)"
+                f" div (__total div {n_tiles})"
+            )
+            + F.lit(1)
+        )
+        .cast("int")
+    )
+
+
+def equal_depth_assign(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_tiles: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (ORDER BY value, id)`` for a numeric
+    (non-null) value column without a global single-partition sort —
+    the scale-safe exact equi-depth split. The first level buckets
+    values uniformly over [min, max] with ``width_bucket`` (one tiny
+    min/max aggregate, broadcast back); uniform value buckets are
+    monotone and contiguous in the value order, so the two-level rank
+    is exact regardless of how uneven the bucket populations are.
+    Heavily skewed distributions concentrate rows in few buckets —
+    raise ``n_buckets`` (the totals relation stays tiny) or pre-map
+    the value (log, rank-of-rank) if one bucket still dominates; ties
+    on ``value_col`` land in one bucket by construction, so the
+    ``id_col`` tie-break never crosses buckets. Adds a ``__tile``
+    column (1-based)."""
+    stats = df.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    out = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__vbucket",
+        F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col(value_col), F.col("__lo"), F.col("__hi"), F.lit(n_buckets)
+            )
+        ),
+    )
+    ranked = _two_level_rank(
+        out, "__vbucket", [F.col(value_col), F.col(id_col)]
+    )
+    return ranked.withColumn("__tile", _ntile_from_rank(n_tiles)).drop(
+        "__vbucket", "__lo", "__hi", "__cnt", "__off", "__lr", "__rn", "__total"
     )

@@ -586,11 +586,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "equi_depth_bins",
-    op_ids="beyond-reference exact quantile binning (ntile; "
-    "approx_value_percentiles is the sketch twin at scale)",
-    description="8 equal-population order-price bins via a globally ordered "
-    "ntile with a deterministic (price, orderkey) tiebreak; per-bin count and "
-    "exact bounds",
+    op_ids="beyond-reference exact quantile binning (scale-safe "
+    "two-level-rank NTILE; approx_value_percentiles is the sketch twin)",
+    description="8 equal-population order-price bins, bit-identical to a "
+    "globally ordered ntile with a (price, orderkey) tiebreak but computed "
+    "with value buckets + partitioned windows; per-bin count and exact bounds",
     oracle="""
         WITH binned AS (
             SELECT ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
@@ -604,16 +604,20 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-depth binning is a global sort (single-partition window)
-    — correct as the small-data baseline and the oracle anchor; at 100 TB
-    use the sketch twin (approx_percentile cutpoints joined back as bin
-    edges), which this suite covers as approx_value_percentiles."""
-    from pyspark.sql.window import Window
-
+    """Exact equi-depth binning via the scale-safe two-level rank
+    (``layout.equal_depth_assign``): uniform value buckets + partitioned
+    per-bucket windows, bit-identical to the oracle's global NTILE but
+    with no single-partition sort (round-3 fix of the W2 baseline).
+    The sketch twin at 100 TB remains approx_value_percentiles."""
     (orders,) = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    binned = layout.equal_depth_assign(
+        orders.select("o_totalprice", "o_orderkey"),
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        n_tiles=8,
+    )
     return (
-        orders.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+        binned.select("o_totalprice", F.col("__tile").alias("bin"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

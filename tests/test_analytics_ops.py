@@ -137,6 +137,43 @@ class TestZOrder:
         }
         assert got == ref
 
+    def test_equal_depth_assign_matches_ntile(self, spark):
+        # doubles with duplicates, uneven total (67 % 8 != 0)
+        from pyspark.sql.window import Window
+
+        from nhl_data_warehouse_spark.operators.layout import equal_depth_assign
+
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 19) + 0.25) for i in range(67)],
+            "id long, v double",
+        )
+        got = {
+            r.id: r["__tile"]
+            for r in equal_depth_assign(df, "v", "id", n_tiles=8).collect()
+        }
+        w = Window.orderBy("v", "id")
+        ref = {
+            r.id: r.t
+            for r in df.select("id", F.ntile(8).over(w).alias("t")).collect()
+        }
+        assert got == ref
+
+    def test_equal_depth_assign_constant_values(self, spark):
+        # min == max: the width_bucket guard must not divide by zero,
+        # and the id tie-break alone orders the tiles
+        from nhl_data_warehouse_spark.operators.layout import equal_depth_assign
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "id long, v double"
+        )
+        out = equal_depth_assign(df, "v", "id", n_tiles=5).collect()
+        by_tile = {}
+        for r in out:
+            by_tile.setdefault(r["__tile"], []).append(r.id)
+        assert {t: sorted(ids) for t, ids in by_tile.items()} == {
+            1: [0, 1], 2: [2, 3], 3: [4, 5], 4: [6, 7], 5: [8, 9]
+        }
+
     def test_file_assignment_fewer_rows_than_files(self, spark):
         # total < n_files: q = 0, every row its own tile — the CASE
         # guard must keep the `div q` branch unevaluated

@@ -181,6 +181,16 @@ def test_zorder_rank_window_is_bucket_partitioned(spark, registry):
         assert "__zbucket" in m.group(1)
 
 
+def test_equi_depth_rank_window_is_bucket_partitioned(spark, registry):
+    # W2 fix (round 3): exact equi-depth binning no longer global-sorts;
+    # the row-scale row_number window carries the uniform value bucket
+    plan = plan_of(registry["equi_depth_bins"].fn(spark, SF))
+    assert "ntile" not in plan
+    assert "__vbucket" in plan
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__vbucket" in m.group(1)
+
+
 def test_tfidf_topk_window_is_doc_partitioned(spark, registry):
     # top-k terms is a per-doc window — partitioned, parallel; a
     # global window here would funnel the corpus through one task
