@@ -99,7 +99,7 @@ def zorder_file_assignment(
     # in z_key, so bucket ranges tile the global (z_key, id) order
     shift = max(2 * bits - bucket_bits, 0)
     out = out.withColumn("__zbucket", F.shiftright(F.col("z_key"), shift))
-    ranked = _two_level_rank(out, "__zbucket", [F.col("z_key"), F.col(id_col)])
+    ranked = two_level_rank(out, "__zbucket", [F.col("z_key"), F.col(id_col)])
     return ranked.select(
         id_col,
         x_col,
@@ -109,7 +109,7 @@ def zorder_file_assignment(
     )
 
 
-def _two_level_rank(
+def two_level_rank(
     out: DataFrame, bucket_col: str, order_cols: list[Column]
 ) -> DataFrame:
     """Exact global rank over ``order_cols`` without a global
@@ -146,7 +146,7 @@ def _two_level_rank(
 
 def _ntile_from_rank(n_tiles: int) -> Column:
     """NTILE(n) closed form over the ``__rn``/``__total`` columns
-    ``_two_level_rank`` adds: q = total div n, r = total mod n; the
+    ``two_level_rank`` adds: q = total div n, r = total mod n; the
     first r tiles hold q+1 rows, the rest q. CASE short-circuits, so
     the ``div q`` branch never evaluates when q = 0 (total < n)."""
     q = F.expr(f"__total div {n_tiles}")
@@ -200,7 +200,7 @@ def equal_depth_assign(
             )
         ),
     )
-    ranked = _two_level_rank(
+    ranked = two_level_rank(
         out, "__vbucket", [F.col(value_col), F.col(id_col)]
     )
     return ranked.withColumn("__tile", _ntile_from_rank(n_tiles)).drop(

@@ -269,3 +269,43 @@ def weighted_sample_topk(
     return out.orderBy(
         F.col("sample_key").desc(), *[F.col(c) for c in key_cols]
     ).limit(k)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    salt: str = "shuffle-v1",
+    bucket_hex_digits: int = 3,
+) -> DataFrame:
+    """Global deterministic training order: every row gets a dense
+    1-based ``shuffle_pos`` by sorting on ``md5(salt|key...)`` (ties
+    broken on the key columns). Training pipelines need the corpus in
+    a reproducible pseudo-random order — content-addressed like every
+    sampler here, so the order is stable across runs, engines, and
+    repartitionings, and re-shuffles are just a new salt.
+
+    Scale shape: the rank comes from ``layout.two_level_rank`` — the
+    first ``bucket_hex_digits`` hex chars of the hash form 16^d
+    contiguous buckets of the lexicographic hash order (md5 is
+    uniform, so buckets are balanced by construction); per-bucket
+    ``row_number`` windows are partitioned, and only the 16^d bucket
+    totals cross a single partition. No global sort, no RNG.
+    """
+    from nhl_data_warehouse_spark.operators.layout import two_level_rank
+
+    parts = [F.lit(salt), *[F.col(c).cast("string") for c in key_cols]]
+    h = F.md5(F.concat_ws("|", *parts))
+    out = df.withColumn("__shuffle_hash", h).withColumn(
+        "__hbucket",
+        F.conv(F.substring("__shuffle_hash", 1, bucket_hex_digits), 16, 10).cast(
+            "long"
+        ),
+    )
+    ranked = two_level_rank(
+        out,
+        "__hbucket",
+        [F.col("__shuffle_hash"), *[F.col(c) for c in key_cols]],
+    )
+    return ranked.withColumn("shuffle_pos", F.col("__rn")).drop(
+        "__hbucket", "__shuffle_hash", "__lr", "__off", "__rn", "__total"
+    )

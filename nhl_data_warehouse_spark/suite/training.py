@@ -2133,3 +2133,29 @@ def fuzzy_source_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return similarity.kmeans_lloyd_step(embeddings, n_centroids=8)
+
+
+@register(
+    "corpus_shuffle_order",
+    op_ids="beyond-reference deterministic corpus shuffle (content-"
+    "addressed global training order via the scale-safe two-level "
+    "rank — no RNG, no global sort)",
+    description="every document ranked by md5('shuf-v1|'||doc_id): the "
+    "reproducible pseudo-random training order a corpus pipeline "
+    "feeds the dataloader, stable under reruns and repartitioning",
+    oracle="""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('shuf-v1|' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS shuffle_pos
+        FROM documents
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import deterministic_shuffle
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return deterministic_shuffle(
+        documents.select("doc_id"), key_cols=["doc_id"], salt="shuf-v1"
+    ).select("doc_id", "shuffle_pos")

@@ -146,3 +146,49 @@ class TestTemperatureRebalance:
         # alpha=1: target shares equal observed shares -> every rate is
         # 1.0 and nothing is dropped
         assert out.count() == 300
+
+
+class TestDeterministicShuffle:
+    def test_dense_total_order_stable_under_repartition(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+        out = {
+            r.doc_id: r.shuffle_pos
+            for r in deterministic_shuffle(df, ["doc_id"]).collect()
+        }
+        # dense 1..n, every row placed exactly once
+        assert sorted(out.values()) == list(range(1, 98))
+        # not the identity order (it's a shuffle)
+        assert [out[i] for i in range(97)] != list(range(1, 98))
+        # content-addressed: partitioning must not change the order
+        again = {
+            r.doc_id: r.shuffle_pos
+            for r in deterministic_shuffle(df.repartition(7), ["doc_id"]).collect()
+        }
+        assert again == out
+
+    def test_matches_global_sort_reference(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from nhl_data_warehouse_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        got = {
+            r.doc_id: r.shuffle_pos
+            for r in deterministic_shuffle(df, ["doc_id"], salt="s2").collect()
+        }
+        h = F.md5(F.concat_ws("|", F.lit("s2"), F.col("doc_id").cast("string")))
+        w = Window.orderBy(h, "doc_id")
+        ref = {
+            r.doc_id: r.p
+            for r in df.select(
+                "doc_id", F.row_number().over(w).alias("p")
+            ).collect()
+        }
+        assert got == ref
