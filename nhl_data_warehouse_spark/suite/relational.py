@@ -542,3 +542,64 @@ def asof_join_orders_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         payloads=["o_orderdate"],
         direction="forward",
     )
+
+
+@register(
+    "scd2_segment_versions",
+    op_ids="beyond-reference SCD2 dimension apply (write.py:scd2_apply "
+    "— close-and-version on tracked-attribute change, full-outer "
+    "against the open slice only; the warehouse pattern the "
+    "reference's view-only dbt models never reach)",
+    description="customer market segments versioned through one SCD2 "
+    "batch: delinquent (negative-balance) customers get their open "
+    "row closed at the effective date plus a new DELINQUENT version; "
+    "unchanged customers pass through; 15 synthetic brand-new keys "
+    "open fresh rows — all four apply branches in one result",
+    oracle="""
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer WHERE c_acctbal >= 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '2020-01-01', DATE '2024-01-01'
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL
+        SELECT c_custkey, 'DELINQUENT', DATE '2024-01-01', CAST(NULL AS DATE)
+        FROM customer WHERE c_acctbal < 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEWKEY', DATE '2024-01-01',
+               CAST(NULL AS DATE)
+        FROM customer WHERE c_custkey % 100 = 0
+    """,
+)
+def scd2_segment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.write import scd2_apply
+
+    (customer,) = load(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd_existing = customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("DELINQUENT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("effective_ts"),
+    )
+    upd_new = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("NEWKEY").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("effective_ts"),
+    )
+    out = scd2_apply(
+        current,
+        upd_existing.unionByName(upd_new),
+        keys=["c_custkey"],
+        tracked=["segment"],
+        effective_col="effective_ts",
+        start_col="valid_from",
+        end_col="valid_to",
+    )
+    return out.select("c_custkey", "segment", "valid_from", "valid_to")
