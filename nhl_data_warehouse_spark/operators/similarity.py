@@ -140,6 +140,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings, then within each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    is >= ``threshold`` — keeping exactly one representative (the
+    lowest id) per semantic-duplicate group that is connected through
+    lower ids. The clustering here is the deterministic IVF cell
+    assignment, so the whole operator is the IVF build plus a
+    within-cell self-join; plug trained k-means centroids in unchanged.
+
+    Scale shape: pairwise comparison never crosses cell boundaries, so
+    the self-join shuffles on cell_id and fan-out is sum over cells of
+    n_c^2 — the cluster count is the knob that keeps cells small
+    (SemDeDup uses ~100k clusters at web scale). No all-pairs anywhere;
+    the duplicate-id set is a distinct projection that anti-joins back.
+
+    Returns the KEPT rows as (id, cell_id).
+    """
+    assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.persist()  # pair build (2 sides) + final anti-join
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "cell_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "cell_id"
+    )
+    pairs = a.join(b, on="cell_id").filter(F.col("a_id") < F.col("b_id"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    )
+    dup_ids = (
+        pairs.select("b_id", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dup_ids, on=id_col, how="left_anti").select(
+        id_col, "cell_id"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,

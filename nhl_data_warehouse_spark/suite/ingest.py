@@ -570,6 +570,167 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "streaming_sessionize",
+    op_ids="§2.7 session-window streaming EXECUTION: gap-based "
+    "sessionization via session_window run as a real microbatch query "
+    "(merging-window state), drained with availableNow — the batch "
+    "sessionize_events twin on the native stateful operator",
+    description="30-minute-gap sessions per user computed by an actual "
+    "streaming query over the events file source in complete mode; "
+    "session_window merges events at most 30 minutes apart and ends "
+    "each session at last_ts + gap, so the oracle is the batch "
+    "gaps-and-islands form with session_end = MAX(ts) + 30 minutes",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(is_break) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.windows import sessionize
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
+
+    pin_session_defaults(spark)
+    src_dir = _fresh_dir("suite_sess_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ckpt = _fresh_dir("suite_sess_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_sess_", os.path.basename(ckpt).split("_")[-1]
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    stream = normalize_timestamps(stream, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    # complete mode: every session is in the final sink regardless of
+    # where the closing watermark lands (append would hold back any
+    # session still open against the final watermark)
+    sessions = sessionize(stream, gap="30 minutes", streaming=True)
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name).select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_interval_join",
+    op_ids="§2.7 stream-stream interval join EXECUTION: two live file "
+    "streams joined on key within an event-time range (the "
+    "ad-attribution shape), watermarked state, availableNow drain — "
+    "the streaming twin of range_join_pairs, hash-matched against the "
+    "batch range join",
+    description="same-user event pairs within a 5-minute forward window, "
+    "computed by an actual stream-stream inner join: both sides are "
+    "the events file consumed as independent streams; inner matches "
+    "emit as they pair, watermarks bound the buffered state",
+    oracle="""
+        SELECT e1.user_id AS user_id, e1.event_id AS a_id, e2.event_id AS b_id,
+               CAST(epoch_us(e2.ts) - epoch_us(e1.ts) AS DOUBLE) / 1000000.0 AS gap_seconds
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.joins import interval_join_streams
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
+
+    pin_session_defaults(spark)
+    left_dir = _fresh_dir("suite_ssj_left_")
+    right_dir = _fresh_dir("suite_ssj_right_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{left_dir}/events.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{right_dir}/events.parquet")
+    ckpt = _fresh_dir("suite_ssj_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_ssj_", os.path.basename(ckpt).split("_")[-1]
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # maxFilesPerTrigger pins each side's single file into one
+    # micro-batch so no match can race a watermark-driven eviction;
+    # the watermark itself (30 min >= the 5-min interval upper bound)
+    # is what bounds the join state on an unbounded run
+    left = normalize_timestamps(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(left_dir),
+        "events",
+    ).select("user_id", "ts", "event_id")
+    right = normalize_timestamps(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(right_dir),
+        "events",
+    ).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    joined = interval_join_streams(
+        left, right, key="user_id", upper="5 minutes", watermark="30 minutes"
+    )
+    gap_us = F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))
+    out = joined.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("r_event_id").alias("b_id"),
+        (gap_us.cast("double") / F.lit(1000000.0)).alias("gap_seconds"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # S10/S11: parameterized catalog read under session context
 # ---------------------------------------------------------------------------

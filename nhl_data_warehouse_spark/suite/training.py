@@ -583,6 +583,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_semdedup",
+    op_ids="beyond-reference SemDeDup semantic deduplication "
+    "(arXiv:2303.09540: cluster embeddings, drop within-cluster "
+    "cosine-near-duplicates keeping the lowest id — cell-bucketed "
+    "self-join, never all-pairs)",
+    description="kept vectors after SemDeDup at cosine>=0.35 over the 8 "
+    "deterministic IVF cells: a vector is dropped iff some lower-id "
+    "vector in its cell is cosine-similar above threshold",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_CTE},
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM assign a JOIN assign b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT a_id, b_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+            FROM (SELECT p.a_id, p.b_id, unnest(ea.embedding) AS x,
+                         unnest(eb.embedding) AS y
+                  FROM pairs p
+                  JOIN embeddings ea ON ea.vec_id = p.a_id
+                  JOIN embeddings eb ON eb.vec_id = p.b_id)
+            GROUP BY a_id, b_id
+        ),
+        dups AS (
+            SELECT DISTINCT b_id FROM scored
+            WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35
+        )
+        SELECT a.vec_id, a.cell_id
+        FROM assign a
+        WHERE a.vec_id NOT IN (SELECT b_id FROM dups)
+    """,
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(embeddings, n_centroids=8, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

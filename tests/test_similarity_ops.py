@@ -44,6 +44,25 @@ def test_near_dup_pairs_find_the_copy(spark):
     assert pairs[0].cosine > 0.99
 
 
+def test_semantic_dedup_drops_near_copy_keeps_lowest_id(spark):
+    # vec 2 is a near-copy of vec 0 and shares its cell; SemDeDup must
+    # drop the HIGHER id (2) and keep 0; orthogonal/opposite survive
+    kept = similarity.semantic_dedup(
+        _vecs(spark), n_centroids=2, threshold=0.9
+    ).collect()
+    kept_ids = sorted(r.vec_id for r in kept)
+    assert kept_ids == [0, 1, 3]
+    cells = {r.vec_id: r.cell_id for r in kept}
+    assert cells[0] == 0 and cells[1] == 1
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark):
+    # nothing reaches cosine >= 1.0 except exact clones (there are none
+    # after rounding except self-pairs, which the a<b filter excludes)
+    kept = similarity.semantic_dedup(_vecs(spark), n_centroids=2, threshold=1.0)
+    assert kept.count() == 4
+
+
 def test_ivf_assignment_deterministic_and_self(spark):
     # centroids = vecs 0,1; every vector lands in exactly one cell;
     # centroid vectors choose themselves (cosine 1, tie -> lower id)
