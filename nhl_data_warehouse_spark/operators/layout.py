@@ -109,6 +109,37 @@ def zorder_file_assignment(
     )
 
 
+def skipping_manifest(
+    assigned: DataFrame,
+    file_col: str,
+    dims: list[str],
+    pred_ranges: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Per-file min/max manifest over ``dims`` plus the data-skipping
+    verdict for a conjunctive range predicate — the *payoff* half of
+    Z-ordering: a file must be scanned iff every predicated dimension's
+    [min, max] envelope intersects its range (the Parquet row-group /
+    Delta file-stats pruning rule). One shuffle keyed on the file id
+    with map-side partial min/max — manifest building is O(files)
+    output however large the table, and at 100 TB this IS the metadata
+    pass a scan planner runs instead of reading data.
+
+    Returns one row per file: counts, per-dim min/max, and ``scanned``.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for d in dims:
+        aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
+    manifest = assigned.groupBy(file_col).agg(*aggs)
+    scanned = F.lit(True)
+    for d, (lo, hi) in pred_ranges.items():
+        scanned = (
+            scanned
+            & (F.col(f"max_{d}") >= F.lit(lo))
+            & (F.col(f"min_{d}") <= F.lit(hi))
+        )
+    return manifest.withColumn("scanned", scanned)
+
+
 def two_level_rank(
     out: DataFrame, bucket_col: str, order_cols: list[Column]
 ) -> DataFrame:

@@ -340,6 +340,50 @@ def zorder_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_skipping_stats",
+    op_ids="beyond-reference data-skipping manifest: per-file min/max "
+    "stats over the Z-ordered layout + conjunctive range-predicate "
+    "pruning verdict (the Parquet row-group / lake file-stats rule)",
+    description="32-file manifest over the Z-ordered orders layout with "
+    "the scan/skip verdict for x IN [0,500] AND y IN [1100,1500] — "
+    "because the layout interleaves both dimensions, the 2-dim "
+    "predicate prunes ~29 of 32 files; this is the metadata pass a "
+    "100 TB scan planner runs instead of reading data",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT o_orderkey, x, y,
+                   NTILE(32) OVER (ORDER BY z_key, o_orderkey) AS file_id
+            FROM (
+                SELECT o_orderkey,
+                       o_custkey & 65535 AS x,
+                       date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) & 65535 AS y,
+                       {layout.z_value_sql('o_custkey & 65535',
+                                           "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535")}
+                           AS z_key
+                FROM orders
+            )
+        )
+        SELECT file_id, COUNT(*) AS n_rows,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y,
+               (MAX(x) >= 0 AND MIN(x) <= 500
+                AND MAX(y) >= 1100 AND MIN(y) <= 1500) AS scanned
+        FROM assigned
+        GROUP BY file_id
+    """,
+)
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = zorder_assignment(spark, sf_dir).select("file_id", "x", "y")
+    return layout.skipping_manifest(
+        assigned,
+        "file_id",
+        dims=["x", "y"],
+        pred_ranges={"x": (0, 500), "y": (1100, 1500)},
+    )
+
+
+@register(
     "countmin_token_freq",
     op_ids="beyond-reference exact-deterministic count-min sketch "
     "(depth 4 x width 256, md5-bucket hash family; estimate >= truth)",

@@ -174,6 +174,39 @@ class TestZOrder:
             1: [0, 1], 2: [2, 3], 3: [4, 5], 4: [6, 7], 5: [8, 9]
         }
 
+    def test_skipping_manifest_prunes_disjoint_files(self, spark):
+        from nhl_data_warehouse_spark.operators.layout import skipping_manifest
+
+        # file 1 holds x,y in [0,9]; file 2 in [100,109]: a predicate
+        # on [0,9] must scan file 1 only, and stats must be exact
+        rows = [(i, i, i, 1) for i in range(10)] + [
+            (i + 10, 100 + i, 100 + i, 2) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, y long, file_id int")
+        out = {
+            r.file_id: r
+            for r in skipping_manifest(
+                df, "file_id", dims=["x", "y"],
+                pred_ranges={"x": (0, 9), "y": (0, 9)},
+            ).collect()
+        }
+        assert out[1].scanned and not out[2].scanned
+        assert (out[1].min_x, out[1].max_x, out[1].n_rows) == (0, 9, 10)
+        assert (out[2].min_y, out[2].max_y) == (100, 109)
+
+    def test_skipping_manifest_envelope_overlap_scans(self, spark):
+        from nhl_data_warehouse_spark.operators.layout import skipping_manifest
+
+        # partial overlap on one dim is enough to force a scan (min/max
+        # envelopes are conservative)
+        df = spark.createDataFrame(
+            [(1, 5, 50, 1), (2, 15, 60, 1)], "id long, x long, y long, file_id int"
+        )
+        (r,) = skipping_manifest(
+            df, "file_id", dims=["x", "y"], pred_ranges={"x": (10, 20), "y": (0, 100)}
+        ).collect()
+        assert r.scanned
+
     def test_file_assignment_fewer_rows_than_files(self, spark):
         # total < n_files: q = 0, every row its own tile — the CASE
         # guard must keep the `div q` branch unevaluated
