@@ -697,3 +697,78 @@ def bpe_merge_candidates(
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    n_buckets: int = 256,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    salt: str = "hlq-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText/CCNet-style hashed-feature linear quality classifier:
+    score = sigmoid(mean over tokens of w[bucket(token)] + bias), with
+    the hashing trick collapsing the unbounded vocabulary into
+    ``n_buckets`` feature dimensions. The weight vector here is a
+    deterministic stand-in derived from the bucket id (hash -> [-1, 1],
+    6dp); swap in trained weights as a broadcast lookup table without
+    touching the plan shape — this operator is the *serving* half every
+    model-based quality filter needs at corpus scale.
+
+    Determinism: bucket = hex4(md5(salt|token)) mod n_buckets; weight =
+    2*hex6(md5(salt|'w'|bucket))/16^6 - 1 rounded 6dp and carried as
+    DECIMAL so the per-doc sum is exact on any engine/partitioning; the
+    mean-margin is rounded 9dp BEFORE the sigmoid so a 1-ulp division
+    difference cannot flip the rounded score (suite libm convention).
+
+    Scale: tokenize-explode is a narrow 1->N map; the only shuffle is
+    the per-doc partial-aggregated sum; weights need no join at all
+    (hash-derived) — one pass however large the corpus.
+    """
+    toks = df.select(id_col, F.explode(_ws_tokens(text_col)).alias("tok"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("tok"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    wv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|w|"), bucket.cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    weight = F.round(
+        wv.cast("double") / F.lit(float(16**6)) * 2 - 1, 6
+    ).cast("decimal(12,6)")
+    per_doc = (
+        toks.select(id_col, weight.alias("_w"))
+        .groupBy(id_col)
+        .agg(F.sum("_w").alias("_sw"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    out = df.select(id_col).join(per_doc, on=id_col, how="left")
+    margin = F.round(
+        F.coalesce(F.col("_sw").cast("double") / F.col("n_tokens"), F.lit(0.0))
+        + F.lit(bias),
+        9,
+    )
+    out = out.select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        margin.alias("margin"),
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6) + F.lit(
+        0.0
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "margin",
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )

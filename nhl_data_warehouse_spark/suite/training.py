@@ -39,6 +39,17 @@ def _mh_sql(i: int) -> str:
     return f"MIN(CASE WHEN j={j} THEN substring(v, {start}, 8) END) AS mh{i}"
 
 
+def _hex_int_sql(expr: str, n_digits: int) -> str:
+    """DuckDB SQL for the integer value of the first ``n_digits`` hex
+    chars of ``expr`` (mirrors Spark's ``conv(substring(h,1,n),16,10)``)."""
+    terms = [
+        f"(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_digits - 1 - i)}"
+        for i in range(n_digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _N_DIGESTS = (N_HASHES + 3) // 4
 
 _SIG_CTE = f"""
@@ -676,6 +687,55 @@ def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return text.quality_score(documents)
+
+
+@register(
+    "model_quality_classifier",
+    op_ids="beyond-reference model-based quality filtering (fastText/"
+    "CCNet-shape: hashing-trick bag-of-words features -> linear margin "
+    "-> sigmoid score -> keep flag; weights hash-derived so serving "
+    "needs no join)",
+    description="hashed-feature linear quality classifier over documents: "
+    "256 feature buckets, deterministic stand-in weight vector, "
+    "decimal-exact margin sum, 9dp-rounded margin through the sigmoid",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   {_hex_int_sql("md5('hlq-v1|' || tok)", 4)} % 256 AS bucket
+            FROM toks
+        ),
+        w AS (
+            SELECT doc_id,
+                   CAST(round(CAST({_hex_int_sql("md5('hlq-v1|w|' || CAST(bucket AS VARCHAR))", 6)} AS DOUBLE)
+                              / 16777216.0 * 2 - 1, 6) AS DECIMAL(12,6)) AS w
+            FROM b
+        ),
+        agg AS (
+            SELECT doc_id, SUM(w) AS sw, COUNT(*) AS n_tokens
+            FROM w GROUP BY doc_id
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   round(COALESCE(CAST(a.sw AS DOUBLE) / a.n_tokens, 0.0), 9) AS margin
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, margin,
+               round(1.0 / (1.0 + exp(-margin)), 6) + 0.0 AS quality_score,
+               round(1.0 / (1.0 + exp(-margin)), 6) + 0.0 >= 0.5 AS keep
+        FROM m
+    """,
+)
+def model_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    )
 
 
 def _lang_id_oracle() -> str:

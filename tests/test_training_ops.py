@@ -246,6 +246,43 @@ class TestText:
         out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
         assert out[1] == "en" and out[2] == "de" and out[3] == "und"
 
+    def test_hashed_linear_quality_deterministic_and_bounded(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in text.hashed_linear_quality(df).collect()}
+        # identical text -> identical score; all scores in (0, 1)
+        assert out[1].quality_score == out[2].quality_score
+        assert 0.0 < out[1].quality_score < 1.0
+        # token-less doc: margin 0 -> sigmoid(0) = 0.5, kept at threshold
+        assert out[3].n_tokens == 0
+        assert out[3].margin == 0.0
+        assert out[3].quality_score == pytest.approx(0.5)
+        # score equals sigmoid of the emitted margin (6dp rounded)
+        assert out[1].quality_score == pytest.approx(
+            round(1.0 / (1.0 + math.exp(-out[1].margin)), 6), abs=1e-9
+        )
+        assert out[1].keep == (out[1].quality_score >= 0.5)
+
+    def test_hashed_linear_quality_margin_is_mean_of_bucket_weights(self, spark):
+        import hashlib
+
+        def bucket(tok):
+            return int(hashlib.md5(f"hlq-v1|{tok}".encode()).hexdigest()[:4], 16) % 256
+
+        def weight(b):
+            v = int(hashlib.md5(f"hlq-v1|w|{b}".encode()).hexdigest()[:6], 16)
+            return round(v / 16**6 * 2 - 1, 6)
+
+        toks = ["spark", "query", "engine"]
+        expected = round(sum(weight(bucket(t)) for t in toks) / len(toks), 9)
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        (r,) = text.hashed_linear_quality(df).collect()
+        assert r.margin == pytest.approx(expected, abs=1e-9)
+
     def test_fingerprint_normalization_invariance(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World!"), (2, "hello world")], "doc_id long, text string"
