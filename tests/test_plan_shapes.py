@@ -199,3 +199,39 @@ def test_tfidf_topk_window_is_doc_partitioned(spark, registry):
 
     for m in _re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
         assert "doc_id" in m.group(1)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # Runtime row-level filtering: when a selective dim side feeds a
+    # shuffle join, Catalyst injects bloom_filter_agg on the build side
+    # and might_contain on the fact scan — at 100 TB this prunes fact
+    # rows BEFORE the shuffle. The application-side size threshold
+    # (default 10 GB) is what gates it in production; at test scale we
+    # lower it to observe the same plan the big cluster would run.
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        plan = plan_of(
+            lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
