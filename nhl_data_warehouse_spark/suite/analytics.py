@@ -799,3 +799,63 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node") == 0
     )
     return bfs_hops(edges, seeds, max_hops=4)
+
+
+_REACH_RECURSIVE_SQL = """
+    WITH RECURSIVE w AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS weight
+        FROM {lineitem} l
+        JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer} c ON o.o_custkey = c.c_custkey
+        JOIN {supplier} s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst FROM w
+        WHERE CAST(weight AS DOUBLE) >
+              1.1 * (SELECT CAST(SUM(weight) AS DOUBLE) / COUNT(*) FROM w)
+    ),
+    reach(node, hop) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 4
+    )
+    SELECT node, MIN(hop) AS hop FROM reach GROUP BY node
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    op_ids="§2 SQL surface: WITH RECURSIVE (Spark 4 recursive CTE) — "
+    "the iterative bfs_trade_hops computed as one declarative SQL "
+    "recursion, letting the engine drive the fixpoint loop",
+    description="minimum hop distance from nation 0 over the directed "
+    "trade graph via a recursive CTE: UNION ALL walk enumeration "
+    "bounded at 4 hops, MIN(hop) collapse — identical SQL text runs "
+    "on both engines (the walk count is bounded by out-degree^4, so "
+    "the hop guard, not dedup, terminates the recursion)",
+    oracle=_REACH_RECURSIVE_SQL.format(
+        lineitem="lineitem",
+        orders="orders",
+        customer="customer",
+        supplier="supplier",
+    ),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, supplier = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier"
+    )
+    lineitem.createOrReplaceTempView("v_rc_lineitem")
+    orders.createOrReplaceTempView("v_rc_orders")
+    customer.createOrReplaceTempView("v_rc_customer")
+    supplier.createOrReplaceTempView("v_rc_supplier")
+    return spark.sql(
+        _REACH_RECURSIVE_SQL.format(
+            lineitem="v_rc_lineitem",
+            orders="v_rc_orders",
+            customer="v_rc_customer",
+            supplier="v_rc_supplier",
+        )
+    )
