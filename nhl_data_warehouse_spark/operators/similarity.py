@@ -140,6 +140,53 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_join_bucketed(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch approximate kNN JOIN: for EVERY vector, its top-k cosine
+    neighbors among vectors sharing its LSH bucket — the kNN-graph
+    build a curation/SemDeDup/graph-clustering pipeline runs over the
+    whole corpus at once. The point at scale: all-queries ANN is a
+    bucketed self-join plus a per-query window, ONE distributed job —
+    not a driver-side loop of single probes (O(n) jobs).
+
+    Shuffle shape: candidates form inside buckets only (fan-out
+    sum n_b^2, tuned by n_planes); the rank window is partitioned by
+    the query id, so top-k selection is parallel per query. Vectors
+    alone in their bucket yield no rows — recall repair is the same
+    multi-probe dial as ``ann_multiprobe_topk``.
+    """
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    bucketed = bucketed.persist()  # both self-join sides read it
+    a = bucketed.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("a_id") != F.col("b_id"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    ) + F.lit(0.0)
+    scored = pairs.select("a_id", "b_id", cos.alias("cosine"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "b_id", "cosine", "rank")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_centroids: int = 8,

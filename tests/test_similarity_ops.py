@@ -44,6 +44,22 @@ def test_near_dup_pairs_find_the_copy(spark):
     assert pairs[0].cosine > 0.99
 
 
+def test_knn_join_ranks_bucket_mates(spark):
+    # vecs 0 and 2 are near-copies (same bucket under any plane set);
+    # each must list the other as its rank-1 neighbor; ranks start at 1
+    # and never exceed k
+    out = similarity.knn_join_bucketed(_vecs(spark), n_planes=4, dim=DIM, k=2)
+    rows = out.collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r.a_id, []).append(r)
+    for nbrs in by_a.values():
+        nbrs.sort(key=lambda r: r.rank)
+    assert by_a[0][0].b_id == 2 and by_a[0][0].rank == 1
+    assert by_a[2][0].b_id == 0 and by_a[2][0].cosine > 0.99
+    assert all(1 <= r.rank <= 2 for r in rows)
+
+
 def test_semantic_dedup_drops_near_copy_keeps_lowest_id(spark):
     # vec 2 is a near-copy of vec 0 and shares its cell; SemDeDup must
     # drop the HIGHER id (2) and keep 0; orthogonal/opposite survive
