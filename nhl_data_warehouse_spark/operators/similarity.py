@@ -140,6 +140,32 @@ def embedding_near_dup_pairs(
     )
 
 
+def _bucketed_cosine_pairs(
+    embeddings: DataFrame,
+    n_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Directed candidate pairs inside shared LSH buckets with their
+    exact 6dp cosine — the common core of the kNN join and hard-negative
+    mining. Fan-out is sum over buckets of n_b^2 (never all-pairs)."""
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    bucketed = bucketed.persist()  # both self-join sides read it
+    a = bucketed.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("a_id") != F.col("b_id"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    ) + F.lit(0.0)
+    return pairs.select("a_id", "b_id", cos.alias("cosine"))
+
+
 def knn_join_bucketed(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -161,20 +187,7 @@ def knn_join_bucketed(
     alone in their bucket yield no rows — recall repair is the same
     multi-probe dial as ``ann_multiprobe_topk``.
     """
-    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
-    bucketed = bucketed.persist()  # both self-join sides read it
-    a = bucketed.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
-    )
-    pairs = a.join(b, on="bucket").filter(F.col("a_id") != F.col("b_id"))
-    cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
-        6,
-    ) + F.lit(0.0)
-    scored = pairs.select("a_id", "b_id", cos.alias("cosine"))
+    scored = _bucketed_cosine_pairs(embeddings, n_planes, dim, id_col, vec_col)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("a_id").orderBy(
@@ -182,6 +195,40 @@ def knn_join_bucketed(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "b_id", "cosine", "rank")
+    )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    pos_threshold: float = 0.4,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per anchor, the most
+    similar bucket-mates BELOW the positive threshold — candidates
+    near the decision boundary (similar enough to share a hash bucket,
+    dissimilar enough to be negatives), which are the negatives that
+    carry gradient signal in embedding/classifier training.
+
+    Same plan shape as the kNN join (bucketed candidates + per-anchor
+    rank window); the threshold filter runs before the window, so
+    window input shrinks with the positive set rather than growing
+    with it.
+    """
+    scored = _bucketed_cosine_pairs(embeddings, n_planes, dim, id_col, vec_col)
+    negatives = scored.filter(F.col("cosine") < pos_threshold)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    return (
+        negatives.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("a_id", "b_id", "cosine", "rank")
     )

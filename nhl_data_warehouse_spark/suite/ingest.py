@@ -571,6 +571,73 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_foreachbatch_upsert",
+    op_ids="§2.7+M2 streaming SINK EXECUTION: foreachBatch + keyed "
+    "anti-join upsert — the exactly-once *sink-side* repair (idempotent "
+    "writes), complementing dropDuplicatesWithinWatermark's source-side "
+    "dedup; each micro-batch runs the same incremental_insert the "
+    "batch pipeline uses (M2), so at-least-once delivery converges to "
+    "exactly-once table state",
+    description="the events file is delivered TWICE in two separate "
+    "micro-batches (maxFilesPerTrigger=1); foreachBatch upserts each "
+    "batch into a managed table via the left_anti incremental insert — "
+    "the second delivery must append zero rows, leaving exactly one "
+    "copy of every event",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nhl_data_warehouse_spark import catalog
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
+    from nhl_data_warehouse_spark.write import incremental_insert
+
+    pin_session_defaults(spark)
+    src_dir = _fresh_dir("suite_fbu_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_b.parquet")
+    ckpt = _fresh_dir("suite_fbu_ckpt_")
+
+    catalog.ensure_database(spark, "nhl_suite_stream")
+    table = "nhl_suite_stream.fbu_events"
+    # stale-location cleanup, same pattern as catalog_context_read
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/nhl_suite_stream.db/fbu_events", ignore_errors=True)
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # one file per trigger forces the duplicate delivery into a LATER
+    # micro-batch, so the second upsert exercises the anti-join against
+    # already-committed table state (not intra-batch dedup)
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream = normalize_timestamps(stream, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_insert(batch_df.sparkSession, batch_df, table, key="event_id")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(table)
+
+
+@register(
     "streaming_sessionize",
     op_ids="§2.7 session-window streaming EXECUTION: gap-based "
     "sessionization via session_window run as a real microbatch query "

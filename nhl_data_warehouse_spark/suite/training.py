@@ -488,6 +488,61 @@ def knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_pairs",
+    op_ids="beyond-reference contrastive hard-negative mining (per-anchor "
+    "top similar-but-below-threshold bucket-mates: the decision-boundary "
+    "negatives that carry gradient signal; threshold filter before the "
+    "rank window)",
+    description="2 hardest negatives per anchor: LSH bucket-mates with "
+    "cosine < 0.4, ranked by cosine descending — same bucketed plan as "
+    "the kNN join, opposite side of the threshold",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x, unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+            SELECT a_id, b_id,
+                   ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                         / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                            * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+                       + 0.0 AS cosine
+            FROM (SELECT p.a_id, p.b_id, unnest(ea.embedding) AS x,
+                         unnest(eb.embedding) AS y
+                  FROM pairs p
+                  JOIN embeddings ea ON ea.vec_id = p.a_id
+                  JOIN embeddings eb ON eb.vec_id = p.b_id)
+            GROUP BY a_id, b_id
+        )
+        SELECT a_id, b_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT a_id, b_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY a_id
+                                        ORDER BY cosine DESC, b_id ASC) AS rank
+              FROM scored WHERE cosine < 0.4)
+        WHERE rank <= 2
+    """,
+)
+def hard_negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_pairs(
+        embeddings, n_planes=8, dim=64, pos_threshold=0.4, k=2
+    )
+
+
+@register(
     "ann_multiprobe_topk",
     op_ids="beyond-reference multi-probe LSH (Lv et al. VLDB'07): probe "
     "the query bucket plus every 1-bit-flip neighbor — the standard "

@@ -60,6 +60,17 @@ def test_knn_join_ranks_bucket_mates(spark):
     assert all(1 <= r.rank <= 2 for r in rows)
 
 
+def test_hard_negatives_exclude_positives(spark):
+    # vec 2 is a near-copy of 0 (cosine ~1, same bucket): it must NOT
+    # appear among 0's hard negatives under threshold 0.9, and every
+    # emitted pair sits strictly below the threshold
+    out = similarity.hard_negative_pairs(
+        _vecs(spark), n_planes=4, dim=DIM, pos_threshold=0.9, k=3
+    ).collect()
+    assert all(r.cosine < 0.9 for r in out)
+    assert not any(r.a_id == 0 and r.b_id == 2 for r in out)
+
+
 def test_semantic_dedup_drops_near_copy_keeps_lowest_id(spark):
     # vec 2 is a near-copy of vec 0 and shares its cell; SemDeDup must
     # drop the HIGHER id (2) and keep 0; orthogonal/opposite survive
