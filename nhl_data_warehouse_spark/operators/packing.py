@@ -91,6 +91,51 @@ def token_spans(
     )
 
 
+def block_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    block_size: int = 512,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Materialized concat-then-chunk assembly map: one row per
+    (block, doc) segment saying which in-doc token range fills which
+    fixed-size training sequence — the GPT-style layout where
+    sequences CROSS document boundaries (what ``token_spans`` locates,
+    this one enumerates). A sequence builder joins this map back to
+    the tokenized docs and slices; every block except the final one is
+    exactly ``block_size`` tokens by construction.
+
+    Plan: the two-level prefix sum of ``token_spans`` plus one narrow
+    1->N explode over each doc's straddled block range (fan-out =
+    n_blocks per doc, bounded by doc length / block_size) — no extra
+    shuffle beyond the prefix sum's one. Zero-weight docs contribute
+    no segments.
+    """
+    spans = token_spans(df, id_col, weight_col, block_size, bucket_width)
+    w = F.col(weight_col).cast("long")
+    blocks = F.sequence(F.col("first_block"), F.col("last_block"))
+    seg = spans.filter(w > 0).select(
+        id_col,
+        "start_offset",
+        w.alias("__w"),
+        F.explode(blocks).alias("block_id"),
+    )
+    seg_start = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("block_id") * block_size - F.col("start_offset"),
+    )
+    seg_end = F.least(
+        F.col("__w"), (F.col("block_id") + 1) * block_size - F.col("start_offset")
+    )
+    return seg.select(
+        "block_id",
+        id_col,
+        seg_start.alias("seg_start"),
+        (seg_end - seg_start).alias("n_seg_tokens"),
+    )
+
+
 def pack_next_fit(
     df: DataFrame,
     group_col: str = "source",

@@ -1562,6 +1562,59 @@ def sequence_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packed_block_segments",
+    op_ids="beyond-reference sequence ASSEMBLY map (concat-then-chunk "
+    "materialized: one row per (block, doc) segment, sequences crossing "
+    "document boundaries — prefix sum + narrow per-doc block explode)",
+    description="which in-doc token range fills which 512-token training "
+    "sequence: the join-back map a sequence builder slices docs with; "
+    "every non-final block's segments sum to exactly 512 tokens",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+            FROM counts WHERE n_tokens > 0
+        ),
+        seg AS (
+            SELECT doc_id, start_offset, n_tokens,
+                   unnest(generate_series(
+                       CAST(start_offset // 512 AS BIGINT),
+                       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT)
+                   )) AS block_id
+            FROM cum
+        )
+        SELECT block_id, doc_id,
+               CAST(GREATEST(0, block_id * 512 - start_offset) AS BIGINT)
+                   AS seg_start,
+               CAST(LEAST(n_tokens, (block_id + 1) * 512 - start_offset)
+                    - GREATEST(0, block_id * 512 - start_offset) AS BIGINT)
+                   AS n_seg_tokens
+        FROM seg
+    """,
+)
+def packed_block_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import packing
+
+    (documents,) = load(spark, sf_dir, "documents")
+    counts = documents.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    return packing.block_segments(counts, block_size=512, bucket_width=1024)
+
+
+@register(
     "greedy_pack_bins",
     op_ids="beyond-reference greedy next-fit bin packing (sequential "
     "scan per group via applyInPandas; oracle is a recursive CTE)",

@@ -58,6 +58,41 @@ def _naive_next_fit(items, budget):
     return out
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.dictionaries(ids, weights, min_size=1, max_size=12).map(
+        lambda d: list(d.items())
+    ),
+    block=st.sampled_from([4, 16, 64]),
+    bucket=st.sampled_from([1, 7, 1024]),
+)
+def test_block_segments_tile_exactly(spark, rows, block, bucket):
+    from nhl_data_warehouse_spark.operators.packing import block_segments
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    segs = block_segments(
+        df, block_size=block, bucket_width=bucket
+    ).collect()
+    total = sum(w for _, w in rows)
+    # every block except the last holds exactly `block` tokens; the
+    # last holds the remainder; per-doc segment sums rebuild the doc
+    by_block, by_doc = {}, {}
+    for r in segs:
+        assert r.n_seg_tokens > 0 and r.seg_start >= 0
+        by_block[r.block_id] = by_block.get(r.block_id, 0) + r.n_seg_tokens
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.n_seg_tokens
+    assert sum(by_block.values()) == total
+    if total:
+        last = max(by_block)
+        for b, n in by_block.items():
+            assert n == (block if b != last else total - block * last)
+    weights_by_id = dict(rows)
+    for d, n in by_doc.items():
+        assert n == weights_by_id[d]
+    # zero-weight docs contribute nothing
+    assert all(weights_by_id[d] > 0 for d in by_doc)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     groups=st.dictionaries(
