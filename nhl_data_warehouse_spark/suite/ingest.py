@@ -54,6 +54,28 @@ def _fresh_memory_sink(spark: SparkSession, base: str, suffix: str) -> str:
     return name
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stateful_shuffle(spark: SparkSession, n: int = 8):
+    """Pin a small shuffle-partition count around a stateful streaming
+    run. Every stateful operator opens/commits one state store PER
+    shuffle partition PER micro-batch, so partition count — not data
+    volume — dominates these bounded suite streams (measured on the
+    stream-stream join at sf0.1: 16.3 s at 32 partitions, 3.4 s at 8).
+    The partitioning is baked into the (fresh per call) checkpoint, so
+    scoping the conf to the query is safe; the session value is
+    restored after the drain. At production volume the same dial is
+    sized UP with the key cardinality."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _drain(q, timeout_s: int = 300) -> None:
     """availableNow queries must fully drain before the sink is read;
     awaitTermination returns False (it does not raise) on timeout, and
@@ -423,15 +445,16 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value").cast("decimal(18,2)")
     )
     agg = windowed_event_counts(stream, window_duration="1 hour", streaming=True)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _stateful_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     # exact decimal sums inside the stream; double in the final schema
     return spark.table(name).select(
         "window_start",
@@ -482,15 +505,16 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = running_user_totals(
         stream.select("user_id", cents.cast("double").alias("value"))
     )
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _stateful_shuffle(spark):
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     # update mode re-emits a user's row each micro-batch that touches
     # it; n_events is strictly monotone per user, so max_by keeps the
     # final state regardless of how the file source batched
@@ -557,16 +581,17 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = normalize_timestamps(stream, "events")
     deduped = dedup_events_stream(stream, keys=["event_id"], watermark="2400 hours")
-    q = (
-        deduped.select("event_id", "ts", "user_id", "event_type", "value")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _stateful_shuffle(spark):
+        q = (
+            deduped.select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return spark.table(name)
 
 
@@ -697,15 +722,16 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the closing watermark lands (append would hold back any
     # session still open against the final watermark)
     sessions = sessionize(stream, gap="30 minutes", streaming=True)
-    q = (
-        sessions.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _stateful_shuffle(spark):
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return spark.table(name).select(
         "session_start",
         "session_end",
@@ -786,15 +812,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("b_id"),
         (gap_us.cast("double") / F.lit(1000000.0)).alias("gap_seconds"),
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _stateful_shuffle(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return spark.table(name)
 
 
