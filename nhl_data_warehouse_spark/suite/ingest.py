@@ -596,6 +596,65 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrichment",
+    op_ids="§2.7 stream-static join EXECUTION: events stream enriched "
+    "against a broadcast dimension per micro-batch (the stream never "
+    "shuffles; dim updates would be visible without restart)",
+    description="every event joined to its user's nation name through "
+    "the customer->nation dimension chain, computed by an actual "
+    "streaming query over the events file source — left join keeps "
+    "dimension-less users",
+    oracle="""
+        SELECT e.event_id, e.user_id, n.n_name AS nation_name
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.joins import enrich_stream
+    from nhl_data_warehouse_spark.suite.registry import (
+        load as _load,
+        normalize_timestamps,
+        pin_session_defaults,
+    )
+
+    pin_session_defaults(spark)
+    src_dir = _fresh_dir("suite_enr_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ckpt = _fresh_dir("suite_enr_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_enr_", os.path.basename(ckpt).split("_")[-1]
+    )
+
+    customer, nation = _load(spark, sf_dir, "customer", "nation")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    ).join(
+        nation.select("n_nationkey", F.col("n_name").alias("nation_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+        "left",
+    ).select("user_id", "nation_name")
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    stream = normalize_timestamps(stream, "events").select("event_id", "user_id")
+    enriched = enrich_stream(stream, dim, on="user_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name).select("event_id", "user_id", "nation_name")
+
+
+@register(
     "streaming_foreachbatch_upsert",
     op_ids="§2.7+M2 streaming SINK EXECUTION: foreachBatch + keyed "
     "anti-join upsert — the exactly-once *sink-side* repair (idempotent "
