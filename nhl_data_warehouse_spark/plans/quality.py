@@ -95,3 +95,57 @@ def freshness_check(
             f"freshness_check failed: newest {ts_col}={row.newest} is older "
             f"than {max_age} before {row.threshold}"
         )
+
+
+def quality_report(
+    df: DataFrame,
+    null_cols: list[str] | None = None,
+    unique_cols: list[str] | None = None,
+    accepted: tuple[str, list] | None = None,
+    fresh: tuple[str, str] | None = None,
+) -> DataFrame:
+    """The no-collect twin of the raising gates: every requested check
+    computed in ONE aggregation pass, returned as a report DataFrame
+    (check_name, violations, passed) instead of an exception — the
+    shape a quality dashboard or driver-side policy engine consumes.
+    At any scale this is a single scan with map-side partial
+    aggregation; the unpivot runs over the one aggregate row.
+
+    ``unique_cols`` counts surplus rows as COUNT(*) - COUNT(DISTINCT
+    key) (exact when the key columns are non-null — pair with a
+    null check otherwise); ``fresh`` takes (ts_col, iso_threshold)
+    with an explicit literal threshold so the report is deterministic.
+    """
+    aggs, names = [], []
+    for c in null_cols or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+        names.append(f"null_{c}")
+    if unique_cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in unique_cols]))
+            .cast("long")
+            .alias("duplicate_rows")
+        )
+        names.append("duplicate_rows")
+    if accepted:
+        col, values = accepted
+        bad = ~F.col(col).isin(list(values)) | F.col(col).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"unaccepted_{col}"))
+        names.append(f"unaccepted_{col}")
+    if fresh:
+        ts_col, threshold = fresh
+        aggs.append(
+            (F.max(F.col(ts_col)) < F.lit(threshold).cast("timestamp"))
+            .cast("long")
+            .alias(f"stale_{ts_col}")
+        )
+        names.append(f"stale_{ts_col}")
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', {n}" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (check_name, violations)")
+    ).select(
+        "check_name",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )

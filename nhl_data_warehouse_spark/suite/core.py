@@ -196,6 +196,105 @@ def null_count_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_quality_report",
+    op_ids="A1 generalized: the full dbt-style gate family (null, "
+    "unique, accepted_values, freshness) as ONE aggregation pass "
+    "returning a report frame instead of an exception",
+    description="orders quality report: custkey/date null checks, "
+    "orderkey uniqueness, status accepted-values against {O,F} "
+    "(deliberately failing: the data also holds P), freshness vs a "
+    "fixed literal threshold — (check_name, violations, passed) rows",
+    oracle="""
+        WITH m AS (
+            SELECT
+                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS null_custkey,
+                CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS null_orderdate,
+                CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                    AS duplicate_rows,
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O','F')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS unaccepted,
+                CAST(CASE WHEN MAX(o_orderdate) < TIMESTAMP '1998-12-31'
+                          THEN 1 ELSE 0 END AS BIGINT) AS stale
+            FROM orders
+        )
+        SELECT check_name, violations, violations = 0 AS passed FROM (
+            SELECT 'null_o_custkey' AS check_name, null_custkey AS violations FROM m
+            UNION ALL SELECT 'null_o_orderdate', null_orderdate FROM m
+            UNION ALL SELECT 'duplicate_rows', duplicate_rows FROM m
+            UNION ALL SELECT 'unaccepted_o_orderstatus', unaccepted FROM m
+            UNION ALL SELECT 'stale_o_orderdate', stale FROM m
+        )
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.plans.quality import quality_report
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return quality_report(
+        orders,
+        null_cols=["o_custkey", "o_orderdate"],
+        unique_cols=["o_orderkey"],
+        accepted=("o_orderstatus", ["O", "F"]),
+        fresh=("o_orderdate", "1998-12-31"),
+    )
+
+
+@register(
+    "merge_upsert_roundtrip",
+    op_ids="M2 generalized to mutable records: partition-scoped MERGE "
+    "(update-matched + insert-unmatched) on a path-partitioned parquet "
+    "table via dynamic partition overwrite — only partitions present "
+    "in the change batch are read or rewritten",
+    description="orders initially loaded without keys divisible by 3, "
+    "then a change batch (keys divisible by 5, status rewritten to 'X') "
+    "merged in: matched rows take the update, unmatched insert, "
+    "untouched rows survive — final table state hash-matched",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   year(CAST(o_orderdate AS DATE)) AS o_year
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        upd AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus,
+                   year(CAST(o_orderdate AS DATE)) AS o_year
+            FROM orders WHERE o_orderkey % 5 = 0
+        )
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.suite.ingest import _fresh_dir
+    from nhl_data_warehouse_spark.write import merge_upsert_partitioned
+
+    (orders,) = load(spark, sf_dir, "orders")
+    slim = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+    )
+    base = slim.filter(F.col("o_orderkey") % 3 != 0)
+    updates = slim.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    path = _fresh_dir("suite_merge_tgt_") + "/orders"
+    base.write.partitionBy("o_year").parquet(path)
+    merge_upsert_partitioned(
+        spark, updates, path, key="o_orderkey", partition_by=["o_year"]
+    )
+    final = spark.read.parquet(path)
+    return final.select(
+        "o_orderkey", "o_orderstatus", F.col("o_year").cast("int").alias("o_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # joins / set ops
 # ---------------------------------------------------------------------------
