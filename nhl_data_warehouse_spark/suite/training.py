@@ -1305,6 +1305,103 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_roundtrip",
+    op_ids="beyond-reference CDC table convergence (apply_changes: "
+    "compact the batch, delete tombstoned keys, upsert survivors into "
+    "a managed table — the full change-feed -> table materialization)",
+    description="orders-derived change batch (updates seq 1, tombstone "
+    "deletes seq 2, inserts) applied to a managed target: updated keys "
+    "take the new status, deleted keys disappear (a key both inserted "
+    "and deleted in one batch compacts to the later delete), untouched "
+    "rows survive — final table state hash-matched",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey % 3 <> 0
+        ),
+        ch AS (
+            SELECT o_orderkey, 'UPD' AS o_orderstatus, 1 AS seq, 'U' AS op
+            FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+            UNION ALL
+            SELECT o_orderkey, NULL, 2, 'D'
+            FROM orders WHERE o_orderkey % 11 = 0
+            UNION ALL
+            SELECT o_orderkey, 'NEW', 1, 'I'
+            FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+                FROM ch) WHERE rn = 1
+        )
+        SELECT o_orderkey, o_orderstatus FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from nhl_data_warehouse_spark import catalog
+    from nhl_data_warehouse_spark.operators import cdc
+
+    (orders,) = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_orderstatus").filter(key % 3 != 0)
+    changes = (
+        orders.filter((key % 7 == 0) & (key % 3 != 0)).select(
+            "o_orderkey",
+            F.lit("UPD").alias("o_orderstatus"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            orders.filter(key % 11 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.filter((key % 3 == 0) & (key % 5 == 0)).select(
+                "o_orderkey",
+                F.lit("NEW").alias("o_orderstatus"),
+                F.lit(1).alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    catalog.ensure_database(spark, "nhl_suite_cdc")
+    table = "nhl_suite_cdc.applied_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/nhl_suite_cdc.db/applied_orders", ignore_errors=True)
+    # the initial load is itself a change batch (all inserts, seq 0) so
+    # the target carries the change-feed schema end to end
+    initial = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    cdc.apply_changes(
+        spark, table, initial, keys=["o_orderkey"], seq_cols=["seq"], op_col="op"
+    )
+    cdc.apply_changes(
+        spark,
+        table,
+        changes,
+        keys=["o_orderkey"],
+        seq_cols=["seq"],
+        op_col="op",
+    )
+    return spark.table(table).select("o_orderkey", "o_orderstatus")
+
+
+@register(
     "udtf_positional_tokenize",
     op_ids="§2.8 Python UDTF (Spark 4 table function; SQL LATERAL fan-out)",
     description="per-token rows with positions via a Python UDTF — the custom "
