@@ -109,7 +109,9 @@ def quality_report(
     (check_name, violations, passed) instead of an exception — the
     shape a quality dashboard or driver-side policy engine consumes.
     At any scale this is a single scan with map-side partial
-    aggregation; the unpivot runs over the one aggregate row.
+    aggregation (the distinct-count check adds only the standard
+    second phase of COUNT(DISTINCT)); the unpivot runs over the one
+    aggregate row.
 
     ``unique_cols`` counts surplus rows as COUNT(*) - COUNT(DISTINCT
     key) (exact when the key columns are non-null — pair with a

@@ -168,6 +168,49 @@ class TestQualityGates:
         with pt.raises(QualityCheckError, match="unexpected"):
             accepted_values_check(bad, "status", ["O", "F", "P"])
 
+    def test_quality_report_one_pass_all_checks(self, spark):
+        from nhl_data_warehouse_spark.plans.quality import quality_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "O", "2024-01-10 00:00:00"),
+                (1, "F", "2024-01-11 00:00:00"),  # duplicate key
+                (2, "X", None),  # unaccepted status, null ts
+            ],
+            "k long, status string, loaded string",
+        ).selectExpr("k", "status", "CAST(loaded AS TIMESTAMP) AS loaded")
+        report = {
+            r.check_name: (r.violations, r.passed)
+            for r in quality_report(
+                df,
+                null_cols=["loaded"],
+                unique_cols=["k"],
+                accepted=("status", ["O", "F"]),
+                fresh=("loaded", "2024-01-11 00:00:00"),
+            ).collect()
+        }
+        assert report["null_loaded"] == (1, False)
+        assert report["duplicate_rows"] == (1, False)
+        assert report["unaccepted_status"] == (1, False)
+        assert report["stale_loaded"] == (0, True)  # newest == threshold
+        # one scan, one aggregation: a single Exchange without the
+        # distinct-count check; unique_cols adds the standard second
+        # phase of COUNT(DISTINCT) and nothing more
+        plan_simple = (
+            quality_report(df, null_cols=["loaded", "status"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_simple.count("Exchange") <= 1
+        plan_distinct = (
+            quality_report(df, null_cols=["loaded"], unique_cols=["k"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_distinct.count("Exchange") <= 2
+
     def test_freshness_check(self, spark):
         from nhl_data_warehouse_spark.plans import freshness_check
         from nhl_data_warehouse_spark.plans.quality import QualityCheckError

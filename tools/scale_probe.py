@@ -1,0 +1,239 @@
+"""Empirical scaling sweep: replicate the sf0.1 tables k times (join
+keys remapped consistently) and time representative operators at each
+factor, writing SCALING.md.
+
+The point is evidence, not benchmarking: the plan-shape tests assert
+the DESIGN scales (partial aggregation, bucketed self-joins, two-level
+ranks); this probe MEASURES it — wall-clock should grow ~linearly with
+input for every scan/agg/join/window family, and the one deliberately
+quadratic-within-cell family (SemDeDup) is probed twice to show the
+cluster-count knob restoring linearity.
+
+Usage: python tools/scale_probe.py [--factors 1 4 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# registry queries probed per factor: scan/agg, snowflake join, heavy
+# multi-join, window/sessionize, dedup scale path, layout rank,
+# text two-pass, packing prefix sum
+PROBES = [
+    "pricing_summary",
+    "regional_revenue",
+    "tpch_q9_product_type_profit",
+    "sessionize_events",
+    "minhash_lsh_candidates",
+    "lsh_verified_near_dups",
+    "zorder_file_assignment",
+    "tfidf_top_terms",
+    "packed_block_segments",
+    "model_quality_classifier",
+]
+
+# big tables replicated with remapped keys; dims copied as-is so join
+# fan-in grows with the fact side (the realistic growth mode)
+BIG = ("orders", "lineitem", "events", "documents", "embeddings")
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_dir(spark, factor: int, root: str) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"x{factor}")
+    os.makedirs(out, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    for t in BIG:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if factor > 1:
+            df = df.crossJoin(F.broadcast(reps))
+            # remap the identity/join keys so replicas don't collide;
+            # foreign keys into dims (custkey, suppkey, partkey,
+            # user_id, lang, source) stay, so per-key density grows —
+            # the realistic skew direction
+            span = 10 ** 9
+            if t == "orders":
+                df = df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.col("__rep") * span
+                )
+            elif t == "lineitem":
+                df = df.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.col("__rep") * span
+                )
+            elif t == "events":
+                df = df.withColumn(
+                    "event_id", F.col("event_id") + F.col("__rep") * span
+                ).withColumn(
+                    "ts", F.col("ts") + F.make_interval(secs=F.col("__rep"))
+                )
+            elif t == "documents":
+                df = df.withColumn(
+                    "doc_id", F.col("doc_id") + F.col("__rep") * span
+                )
+            elif t == "embeddings":
+                # replicas must be NEW vectors, not exact copies: an
+                # exact duplicate lands in its original's cell no
+                # matter how many cells exist, which would make the
+                # cluster-count knob unmeasurable. A deterministic
+                # per-replica angular perturbation (alternating-sign
+                # component scaling) stands in for genuinely new
+                # content in the grown corpus.
+                df = df.withColumn(
+                    "vec_id", F.col("vec_id") + F.col("__rep") * span
+                ).withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: (
+                            x
+                            * (
+                                1.0
+                                + 0.05
+                                * F.col("__rep").cast("double")
+                                * ((i % 2) * 2 - 1).cast("double")
+                            )
+                        ).cast("float"),
+                    ),
+                )
+            df = df.drop("__rep")
+        # single file per table, mirroring the driver's testdata shape
+        df.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", nargs="*", type=int, default=[1, 4, 10])
+    args = ap.parse_args()
+
+    from nhl_data_warehouse_spark.session import get_spark
+    from nhl_data_warehouse_spark.suite import REGISTRY
+    from nhl_data_warehouse_spark.operators import similarity
+
+    spark = get_spark(app_name="scale_probe")
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    dirs = {}
+    for f in args.factors:
+        t0 = time.time()
+        dirs[f] = build_dir(spark, f, root)
+        print(f"built x{f} in {time.time() - t0:.1f}s", flush=True)
+
+    results: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        spec = REGISTRY[name]
+        results[name] = {}
+        for f in args.factors:
+            t0 = time.time()
+            spec.fn(spark, dirs[f]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results[name][f] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+        print(f"{name}: {results[name]}", flush=True)
+
+    # the semantic-dedup cost model, measured: within-cell pairs cost
+    # ~n^2/cells and EXACT centroid assignment costs n*cells, so no
+    # exact-IVF setting is linear (fixed cells -> quadratic pairs;
+    # cells ∝ n -> quadratic assignment). The linear path is hash
+    # bucketing: hyperplane-LSH assignment costs n*planes, and bucket
+    # count 2^planes scales exponentially in planes — both sides
+    # linear. That is why the suite's dense near-dup scale twin
+    # (embedding_near_dup_pairs) buckets by LSH, with IVF kept for
+    # probe-style search where the centroid set stays fixed.
+    import math
+
+    sem: dict[str, dict[int, float]] = {
+        "semdedup_ivf_fixed_cells": {},
+        "semdedup_ivf_scaled_cells": {},
+        "semdedup_lsh_buckets": {},
+    }
+    for f in args.factors:
+        emb = spark.read.parquet(f"{dirs[f]}/embeddings.parquet")
+        for label, cells in (
+            ("semdedup_ivf_fixed_cells", 8),
+            ("semdedup_ivf_scaled_cells", 8 * f),
+        ):
+            t0 = time.time()
+            similarity.semantic_dedup(
+                emb, n_centroids=cells, threshold=0.35
+            ).write.format("noop").mode("overwrite").save()
+            sem[label][f] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+        planes = 3 + math.ceil(math.log2(f)) if f > 1 else 3
+        t0 = time.time()
+        similarity.embedding_near_dup_pairs(
+            emb, n_planes=planes, dim=64, threshold=0.35
+        ).write.format("noop").mode("overwrite").save()
+        sem["semdedup_lsh_buckets"][f] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(
+            f"semdedup x{f}: ivf_fixed={sem['semdedup_ivf_fixed_cells'][f]} "
+            f"ivf_scaled={sem['semdedup_ivf_scaled_cells'][f]} "
+            f"lsh(p={planes})={sem['semdedup_lsh_buckets'][f]}",
+            flush=True,
+        )
+
+    results.update(sem)
+    base = args.factors[0]
+    lines = [
+        "# SCALING — measured wall-clock vs input size (generated by tools/scale_probe.py)",
+        "",
+        f"sf0.1 tables replicated with remapped join keys (facts grow, dims fixed),",
+        f"run on the bench session (local[32]). Ratio columns are time(xk)/time(x{base});",
+        "linear scaling predicts ratio ~= k (modulo fixed per-query overhead, which",
+        "makes small-input ratios sublinear).",
+        "",
+        "| query | " + " | ".join(f"x{f} (s)" for f in args.factors)
+        + " | " + " | ".join(f"x{f}/x{base}" for f in args.factors[1:]) + " |",
+        "|---|" + "---|" * (2 * len(args.factors) - 1),
+    ]
+    for name, times in results.items():
+        ratios = [
+            f"{times[f] / times[base]:.1f}" if times[base] > 0 else "-"
+            for f in args.factors[1:]
+        ]
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{times[f]:.2f}" for f in args.factors)
+            + " | " + " | ".join(ratios) + " |"
+        )
+    lines += [
+        "",
+        "Reading: every scan/agg/join/window/dedup/layout family should grow",
+        "roughly linearly (ratios well under k on small inputs where fixed",
+        "overhead dominates). The semantic-dedup rows measure its cost model",
+        "on purpose: within-cell pairs cost ~n^2/cells and EXACT centroid",
+        "assignment costs n*cells, so neither fixed cells (quadratic pairs)",
+        "nor cells ∝ n (quadratic assignment) is linear — both superlinear",
+        "rows are expected. `semdedup_lsh_buckets` is the linear path: LSH",
+        "assignment costs n*planes while bucket count doubles per plane, so",
+        "both assignment and pair work stay ~linear when planes grow with",
+        "log2(n). That is the suite's documented dense near-dup scale twin;",
+        "exact IVF stays for probe-style search over a FIXED centroid set.",
+        "",
+    ]
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_path}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
