@@ -244,6 +244,87 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_join_roundtrip",
+    op_ids="beyond-reference co-located storage join: orders and "
+    "lineitem persisted hash-bucketed on the join key, then equi-joined "
+    "with broadcast disabled — both sides zip bucket-to-bucket with NO "
+    "exchange (the pre-partitioning that turns the nightly fact-fact "
+    "join from a double reshuffle into moving nothing)",
+    description="orders and lineitem written as 8-bucket tables on the "
+    "order key, joined shuffle-free, revenue aggregated per order "
+    "priority — result hash-matched against the plain join; the "
+    "no-Exchange plan property is pinned by test_plan_shapes-style "
+    "assertion inside the query (raises if a shuffle appears)",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from nhl_data_warehouse_spark import catalog
+    from nhl_data_warehouse_spark.write import write_bucketed
+
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    catalog.ensure_database(spark, "nhl_suite_bkt")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS nhl_suite_bkt.{t}")
+        shutil.rmtree(f"{wh}/nhl_suite_bkt.db/{t}", ignore_errors=True)
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "nhl_suite_bkt.bkt_orders",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice"),
+        "nhl_suite_bkt.bkt_lineitem",
+        "l_orderkey",
+        n_buckets=8,
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("nhl_suite_bkt.bkt_orders").join(
+            spark.table("nhl_suite_bkt.bkt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # the co-location contract IS the point: fail loudly if either
+        # side reshuffles (same invariant the pytest pins)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed-bucketed equi-join must not reshuffle either side"
+            )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "_rev"
+                ),
+            )
+            .select(
+                "o_orderpriority",
+                "n_items",
+                F.col("_rev").cast("double").alias("revenue"),
+            )
+        )
+        # materialize the aggregate under the no-broadcast conf; the
+        # noop write pins the executed plan before the conf restores
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    return out
+
+
+@register(
     "merge_upsert_roundtrip",
     op_ids="M2 generalized to mutable records: partition-scoped MERGE "
     "(update-matched + insert-unmatched) on a path-partitioned parquet "
