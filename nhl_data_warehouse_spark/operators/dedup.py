@@ -201,11 +201,25 @@ def minhash_band_candidates(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     band_size: int = 2,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket key,
     self-join on (band index, bucket) — candidate pairs are docs
     agreeing on ALL minhashes of at least one band. Probability a pair
     with Jaccard s becomes a candidate: 1-(1-s^band_size)^n_bands.
+
+    ``star_cap``: band buckets LARGER than the cap emit only
+    (bucket-min, member) pairs — n-1 star links instead of n^2/2
+    all-pairs. Web corpora concentrate boilerplate/mirror pages into a
+    few giant duplicate clusters whose buckets otherwise dominate the
+    candidate count quadratically (measured in SCALING.md: 10x corpus
+    with 10x-bigger dup clusters -> ~100x pairs). Star-linking keeps
+    cluster CONNECTIVITY (every member still links to the
+    representative, so connected components are unchanged whenever the
+    star pairs verify — exact-duplicate buckets always do) at a
+    documented recall tradeoff for borderline near-dup PAIR listing
+    inside oversized buckets. None = exact all-pairs (the oracle
+    default).
     """
     n_bands = n_hashes // band_size
     bands = signatures.select(
@@ -232,6 +246,28 @@ def minhash_band_candidates(
     # both sides of the self-join read `bands`; persist so the
     # signature computation upstream runs once, not twice
     bands = bands.persist()
+    if star_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        sized = bands.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
+            "__bmin", F.min(id_col).over(w)
+        )
+        small = sized.filter(F.col("__bsz") <= star_cap).drop("__bsz", "__bmin")
+        sa = small.select(F.col(id_col).alias("a_id"), "band", "bucket")
+        sb = small.select(F.col(id_col).alias("b_id"), "band", "bucket")
+        all_pairs = (
+            sa.join(sb, on=["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        star_pairs = (
+            sized.filter(
+                (F.col("__bsz") > star_cap) & (F.col(id_col) != F.col("__bmin"))
+            )
+            .select(F.col("__bmin").alias("a_id"), F.col(id_col).alias("b_id"))
+        )
+        return all_pairs.unionByName(star_pairs).distinct()
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bucket")
     return (

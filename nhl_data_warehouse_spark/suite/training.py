@@ -294,6 +294,89 @@ def near_dup_clusters_kiveris(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters_starcap",
+    op_ids="beyond-reference duplicate clustering under the oversized-"
+    "bucket star cap: band buckets above the cap emit only "
+    "(representative, member) links — pair count linear in bucket "
+    "size, the web-corpus boilerplate/mirror blow-up remedy "
+    "(SCALING.md measures the quadratic it prevents)",
+    description="near-dup clusters with star_cap=2: 3-member band "
+    "buckets contribute 2 star links instead of 3 pairs; the oracle "
+    "models the same cap rule, so the capped semantics (not just the "
+    "exact-equal case) is what hash-matches",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        ),
+        sized AS (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+                   MIN(doc_id) OVER (PARTITION BY band, bucket) AS bmin
+            FROM bands
+        ),
+        cand AS (
+            SELECT DISTINCT a_id, b_id FROM (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM (SELECT * FROM sized WHERE bsz <= 2) a
+                JOIN (SELECT * FROM sized WHERE bsz <= 2) b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT bmin, doc_id FROM sized
+                WHERE bsz > 2 AND doc_id <> bmin
+            )
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles a ON a.doc_id = c.a_id
+            JOIN shingles b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a_id, b_id FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+        ),
+        sym AS (SELECT a_id AS s, b_id AS d FROM pairs
+                UNION ALL
+                SELECT b_id, a_id FROM pairs),
+        reach(node, lab) AS (
+            SELECT DISTINCT s, s FROM sym
+            UNION
+            SELECT sym.s, reach.lab FROM sym JOIN reach ON sym.d = reach.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id,
+               (node = MIN(lab)) AS is_representative
+        FROM reach GROUP BY node
+    """,
+)
+def near_dup_clusters_starcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(
+        sig, n_hashes=N_HASHES, band_size=BAND_SIZE, star_cap=2
+    )
+    pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+@register(
     "simhash_sketch",
     op_ids="beyond-reference SimHash sketch",
     description="16-bit simhash per document from token-hash bit votes",

@@ -53,6 +53,36 @@ class TestMinHashLSH:
         # unrelated doc 3 shares no 12-gram with the fox docs
         assert not any(3 in p for p in pairs)
 
+    def test_star_cap_preserves_connectivity_and_bounds_pairs(self, spark):
+        # 6 exact copies: all-pairs emits C(6,2)=15 candidates per band;
+        # star_cap=3 must emit exactly the 5 (min, other) star links,
+        # and connected components over them still form ONE cluster
+        clones = spark.createDataFrame(
+            [(i, BASE) for i in range(6)], "doc_id long, text string"
+        )
+        sh = dedup.char_shingles(clones, k=12)
+        sig = dedup.minhash_signatures(sh, n_hashes=8)
+        exact = dedup.minhash_band_candidates(sig, n_hashes=8, band_size=2)
+        capped = dedup.minhash_band_candidates(
+            sig, n_hashes=8, band_size=2, star_cap=3
+        )
+        assert exact.count() == 15
+        got = {(r.a_id, r.b_id) for r in capped.collect()}
+        assert got == {(0, i) for i in range(1, 6)}
+        cc = dedup.connected_components(capped.select("a_id", "b_id"))
+        assert {r.cluster_id for r in cc.collect()} == {0}
+
+    def test_star_cap_leaves_small_buckets_exact(self, docs):
+        sh = dedup.char_shingles(docs, k=12)
+        sig = dedup.minhash_signatures(sh, n_hashes=8)
+        exact = {(r.a_id, r.b_id) for r in
+                 dedup.minhash_band_candidates(sig, n_hashes=8, band_size=2).collect()}
+        capped = {(r.a_id, r.b_id) for r in
+                  dedup.minhash_band_candidates(
+                      sig, n_hashes=8, band_size=2, star_cap=10
+                  ).collect()}
+        assert capped == exact  # no bucket exceeds the cap -> identical
+
     def test_jaccard_verification(self, docs):
         sh = dedup.char_shingles(docs, k=12)
         out = dedup.jaccard_pairs(sh, threshold=0.5)

@@ -145,6 +145,35 @@ def main() -> None:
             spark.catalog.clearCache()
         print(f"{name}: {results[name]}", flush=True)
 
+    # duplicate-cluster blow-up, measured: replication makes every
+    # planted dup cluster k times bigger, so exact all-pairs candidate
+    # generation grows ~k^2 inside dup buckets (the web-corpus
+    # boilerplate/mirror problem). star_cap emits (representative,
+    # member) links for oversized buckets — connectivity preserved,
+    # pair count linear in bucket size.
+    from nhl_data_warehouse_spark.operators import dedup as dedup_ops
+    from nhl_data_warehouse_spark.suite.training import (
+        BAND_SIZE,
+        N_HASHES,
+        SHINGLE_K,
+    )
+
+    results["near_dup_verify_starcap32"] = {}
+    for f in args.factors:
+        docs = spark.read.parquet(f"{dirs[f]}/documents.parquet")
+        t0 = time.time()
+        sh = dedup_ops.char_shingles(docs, k=SHINGLE_K).persist()
+        sig = dedup_ops.minhash_signatures(sh, n_hashes=N_HASHES)
+        cand = dedup_ops.minhash_band_candidates(
+            sig, n_hashes=N_HASHES, band_size=BAND_SIZE, star_cap=32
+        )
+        dedup_ops.jaccard_pairs(sh, candidates=cand, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results["near_dup_verify_starcap32"][f] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+    print(f"near_dup_verify_starcap32: {results['near_dup_verify_starcap32']}", flush=True)
+
     # the semantic-dedup cost model, measured: within-cell pairs cost
     # ~n^2/cells and EXACT centroid assignment costs n*cells, so no
     # exact-IVF setting is linear (fixed cells -> quadratic pairs;
@@ -224,6 +253,14 @@ def main() -> None:
         "both assignment and pair work stay ~linear when planes grow with",
         "log2(n). That is the suite's documented dense near-dup scale twin;",
         "exact IVF stays for probe-style search over a FIXED centroid set.",
+        "",
+        "`lsh_verified_near_dups` grows superlinearly here BY CONSTRUCTION:",
+        "replication multiplies every planted duplicate cluster by k, so",
+        "all-pairs candidates inside dup buckets grow ~k^2 — the web-corpus",
+        "boilerplate/mirror blow-up, a data property rather than a plan flaw.",
+        "`near_dup_verify_starcap32` is the remedy measured: oversized band",
+        "buckets emit (representative, member) star links (connectivity for",
+        "clustering preserved; pair count linear in bucket size).",
         "",
     ]
     out_path = os.path.join(
