@@ -247,12 +247,15 @@ def minhash_band_candidates(
     # signature computation upstream runs once, not twice
     bands = bands.persist()
     if star_cap is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bucket")
-        sized = bands.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
-            "__bmin", F.min(id_col).over(w)
+        # bucket stats via aggregate + join, not a window: the window
+        # form sort-shuffles every band row, while the partial-agg
+        # stats relation is one row per bucket — AQE broadcasts it
+        # when small and falls back to a co-partitioned join when a
+        # 100 TB bucket count outgrows the broadcast ceiling
+        stats = bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
         )
+        sized = bands.join(stats, on=["band", "bucket"])
         small = sized.filter(F.col("__bsz") <= star_cap).drop("__bsz", "__bmin")
         sa = small.select(F.col(id_col).alias("a_id"), "band", "bucket")
         sb = small.select(F.col(id_col).alias("b_id"), "band", "bucket")
