@@ -72,6 +72,31 @@ class TestMinHashLSH:
         cc = dedup.connected_components(capped.select("a_id", "b_id"))
         assert {r.cluster_id for r in cc.collect()} == {0}
 
+    def test_star_cap_candidates_subset_with_min_anchors(self, spark):
+        # property over a mixed corpus (two clone families + uniques):
+        # capped candidates are a subset of the uncapped ones, every
+        # pair is ordered, and capped links out of an oversized bucket
+        # always anchor at a bucket minimum
+        rows = (
+            [(i, BASE) for i in range(5)]
+            + [(10 + i, BASE.replace("fox", "owl")) for i in range(4)]
+            + [(20, "some entirely different text about query engines")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.char_shingles(df, k=12)
+        sig = dedup.minhash_signatures(sh, n_hashes=8)
+        exact = {(r.a_id, r.b_id) for r in
+                 dedup.minhash_band_candidates(sig, n_hashes=8, band_size=2).collect()}
+        capped = {(r.a_id, r.b_id) for r in
+                  dedup.minhash_band_candidates(
+                      sig, n_hashes=8, band_size=2, star_cap=3
+                  ).collect()}
+        assert capped <= exact
+        assert all(a < b for a, b in capped)
+        # both clone families stay internally connected through min anchors
+        assert {(0, i) for i in range(1, 5)} <= capped
+        assert {(10, 10 + i) for i in range(1, 4)} <= capped
+
     def test_star_cap_leaves_small_buckets_exact(self, docs):
         sh = dedup.char_shingles(docs, k=12)
         sig = dedup.minhash_signatures(sh, n_hashes=8)
