@@ -93,3 +93,55 @@ def rolling_days(
         rcnt.alias(f"rolling_{days}d_n"),
         (rsum.cast("double") / rcnt).alias(f"rolling_{days}d_avg"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key (the TimescaleDB ``time_weight``
+    shape, LOCF weighting): each observation holds its value until the
+    next one, so the mean weights every value by how LONG it was
+    current — the correct aggregate for irregularly sampled gauges
+    (sensor readings, account balances, prices), where a plain AVG
+    over-weights bursts. The final open-ended observation carries no
+    duration and is excluded (standard LOCF convention).
+
+    One keyed window (lead) and one partial-aggregated group-by —
+    shuffles bounded by key cardinality. Determinism: durations are
+    exact integer microseconds, value carried as DECIMAL through the
+    weighted sum; ONE double division at the end.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    dur_us = F.unix_micros(F.lead(time_col).over(w)) - F.unix_micros(
+        F.col(time_col)
+    )
+    weighted = events.select(
+        key_col,
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        dur_us.alias("_dur_us"),
+    ).filter(F.col("_dur_us").isNotNull())
+    return (
+        weighted.groupBy(key_col)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dur_us")).alias("_wsum"),
+            F.sum("_dur_us").alias("_tot_us"),
+        )
+        .select(
+            key_col,
+            # 6dp-rounded: the weighted sum exceeds 2^53, and DuckDB's
+            # decimal->double cast double-rounds there (int128 then
+            # /scale) while the JVM's BigDecimal cast rounds once — a
+            # 1-ulp quotient divergence the suite's rounding hides
+            F.round(
+                F.col("_wsum").cast("double") / F.col("_tot_us").cast("double"),
+                6,
+            ).alias("time_weighted_avg"),
+            (F.col("_tot_us").cast("double") / F.lit(1e6)).alias(
+                "observed_seconds"
+            ),
+        )
+    )

@@ -185,6 +185,40 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_weighted_avg_value",
+    op_ids="beyond-reference time-weighted average (TimescaleDB "
+    "time_weight shape, LOCF weighting: each value weighted by how "
+    "long it was current — the correct aggregate for irregularly "
+    "sampled gauges; one keyed lead window + one partial-agg group-by)",
+    description="per-user time-weighted mean event value: durations are "
+    "exact integer microseconds to the next event, value carried as "
+    "decimal through the weighted sum, one double division at the "
+    "end; the open-ended last observation is excluded (LOCF)",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   epoch_us(LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                     - epoch_us(ts) AS dur_us
+            FROM events
+        )
+        SELECT user_id,
+               round(CAST(SUM(v * dur_us) AS DOUBLE)
+                 / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE), 6)
+                   AS time_weighted_avg,
+               CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 1000000.0
+                   AS observed_seconds
+        FROM d WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(events)
+
+
+@register(
     "funnel_conversion",
     op_ids="beyond-reference product analytics: ordered funnel "
     "(view -> click -> purchase, each stage strictly after the prior)",

@@ -69,6 +69,38 @@ class TestRollingDays:
         assert out["2024-01-20"] == (4.0, 1)
 
 
+class TestTimeWeightedAvg:
+    def test_locf_weighting_and_open_tail_excluded(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        # value 10 held for 3s, value 20 held for 1s -> TWA 12.5; the
+        # last observation (value 99) has no successor and is excluded
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.0, 1),
+            (1, "2024-01-01 00:00:03", 20.0, 2),
+            (1, "2024-01-01 00:00:04", 99.0, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        (r,) = time_weighted_avg(df).collect()
+        assert r.time_weighted_avg == pytest.approx(12.5)
+        assert r.observed_seconds == pytest.approx(4.0)
+
+    def test_single_observation_key_drops(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        df = spark.createDataFrame(
+            [(7, "2024-01-01 00:00:00", 5.0, 1)],
+            "user_id long, ts string, value double, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        assert time_weighted_avg(df).count() == 0
+
+
 class TestZOrder:
     def test_z_value_matches_python_interleave(self, spark):
         pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
