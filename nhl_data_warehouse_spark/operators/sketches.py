@@ -75,3 +75,78 @@ def countmin_estimates(items: DataFrame, term_col: str = "term") -> DataFrame:
         .groupBy(term_col, "true_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    time_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the first and second halves
+    of the event-time span — the distribution-drift monitor a serving
+    /training pipeline runs between snapshots. Reference = rows before
+    the epoch midpoint, current = at/after; bins are uniform over the
+    GLOBAL value range so both sides share edges; per-bin contribution
+    is (q - p) * ln(q / p) (all non-negative, summing to the PSI;
+    > 0.2 total is the conventional drift alarm).
+
+    Plan: one tiny min/max/midpoint aggregate broadcast back (no
+    second scan for edges), one narrow binning projection, one
+    partial-aggregated (bin, side) count — two scans total, shuffle
+    bounded by n_bins. Determinism: shares are single divisions of
+    exact counts; ln is rounded 6dp per the suite's libm convention
+    and the contribution 6dp again. Bins empty on either side are
+    emitted with a NULL contribution (the standard epsilon fudge is a
+    caller policy, not baked in).
+    """
+    stats = df.agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        (
+            (F.min(F.unix_micros(F.col(time_col)))
+             + F.max(F.unix_micros(F.col(time_col)))) / F.lit(2)
+        ).cast("long").alias("__mid_us"),
+    )
+    # explicit floor binning, not width_bucket: the identical
+    # left-to-right double expression evaluates bit-for-bit on any
+    # engine, where width_bucket implementations can disagree at
+    # exact bin boundaries
+    bin_expr = F.least(
+        F.floor(
+            (F.col(value_col) - F.col("__lo"))
+            / (F.col("__hi") - F.col("__lo"))
+            * F.lit(n_bins)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    binned = df.crossJoin(F.broadcast(stats)).select(
+        bin_expr.alias("bin"),
+        (F.unix_micros(F.col(time_col)) < F.col("__mid_us"))
+        .cast("int")
+        .alias("__is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("__is_ref").cast("long").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    shares = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref").cast("double") / F.col("__tr")).alias("p_ref"),
+        (F.col("n_cur").cast("double") / F.col("__tc")).alias("p_cur"),
+    )
+    contrib = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.round(F.log(F.col("p_cur") / F.col("p_ref")), 6),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return shares.withColumn("psi_contrib", contrib)

@@ -219,6 +219,58 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "psi_value_drift",
+    op_ids="beyond-reference distribution-drift monitoring: Population "
+    "Stability Index between the first and second halves of the event "
+    "span (shared global bin edges, per-bin (q-p)*ln(q/p) "
+    "contributions — the snapshot-drift alarm a serving/training "
+    "pipeline schedules)",
+    description="10-bin PSI of event value, reference = before the "
+    "epoch midpoint: per-bin counts, shares, and 6dp contribution; "
+    "bins empty on either side carry NULL contribution (epsilon "
+    "policy left to the caller)",
+    oracle="""
+        WITH stats AS (
+            SELECT min(value) AS lo, max(value) AS hi,
+                   CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
+                       AS mid_us
+            FROM events
+        ),
+        binned AS (
+            SELECT CAST(LEAST(floor((e.value - s.lo) / (s.hi - s.lo) * 10), 9)
+                        AS BIGINT) AS bin,
+                   CASE WHEN epoch_us(e.ts) < s.mid_us THEN 1 ELSE 0 END
+                       AS is_ref
+            FROM events e, stats s
+        ),
+        counts AS (
+            SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc
+            FROM counts
+        )
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref AS DOUBLE) / tr AS p_ref,
+               CAST(n_cur AS DOUBLE) / tc AS p_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                    round((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+                          * round(ln((CAST(n_cur AS DOUBLE) / tc)
+                                     / (CAST(n_ref AS DOUBLE) / tr)), 6), 6)
+                      + 0.0
+               END AS psi_contrib
+        FROM counts, tot
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return sketches.psi_drift(events, value_col="value", time_col="ts", n_bins=10)
+
+
+@register(
     "funnel_conversion",
     op_ids="beyond-reference product analytics: ordered funnel "
     "(view -> click -> purchase, each stage strictly after the prior)",

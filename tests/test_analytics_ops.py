@@ -101,6 +101,39 @@ class TestTimeWeightedAvg:
         assert time_weighted_avg(df).count() == 0
 
 
+class TestPsiDrift:
+    def _events(self, spark, second_half_values):
+        rows = [(float(v % 10), f"2024-01-01 00:00:{i:02d}") for i, v in enumerate(range(30))]
+        rows += [
+            (float(v), f"2024-01-02 00:00:{i:02d}")
+            for i, v in enumerate(second_half_values)
+        ]
+        return spark.createDataFrame(rows, "value double, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    def test_shifted_distribution_yields_positive_psi(self, spark):
+        from nhl_data_warehouse_spark.operators.sketches import psi_drift
+
+        # second half concentrates high: contributions must exist and
+        # every non-null contribution is >= 0 ((q-p) and ln(q/p) share sign)
+        df = self._events(spark, [9] * 25 + [0, 1, 2, 3, 4])
+        out = psi_drift(df, n_bins=5).collect()
+        contribs = [r.psi_contrib for r in out if r.psi_contrib is not None]
+        assert contribs and all(c >= 0 for c in contribs)
+        assert sum(contribs) > 0.2  # conventional drift alarm fires
+
+    def test_identical_halves_zero_psi(self, spark):
+        from nhl_data_warehouse_spark.operators.sketches import psi_drift
+
+        df = self._events(spark, [v % 10 for v in range(30)])
+        out = psi_drift(df, n_bins=5).collect()
+        for r in out:
+            if r.psi_contrib is not None:
+                assert r.psi_contrib == 0.0
+            assert r.n_ref == r.n_cur
+
+
 class TestZOrder:
     def test_z_value_matches_python_interleave(self, spark):
         pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
