@@ -772,3 +772,68 @@ def hashed_linear_quality(
         score.alias("quality_score"),
         (score >= F.lit(threshold)).alias("keep"),
     )
+
+
+def chi2_term_selection(
+    df: DataFrame,
+    label_col: str = "lang",
+    k: int = 3,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chi-square term-label association — the feature-selection pass a
+    corpus pipeline runs to find terms characteristic of a label
+    (language, domain, quality tier): for each (term, label) the 2x2
+    presence contingency [a=docs with term in label, b=with term
+    elsewhere, c=label without term, d=rest] scores
+    chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)); top-k terms per
+    label by score. ``min_df`` drops rare terms (their chi2 is noise).
+
+    All contingency cells are exact integer counts assembled from
+    three aggregates (term-label, term, label) joined on their keys —
+    the per-doc presence explode is the only row-scale work, and every
+    aggregate is map-side combined. chi2 is one fixed-order double
+    expression rounded 6dp; the top-k window partitions by label.
+    """
+    from pyspark.sql.window import Window
+
+    present = df.select(
+        id_col, label_col, F.explode(F.array_distinct(_ws_tokens(text_col))).alias("term")
+    )
+    n_total = df.select(F.count(F.lit(1)).alias("__n"))
+    tl = present.groupBy("term", label_col).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    t = present.groupBy("term").agg(F.count(F.lit(1)).alias("n_term")).filter(
+        F.col("n_term") >= min_df
+    )
+    lab = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_label"))
+    j = (
+        tl.join(t, on="term")
+        .join(F.broadcast(lab), on=label_col)
+        .crossJoin(F.broadcast(n_total))
+    )
+    a = F.col("a")
+    b = F.col("n_term") - a
+    c = F.col("n_label") - a
+    d = F.col("__n") - F.col("n_term") - c
+    diff = a * d - b * c
+    chi2 = F.round(
+        (F.col("__n") * diff * diff).cast("double")
+        / (F.col("n_term") * (F.col("__n") - F.col("n_term"))).cast("double")
+        / (F.col("n_label") * (F.col("__n") - F.col("n_label"))).cast("double"),
+        6,
+    ) + F.lit(0.0)
+    scored = j.select(
+        label_col, "term", a.alias("n_with"), "n_term", "n_label",
+        chi2.alias("chi2"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("chi2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(label_col, "term", "n_with", "n_term", "n_label", "chi2", "rank")
+    )

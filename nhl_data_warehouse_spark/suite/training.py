@@ -1388,6 +1388,50 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi2_term_label_selection",
+    op_ids="beyond-reference feature selection: chi-square term-label "
+    "association over presence contingencies (top-k characteristic "
+    "terms per language — the vocabulary/feature pass of corpus "
+    "classifiers; exact integer cells, one fixed-order double ratio)",
+    description="top-3 terms per lang by chi2 over the 2x2 doc-presence "
+    "contingency, min document frequency 5; ties broken by term",
+    oracle="""
+        WITH present AS (
+            SELECT DISTINCT doc_id, lang, unnest(list_distinct(
+                list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+            FROM documents
+        ),
+        n_total AS (SELECT COUNT(*) AS n FROM documents),
+        tl AS (SELECT term, lang, COUNT(*) AS a FROM present GROUP BY 1, 2),
+        t AS (SELECT term, COUNT(*) AS n_term FROM present GROUP BY 1
+              HAVING COUNT(*) >= 5),
+        lab AS (SELECT lang, COUNT(*) AS n_label FROM documents GROUP BY 1),
+        scored AS (
+            SELECT tl.lang, tl.term, tl.a AS n_with, t.n_term, lab.n_label,
+                   round(CAST(n.n * (tl.a * (n.n - t.n_term - (lab.n_label - tl.a))
+                                     - (t.n_term - tl.a) * (lab.n_label - tl.a))
+                                  * (tl.a * (n.n - t.n_term - (lab.n_label - tl.a))
+                                     - (t.n_term - tl.a) * (lab.n_label - tl.a))
+                              AS DOUBLE)
+                         / CAST(t.n_term * (n.n - t.n_term) AS DOUBLE)
+                         / CAST(lab.n_label * (n.n - lab.n_label) AS DOUBLE), 6)
+                     + 0.0 AS chi2
+            FROM tl JOIN t USING (term) JOIN lab USING (lang), n_total n
+        )
+        SELECT lang, term, n_with, n_term, n_label, chi2,
+               CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang ORDER BY chi2 DESC, term ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
+)
+def chi2_term_label_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.chi2_term_selection(documents, label_col="lang", k=3, min_df=5)
+
+
+@register(
     "cdc_apply_roundtrip",
     op_ids="beyond-reference CDC table convergence (apply_changes: "
     "compact the batch, delete tombstoned keys, upsert survivors into "

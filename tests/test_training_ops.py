@@ -338,6 +338,21 @@ class TestText:
         (r,) = text.hashed_linear_quality(df).collect()
         assert r.margin == pytest.approx(expected, abs=1e-9)
 
+    def test_chi2_finds_label_characteristic_term(self, spark):
+        # "bonjour" appears in every fr doc and no en doc; filler is
+        # shared — chi2 must rank the exclusive term first for fr
+        rows = [(i, "fr", "bonjour filler common words here") for i in range(6)]
+        rows += [(10 + i, "en", "hello filler common words here") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = text.chi2_term_selection(df, label_col="lang", k=2, min_df=2)
+        top = {
+            r.lang: r.term for r in out.collect() if r.rank == 1
+        }
+        assert top["fr"] == "bonjour" and top["en"] == "hello"
+        # shared filler terms have zero association
+        zeros = [r for r in out.collect() if r.term == "filler"]
+        assert all(r.chi2 == 0.0 for r in zeros)
+
     def test_fingerprint_normalization_invariance(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World!"), (2, "hello world")], "doc_id long, text string"
