@@ -805,10 +805,23 @@ def chi2_term_selection(
     tl = present.groupBy("term", label_col).agg(
         F.count(F.lit(1)).alias("a")
     )
-    t = present.groupBy("term").agg(F.count(F.lit(1)).alias("n_term")).filter(
-        F.col("n_term") >= min_df
+    # terms in EVERY doc (and labels covering every doc) make a
+    # zero-width margin — chi2 is undefined and the feature carries no
+    # information; exclude them rather than divide by zero under ANSI
+    t = (
+        present.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .crossJoin(F.broadcast(n_total))
+        .filter((F.col("n_term") >= min_df) & (F.col("n_term") < F.col("__n")))
+        .drop("__n")
     )
-    lab = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_label"))
+    lab = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_label"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_label") < F.col("__n"))
+        .drop("__n")
+    )
     j = (
         tl.join(t, on="term")
         .join(F.broadcast(lab), on=label_col)

@@ -1404,8 +1404,10 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_total AS (SELECT COUNT(*) AS n FROM documents),
         tl AS (SELECT term, lang, COUNT(*) AS a FROM present GROUP BY 1, 2),
         t AS (SELECT term, COUNT(*) AS n_term FROM present GROUP BY 1
-              HAVING COUNT(*) >= 5),
-        lab AS (SELECT lang, COUNT(*) AS n_label FROM documents GROUP BY 1),
+              HAVING COUNT(*) >= 5
+                 AND COUNT(*) < (SELECT n FROM n_total)),
+        lab AS (SELECT lang, COUNT(*) AS n_label FROM documents GROUP BY 1
+                HAVING COUNT(*) < (SELECT n FROM n_total)),
         scored AS (
             SELECT tl.lang, tl.term, tl.a AS n_with, t.n_term, lab.n_label,
                    round(CAST(n.n * (tl.a * (n.n - t.n_term - (lab.n_label - tl.a))

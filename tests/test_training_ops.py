@@ -339,19 +339,24 @@ class TestText:
         assert r.margin == pytest.approx(expected, abs=1e-9)
 
     def test_chi2_finds_label_characteristic_term(self, spark):
-        # "bonjour" appears in every fr doc and no en doc; filler is
-        # shared — chi2 must rank the exclusive term first for fr
-        rows = [(i, "fr", "bonjour filler common words here") for i in range(6)]
-        rows += [(10 + i, "en", "hello filler common words here") for i in range(6)]
+        # "bonjour" appears in every fr doc and no en doc; "evenly" is
+        # label-balanced (3 fr + 3 en); "filler" is in EVERY doc and
+        # must be excluded as a degenerate zero-margin feature
+        def doc(i, lang, marker):
+            extra = " evenly" if i % 2 == 0 else ""
+            return (i, lang, f"{marker} filler{extra}")
+
+        rows = [doc(i, "fr", "bonjour") for i in range(6)]
+        rows += [doc(10 + i, "en", "hello") for i in range(6)]
         df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-        out = text.chi2_term_selection(df, label_col="lang", k=2, min_df=2)
-        top = {
-            r.lang: r.term for r in out.collect() if r.rank == 1
-        }
+        collected = text.chi2_term_selection(
+            df, label_col="lang", k=3, min_df=2
+        ).collect()
+        top = {r.lang: r.term for r in collected if r.rank == 1}
         assert top["fr"] == "bonjour" and top["en"] == "hello"
-        # shared filler terms have zero association
-        zeros = [r for r in out.collect() if r.term == "filler"]
-        assert all(r.chi2 == 0.0 for r in zeros)
+        assert not any(r.term == "filler" for r in collected)
+        balanced = [r for r in collected if r.term == "evenly"]
+        assert balanced and all(r.chi2 == 0.0 for r in balanced)
 
     def test_fingerprint_normalization_invariance(self, spark):
         df = spark.createDataFrame(
