@@ -289,7 +289,11 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
     )
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # pin bucketing on: a caller session that disabled it would fail
+    # the no-Exchange assertion spuriously (result would still match)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     try:
         joined = spark.table("nhl_suite_bkt.bkt_orders").join(
             spark.table("nhl_suite_bkt.bkt_lineitem"),
@@ -321,6 +325,7 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", old_bucketing)
     return out
 
 
