@@ -140,6 +140,46 @@ def embedding_near_dup_pairs(
     )
 
 
+def group_centroids(
+    labeled: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding — class centroids / prototype vectors
+    (label-conditioned means feed few-shot classifiers, per-domain
+    IVF seeds, and drift monitors over embedding spaces). One
+    posexplode to (label, dim) and one map-side-combined aggregate;
+    shuffle is |labels| x dim rows however large the corpus.
+
+    Determinism: each float widens exactly to double, is cast to
+    DECIMAL(20,12) (identical half-up rounding on both engines — a
+    divergence needs digit 13 to be an exact trailing '5', vanishingly
+    rare for non-dyadic data), summed exactly, and divided once as a
+    6dp-rounded double.
+    """
+    x = labeled.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "_v")
+    )
+    return (
+        x.groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.col("_v").cast("double").cast("decimal(20,12)")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            label_col,
+            "pos",
+            (
+                F.round(F.col("_s").cast("double") / F.col("n_vectors"), 6)
+                + F.lit(0.0)
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
 def _bucketed_cosine_pairs(
     embeddings: DataFrame,
     n_planes: int,

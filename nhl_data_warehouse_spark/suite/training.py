@@ -785,6 +785,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_group_centroids",
+    op_ids="beyond-reference label-conditioned embedding centroids "
+    "(class prototypes: per-(label, dim) decimal-exact mean — feeds "
+    "few-shot heads, per-domain IVF seeds, embedding-drift monitors; "
+    "shuffle bounded by labels x dims, not corpus size)",
+    description="per-language mean document embedding: vec_id joined to "
+    "doc metadata, posexplode to (lang, dim), exact decimal sum, one "
+    "6dp double division — 64 centroid components per language",
+    oracle="""
+        WITH j AS (
+            SELECT d.lang, e.embedding
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        x AS (
+            SELECT lang, i - 1 AS pos,
+                   CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12)) AS val
+            FROM j, (SELECT unnest(generate_series(1, 64)) AS i)
+        )
+        SELECT lang, CAST(pos AS INTEGER) AS pos,
+               round(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) + 0.0 AS centroid,
+               COUNT(*) AS n_vectors
+        FROM x GROUP BY lang, pos
+    """,
+)
+def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings, documents = load(spark, sf_dir, "embeddings", "documents")
+    labeled = embeddings.join(
+        documents.select(F.col("doc_id").alias("vec_id"), "lang"), on="vec_id"
+    )
+    return similarity.group_centroids(labeled, label_col="lang")
+
+
+@register(
     "semantic_dedup_semdedup",
     op_ids="beyond-reference SemDeDup semantic deduplication "
     "(arXiv:2303.09540: cluster embeddings, drop within-cluster "

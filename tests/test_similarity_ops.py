@@ -60,6 +60,23 @@ def test_knn_join_ranks_bucket_mates(spark):
     assert all(1 <= r.rank <= 2 for r in rows)
 
 
+def test_group_centroids_exact_means(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, 6.0]),
+            ("b", [10.0, 0.0]),
+        ],
+        "lang string, embedding array<double>",
+    )
+    out = {
+        (r.lang, r.pos): (r.centroid, r.n_vectors)
+        for r in similarity.group_centroids(df, "lang").collect()
+    }
+    assert out[("a", 0)] == (2.0, 2) and out[("a", 1)] == (4.0, 2)
+    assert out[("b", 0)] == (10.0, 1) and out[("b", 1)] == (0.0, 1)
+
+
 def test_hard_negatives_exclude_positives(spark):
     # vec 2 is a near-copy of 0 (cosine ~1, same bucket): it must NOT
     # appear among 0's hard negatives under threshold 0.9, and every
