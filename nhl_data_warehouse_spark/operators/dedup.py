@@ -564,3 +564,73 @@ def simhash(
         .filter(F.size("_hashes") > 0)
         .select(id_col, sketch.alias("simhash"))
     )
+
+
+def dup_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-chunk fraction (Dolma/RedPajama-style
+    "fraction of characters in duplicated n-grams" quality signal,
+    computed at fixed token-chunk granularity).
+
+    Documents are split into consecutive ``chunk_tokens``-token
+    chunks (last chunk may be shorter); a chunk counts as duplicated
+    when its exact text occurs in >= 2 distinct documents. Emits one
+    row per non-empty document: ``n_chunks``, ``n_dup_chunks`` and
+    ``dup_chunk_frac`` — the filter signal curation pipelines
+    threshold on before training.
+
+    Scale design: chunking is a narrow ``transform``/``slice`` over
+    the token array (no shuffle, no group-by reassembly); chunks
+    shuffle as 32-char md5 hashes, never as text, so shuffle width is
+    bounded regardless of document length. Two keyed aggregations
+    (chunk occurrence count, per-doc rollup) + one hash join — all
+    partial-agg friendly, nothing global. Generalizes the reference's
+    md5-lineage exact dedup (copy_into_games.sql:6) from whole-row to
+    sub-document granularity.
+    """
+    c = int(chunk_tokens)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        scale_out(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    n_chunks = F.ceil(F.col("_n") / F.lit(float(c)))
+    chunks = base.select(
+        F.col(id_col),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i * c + 1, c), " ")
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    occ = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    return (
+        chunks.join(occ, "chunk_hash")
+        .groupBy(id_col, "n_chunks")
+        .agg(
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks")
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (
+                F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6)
+                + F.lit(0.0)
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -795,3 +795,156 @@ def ann_multiprobe_topk(
         F.bit_count(F.col("bucket").bitwiseXOR(qb)) <= max_flips
     )
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Upper-triangular Gram matrix G[i,j] = sum_rows x_i * x_j over
+    the whole corpus — the single-pass sufficient statistic behind
+    PCA/whitening/covariance of an embedding table (covariance =
+    G/n - mean outer mean, derivable from this plus the mean vector).
+
+    Cross-engine determinism: float components are fixed-pointed first
+    (round(x * scale) as int64), so every product and every partial
+    sum is EXACT integer arithmetic — the suite's decimal convention
+    applied to float vectors, immune to distributed summation order.
+    The final projection divides back by scale^2 into a rounded
+    double. Bound: |sum of products| must stay under 2^63 — with
+    |x| <= 16 and scale 1e6 that allows ~3.6e4 rows per dimension
+    pair times 1e9 … i.e. ~10^10 rows; raise/lower ``scale`` to trade
+    precision for headroom at larger corpora.
+
+    Scale design: the d*(d+1)/2 cell terms are generated by a narrow
+    per-row ``transform``/``slice`` (no self-join on vec_id — the
+    naive formulation), and the only shuffle is a groupBy over at
+    most d*(d+1)/2 = 2080 (d=64) keys with map-side partial sums:
+    per-executor traffic is O(d^2) regardless of row count — the
+    right 100 TB plan for X^T X at embedding dimensionality.
+    """
+    s = float(scale)
+    sc = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(s), 0).cast("long"),
+    )
+    base = embeddings.select(sc.alias("_s"))
+    cells = base.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_s"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_s"), i + F.lit(1), F.size(F.col("_s")) - i),
+                        lambda y, j0: F.struct(
+                            i.alias("i"), (i + j0).alias("j"), (x * y).alias("p")
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(
+            F.col("c.i").cast("long").alias("i"),
+            F.col("c.j").cast("long").alias("j"),
+        )
+        .agg(
+            (
+                F.round(F.sum("c.p").cast("double") / F.lit(s * s), 6) + F.lit(0.0)
+            ).alias("gram")
+        )
+    )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    sample_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of single-bucket hyperplane-LSH ANN against the exact
+    scan, per sampled query — the evaluation harness every ANN
+    deployment needs before trusting an index at scale. Queries are
+    the deterministic sample ``id % sample_mod == 0``; for each, the
+    exact cosine top-k (ground truth) is compared with the top-k
+    among the query's LSH bucket-mates, and the hit fraction
+    reported.
+
+    Scale design: ground truth is the expensive arm by construction —
+    it runs |sample|/|corpus| of the all-pairs work by broadcasting
+    only the sampled query vectors against the full table (a
+    map-side-only broadcast join, no shuffle of the corpus); the
+    approx arm joins inside LSH buckets exactly like the production
+    probe path. Both arms rank by the 6dp-rounded cosine with id
+    tie-break, so rank sets are engine-stable. Evaluation over a
+    sample (not all queries) is what keeps this runnable at 100 TB —
+    grow ``sample_mod`` with the corpus.
+    """
+    import pyspark.sql.window as W
+
+    qs = embeddings.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe")
+    )
+    rounded_cos = (
+        F.round(
+            _dot(F.col(vec_col), F.col("_qe"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qe"))),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("_cos")
+    w = (
+        W.Window.partitionBy("query_id")
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    )
+    exact_top = (
+        embeddings.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, rounded_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col)
+    )
+    buckets = lsh_hyperplane_buckets(
+        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qb = (
+        buckets.join(
+            F.broadcast(qs.select("query_id")),
+            F.col(id_col) == F.col("query_id"),
+        )
+        .select("query_id", F.col(vec_col).alias("_qe"), F.col("bucket"))
+    )
+    approx_top = (
+        buckets.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, rounded_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col(id_col).alias("_hit_id"))
+    )
+    return (
+        exact_top.join(
+            approx_top,
+            (exact_top["query_id"] == approx_top["query_id"])
+            & (exact_top[id_col] == approx_top["_hit_id"]),
+            "left",
+        )
+        .groupBy(exact_top["query_id"].alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit_id").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.round(F.col("n_hit") / F.col("n_exact"), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

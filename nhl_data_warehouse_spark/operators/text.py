@@ -850,3 +850,52 @@ def chi2_term_selection(
         .filter(F.col("rank") <= k)
         .select(label_col, "term", "n_with", "n_term", "n_label", "chi2", "rank")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage
+    signal (what fraction of a document a fixed vocab cannot
+    represent) curation pipelines use to spot noise, wrong-language
+    and encoding-damaged documents before training.
+
+    Scale design: the vocabulary is a distributed top-k
+    (``orderBy().limit()`` = per-partition TakeOrdered + driver merge
+    of vocab_size rows, never a global sort) and is broadcast back —
+    the corpus-side token stream is aggregated per doc with one keyed
+    shuffle. Ties at the vocabulary boundary break lexicographically
+    so the vocab set is engine-deterministic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.round(F.col("n_oov") / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
+                "oov_rate"
+            ),
+        )
+    )

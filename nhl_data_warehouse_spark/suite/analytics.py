@@ -964,3 +964,57 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     edges.createOrReplaceTempView("v_rc_edges")
     return spark.sql(_REACH_RECURSIVE_SQL.format(extra="", edges="v_rc_edges"))
+
+
+@register(
+    "customer_price_trend",
+    op_ids="beyond-reference per-group OLS trend (regr_slope shape on "
+    "exact integer sufficient statistics: one keyed shuffle with "
+    "map-side partial sums, closed-form per-group arithmetic — "
+    "summation-order independent, unlike Spark's double-accumulator "
+    "regr_slope)",
+    description="per-customer OLS slope/intercept of order price "
+    "(cents) over order date (epoch days): the 'is this entity's "
+    "spend trending up' fit, exact across engines",
+    oracle="""
+        WITH pts AS (
+            SELECT o_custkey,
+                   epoch_us(o_orderdate) // 86400000000 AS x,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y
+            FROM orders
+        ),
+        stats AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts GROUP BY o_custkey
+        )
+        SELECT o_custkey, n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE)) / n
+               END AS intercept
+        FROM stats
+    """,
+)
+def customer_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import grouped_ols
+
+    (orders,) = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_custkey",
+        # integer `div`, not `/`: double division rounds the quotient
+        # before the cast truncates it, which can land on the next day
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("_x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_y"),
+    )
+    return grouped_ols(pts, "o_custkey", "_x", "_y")

@@ -2680,3 +2680,194 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(
         documents.select("doc_id"), key_cols=["doc_id"], salt="shuf-v1"
     ).select("doc_id", "shuffle_pos")
+
+
+@register(
+    "dup_chunk_fraction",
+    op_ids="beyond-reference sub-document dedup signal (Dolma/RedPajama "
+    "duplicated-chunk fraction: narrow transform/slice chunking, "
+    "md5-narrowed shuffle, two keyed partial aggs — never all-pairs, "
+    "never text on the wire)",
+    description="per-document fraction of 8-token chunks whose exact "
+    "text occurs in >= 2 distinct documents — the sub-document "
+    "duplication signal curation pipelines threshold on",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(ts[(i*8+1):(i*8+8)], ' ')) AS chunk_hash
+            FROM (SELECT doc_id, ts,
+                         CAST(unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT)))
+                              AS BIGINT) AS i
+                  FROM base WHERE len(ts) > 0)
+        ),
+        occ AS (
+            SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+            FROM chunks GROUP BY chunk_hash
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN o.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               ROUND(SUM(CASE WHEN o.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) + 0.0 AS dup_chunk_frac
+        FROM chunks c JOIN occ o USING (chunk_hash)
+        GROUP BY c.doc_id
+    """,
+)
+def dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.dup_chunk_stats(documents, chunk_tokens=8)
+
+
+@register(
+    "oov_rate_scores",
+    op_ids="beyond-reference tokenizer-coverage signal (corpus top-k "
+    "vocabulary via distributed TakeOrdered, broadcast back; one "
+    "keyed per-doc agg)",
+    description="per-document out-of-vocabulary rate against the "
+    "corpus's own top-64 token vocabulary (lexicographic "
+    "tie-break), the fixed-vocab coverage signal for spotting "
+    "noise/wrong-language docs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS term
+            FROM documents
+        ),
+        counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        vocab AS (SELECT term FROM counts
+                  ORDER BY n DESC, term ASC LIMIT 64)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) + 0.0 AS oov_rate
+        FROM toks t LEFT JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    """,
+)
+def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.oov_rate(documents, vocab_size=64)
+
+
+@register(
+    "embedding_gram_matrix",
+    op_ids="beyond-reference distributed linear algebra (X^T X in one "
+    "pass: fixed-point exact integer accumulation, O(d^2) shuffle "
+    "keys independent of row count — the PCA/whitening sufficient "
+    "statistic)",
+    description="upper-triangular Gram matrix of the embedding table "
+    "on 1e6-fixed-point components: 2080 exact cells from one "
+    "narrow pass + one tiny keyed agg",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(r1.i AS BIGINT) AS i, CAST(r2.j AS BIGINT) AS j,
+                   CAST(ROUND(CAST(e.embedding[CAST(r1.i + 1 AS INT)] AS DOUBLE)
+                              * 1000000, 0) AS BIGINT)
+                   * CAST(ROUND(CAST(e.embedding[CAST(r2.j + 1 AS INT)] AS DOUBLE)
+                                * 1000000, 0) AS BIGINT) AS p
+            FROM embeddings e, range(0, 64) r1(i), range(0, 64) r2(j)
+            WHERE r2.j >= r1.i
+        )
+        SELECT i, j,
+               ROUND(CAST(SUM(p) AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS gram
+        FROM cells GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.gram_matrix(embeddings)
+
+
+@register(
+    "ann_recall_eval",
+    op_ids="beyond-reference ANN index evaluation (recall@k of the "
+    "LSH single-bucket probe vs the exact scan, over a deterministic "
+    "query sample: broadcast-only ground-truth arm, production probe "
+    "path for the approx arm)",
+    description="recall@10 per sampled query (vec_id % 25 == 0) of "
+    "bucket-pruned ANN against exact cosine top-10 — the index "
+    "quality gate before trusting LSH at corpus scale",
+    oracle=f"""
+        WITH {_planes_sql_values()},
+        qs AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id % 25 = 0),
+        exact_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT q.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM embeddings e, qs q WHERE e.vec_id <> q.qid)
+            GROUP BY qid, vec_id
+        ),
+        exact_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM exact_dots) WHERE rn <= 10
+        ),
+        comps AS (
+            SELECT vec_id, p, SUM(CAST(x AS DOUBLE) * CAST(sv AS DOUBLE)) AS dot
+            FROM (SELECT e.vec_id, pl.p, unnest(e.embedding) AS x,
+                         unnest(pl.s) AS sv
+                  FROM embeddings e, planes pl)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM comps GROUP BY vec_id
+        ),
+        qb AS (SELECT qs.qid, b.bucket FROM buckets b
+               JOIN qs ON b.vec_id = qs.qid),
+        cand AS (SELECT qb.qid, b.vec_id FROM qb
+                 JOIN buckets b ON b.bucket = qb.bucket AND b.vec_id <> qb.qid),
+        appr_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c
+                  JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN qs q ON q.qid = c.qid)
+            GROUP BY qid, vec_id
+        ),
+        appr_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM appr_dots) WHERE rn <= 10
+        )
+        SELECT et.qid AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) + 0.0 AS recall_at_k
+        FROM exact_top et
+        LEFT JOIN appr_top ap ON ap.qid = et.qid AND ap.vec_id = et.vec_id
+        GROUP BY et.qid
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_at_k(
+        embeddings, n_planes=8, dim=64, k=10, sample_mod=25
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the round-3 late additions: duplicated-chunk
+fraction, OOV rate, Gram matrix, ANN recall evaluation, grouped OLS."""
+
+import math
+
+import pytest
+
+
+class TestDupChunkStats:
+    def test_shared_chunks_flagged(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import dup_chunk_stats
+
+        # chunk size 2: doc1 = [a b][c d], doc2 = [a b][x y],
+        # doc3 = [q r] (unique), doc4 = "" (dropped)
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y"), (3, "q r"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dup_chunk_stats(df, chunk_tokens=2).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 1
+        assert abs(got[1].dup_chunk_frac - 0.5) < 1e-12
+        assert got[2].n_dup_chunks == 1
+        assert got[3].n_dup_chunks == 0 and got[3].dup_chunk_frac == 0.0
+
+    def test_short_tail_chunk_counts(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import dup_chunk_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "z c")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in dup_chunk_stats(df, chunk_tokens=2).collect()}
+        # doc1 chunks: [a b], [c]; doc2: [z c] — the 1-token tail "c"
+        # of doc1 does NOT match inside "z c" (exact chunk equality)
+        assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 0
+
+
+class TestOovRate:
+    def test_vocab_cut_and_rate(self, spark):
+        from nhl_data_warehouse_spark.operators.text import oov_rate
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b z")], "doc_id long, text string"
+        )
+        # counts: a=3, b=2, z=1; vocab_size=2 -> {a, b}; z is OOV
+        got = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+        assert got[1].n_oov == 0 and got[1].oov_rate == 0.0
+        assert got[2].n_tokens == 3 and got[2].n_oov == 1
+        assert abs(got[2].oov_rate - round(1 / 3, 6)) < 1e-12
+
+    def test_boundary_tie_is_lexicographic(self, spark):
+        from nhl_data_warehouse_spark.operators.text import oov_rate
+
+        # b and c tie at count 1; vocab_size=2 keeps {a, b} (b < c)
+        df = spark.createDataFrame([(1, "a a c b")], "doc_id long, text string")
+        (row,) = oov_rate(df, vocab_size=2).collect()
+        assert row.n_oov == 1  # only c is OOV
+
+
+class TestGramMatrix:
+    def test_exact_cells(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import gram_matrix
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+        )
+        got = {(r.i, r.j): r.gram for r in gram_matrix(df).collect()}
+        # G = [[1+9, 2+12], [., 4+16]] upper triangle
+        assert got == {(0, 0): 10.0, (0, 1): 14.0, (1, 1): 20.0}
+
+    def test_only_upper_triangle(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import gram_matrix
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        cells = gram_matrix(df).collect()
+        assert len(cells) == 6  # d*(d+1)/2 for d=3
+        assert all(r.i <= r.j for r in cells)
+
+
+class TestAnnRecallEval:
+    def test_self_consistent_recall(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import ann_recall_at_k
+
+        # 8 orthogonal-ish 4-d vectors; every id sampled (mod 1), k=2
+        vecs = [
+            (i, [float((i >> b) & 1) + 0.1 * b for b in range(4)])
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = ann_recall_at_k(
+            df, n_planes=4, dim=4, k=2, sample_mod=1
+        ).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert r.n_exact == 2
+            assert 0 <= r.n_hit <= r.n_exact
+            assert abs(r.recall_at_k - round(r.n_hit / r.n_exact, 6)) < 1e-12
+
+
+class TestGroupedOls:
+    def test_closed_form(self, spark):
+        from nhl_data_warehouse_spark.operators.regression import grouped_ols
+
+        df = spark.createDataFrame(
+            [(1, 0, 10), (1, 1, 12), (1, 2, 14), (2, 5, 7), (2, 5, 9)],
+            "g long, x long, y long",
+        )
+        got = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+        assert got[1].slope == pytest.approx(2.0) and got[1].intercept == pytest.approx(10.0)
+        # group 2: x constant -> zero variance -> NULL fit
+        assert got[2].slope is None and got[2].intercept is None
+        assert got[2].n == 2
+
+    def test_matches_float_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.regression import grouped_ols
+
+        pts = [(1, x, 3 * x + 7 + (x % 3)) for x in range(10)]
+        df = spark.createDataFrame(pts, "g long, x long, y long")
+        (row,) = grouped_ols(df, "g", "x", "y").collect()
+        xs = [p[1] for p in pts]
+        ys = [p[2] for p in pts]
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = n * sum(a * a for a in xs) - sum(xs) ** 2
+        assert row.slope == pytest.approx(num / den, abs=1e-12)
+        assert not math.isnan(row.intercept)
