@@ -899,3 +899,65 @@ def oov_rate(
             ),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc average negative log-probability under an add-one-
+    smoothed bigram LM trained on the corpus itself — one model order
+    beyond ``unigram_logprob_score``, the CCNet-style fluency axis:
+    a doc of common words in *uncommon sequence* (shuffled text,
+    keyword soup) scores high here while passing the unigram filter.
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), with c(w1·) the count
+    of bigrams starting with w1 and V the unigram vocabulary size.
+    Determinism: each ln is rounded to 6 dp and summed as DECIMAL
+    (order-free); one double division for the mean — the suite's
+    libm-proofing convention. Docs with < 2 tokens emit no row.
+
+    Scale: bigram counting is map-side combined; the left-context
+    counts derive from the (much smaller) bigram-count relation, not
+    a second corpus pass; V rides a 1-row broadcast. The score join
+    shuffles on the bigram key — broadcast the frequent head for a
+    Zipf-heavy corpus, as with the unigram scorer.
+    """
+    bi = df.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("gram")
+    )
+    bi = bi.persist()  # corpus counts AND the score join
+    c_bi = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_left = (
+        c_bi.groupBy(F.split("gram", " ").getItem(0).alias("w1"))
+        .agg(F.sum("c_ab").alias("c_w1"))
+    )
+    v = df.select(F.explode(_ws_tokens(text_col)).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    logp = (
+        c_bi.withColumn("w1", F.split("gram", " ").getItem(0))
+        .join(c_left, on="w1")
+        .join(F.broadcast(v))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + 1).cast("double")
+                    / (F.col("c_w1") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("logp"),
+        )
+    )
+    return (
+        bi.join(logp, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-(F.sum("logp").cast("double")) / F.count(F.lit(1))).alias(
+                "avg_neg_logprob2"
+            ),
+        )
+    )

@@ -2871,3 +2871,146 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_at_k(
         embeddings, n_planes=8, dim=64, k=10, sample_mod=25
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    op_ids="beyond-reference bigram-LM fluency scoring (add-one "
+    "smoothed P(w2|w1) trained on the corpus; left-context counts "
+    "derived from the bigram relation, V on a 1-row broadcast)",
+    description="per-doc average negative log-prob under the corpus's "
+    "own smoothed bigram LM — flags common-words-in-uncommon-order "
+    "docs the unigram filter passes",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS gram
+            FROM (SELECT doc_id, ts,
+                         CAST(unnest(range(1, len(ts))) AS BIGINT) AS i
+                  FROM toks WHERE len(ts) >= 2)
+        ),
+        cb AS (SELECT gram, COUNT(*) AS c_ab FROM bi GROUP BY gram),
+        cl AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c_ab) AS c_w1
+               FROM cb GROUP BY 1),
+        vs AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(ts) AS t FROM toks)),
+        lp AS (
+            SELECT cb.gram,
+                   CAST(ROUND(ln(CAST(cb.c_ab + 1 AS DOUBLE)
+                                 / CAST(cl.c_w1 + vs.v AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS logp
+            FROM cb JOIN cl ON string_split(cb.gram, ' ')[1] = cl.w1, vs
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               -(CAST(SUM(lp.logp) AS DOUBLE)) / COUNT(*) AS avg_neg_logprob2
+        FROM bi b JOIN lp ON lp.gram = b.gram
+        GROUP BY b.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.bigram_logprob_score(documents)
+
+
+@register(
+    "minhash_jaccard_error",
+    op_ids="beyond-reference sketch-quality evaluation (MinHash "
+    "signature-agreement estimate vs exact shingle Jaccard on the "
+    "LSH candidate pairs — the estimator-error gate before trusting "
+    "the sketch at corpus scale; zero-overlap false-positive "
+    "candidates kept via left join)",
+    description="per LSH candidate pair: estimated Jaccard "
+    "(matching minhash slots / 8) vs exact shingle Jaccard and the "
+    "absolute error — all raw deterministic doubles",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles a ON a.doc_id = c.a_id
+            JOIN shingles b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT c.a_id, c.b_id,
+                   ({" + ".join(
+                       f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(1, N_HASHES + 1)
+                   )}) / 8.0 AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a_id
+            JOIN sig sb ON sb.doc_id = c.b_id
+        )
+        SELECT e.a_id, e.b_id, e.est_jaccard,
+               COALESCE(i.n_common
+                        / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 0.0)
+                   AS exact_jaccard,
+               ABS(e.est_jaccard
+                   - COALESCE(i.n_common
+                              / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 0.0))
+                   AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+        JOIN sizes sa ON sa.doc_id = e.a_id
+        JOIN sizes sb ON sb.doc_id = e.b_id
+    """,
+)
+def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    # read 3x (banding + both signature sides of the estimate join);
+    # (doc, 8 slots) rows — tiny; release_cached reclaims it
+    sigs = dedup.minhash_signatures(sh, n_hashes=N_HASHES).persist()
+    cands = dedup.minhash_band_candidates(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE
+    )
+    exact = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0).select(
+        "a_id", "b_id", F.col("jaccard").alias("_exact")
+    )
+    slots = [f"mh{i}" for i in range(1, N_HASHES + 1)]
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"), *[F.col(s).alias(f"a_{s}") for s in slots]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"), *[F.col(s).alias(f"b_{s}") for s in slots]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0) for s in slots
+    )
+    est = (
+        cands.join(sa, on="a_id")
+        .join(sb, on="b_id")
+        .select(
+            "a_id", "b_id", (matches / F.lit(8.0)).alias("est_jaccard")
+        )
+    )
+    ex = F.coalesce(F.col("_exact"), F.lit(0.0))
+    return (
+        est.join(exact, on=["a_id", "b_id"], how="left")
+        .select(
+            "a_id",
+            "b_id",
+            "est_jaccard",
+            ex.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - ex).alias("abs_err"),
+        )
+    )

@@ -126,3 +126,45 @@ class TestGroupedOls:
         den = n * sum(a * a for a in xs) - sum(xs) ** 2
         assert row.slope == pytest.approx(num / den, abs=1e-12)
         assert not math.isnan(row.intercept)
+
+
+class TestBigramLogprob:
+    def test_known_corpus(self, spark):
+        from nhl_data_warehouse_spark.operators.text import bigram_logprob_score
+
+        # corpus: doc1 "a b a b", doc2 "a b"; bigrams: a b (x3), b a (x1)
+        # V = 3 (a, b, x); left counts c(a.) = 3, c(b.) = 1
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+        assert 3 not in got  # single-token doc emits no row
+        assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+        import math
+        lp_ab = round(math.log((3 + 1) / (3 + 3)), 6)   # P(b|a)
+        lp_ba = round(math.log((1 + 1) / (1 + 3)), 6)   # P(a|b)
+        exp1 = -(2 * lp_ab + lp_ba) / 3
+        assert got[1].avg_neg_logprob2 == pytest.approx(exp1, abs=1e-9)
+        assert got[2].avg_neg_logprob2 == pytest.approx(-lp_ab, abs=1e-9)
+
+
+class TestMinhashJaccardError:
+    def test_identical_docs_zero_error(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY  # noqa: F401
+        from nhl_data_warehouse_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, "zz qq ww ee rr tt yy uu ii oo pp aa")],
+            "doc_id long, text string",
+        )
+        sh = dedup.char_shingles(df, k=12)
+        sigs = dedup.minhash_signatures(sh, n_hashes=8)
+        cands = dedup.minhash_band_candidates(sigs, n_hashes=8, band_size=2)
+        rows = cands.collect()
+        assert (1, 2) in {(r.a_id, r.b_id) for r in rows}
+        exact = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0)
+        pair = {(r.a_id, r.b_id): r.jaccard for r in exact.collect()}
+        # identical docs: exact jaccard 1.0, all 8 slots match
+        assert pair[(1, 2)] == 1.0
