@@ -309,3 +309,45 @@ def deterministic_shuffle(
     return ranked.withColumn("shuffle_pos", F.col("__rn")).drop(
         "__hbucket", "__shuffle_hash", "__lr", "__off", "__rn", "__total"
     )
+
+
+def curriculum_order(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    salt: str = "curr-v1",
+    max_score: int = 10,
+    bucket_hex_digits: int = 3,
+) -> DataFrame:
+    """Curriculum schedule: a global training order that presents
+    higher-``score_col`` documents first, pseudo-randomly shuffled
+    WITHIN each score level (content-addressed md5, no RNG) — the
+    quality-curriculum dataloader feed, reproducible across runs,
+    engines and repartitionings.
+
+    Scale shape: reuses ``layout.two_level_rank`` with a composite
+    bucket ``(max_score - score) * 16^d + hash_bucket`` — monotone in
+    (score DESC, hash ASC), so bucket ranges tile the global order.
+    Rows shuffle once into partitioned windows; only the
+    (max_score+1) * 16^d bucket totals cross a single partition. No
+    global sort.
+    """
+    from nhl_data_warehouse_spark.operators.layout import two_level_rank
+
+    n_hb = 16 ** bucket_hex_digits
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    out = (
+        scored.withColumn("__h", h)
+        .withColumn(
+            "__hb",
+            F.conv(F.substring("__h", 1, bucket_hex_digits), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "__cb",
+            (F.lit(max_score) - F.col(score_col)) * n_hb + F.col("__hb"),
+        )
+    )
+    ranked = two_level_rank(out, "__cb", [F.col("__h"), F.col(id_col)])
+    return ranked.withColumn("curriculum_pos", F.col("__rn")).drop(
+        "__h", "__hb", "__cb", "__lr", "__off", "__rn", "__total"
+    )

@@ -948,3 +948,59 @@ def ann_recall_at_k(
             ),
         )
     )
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding table —
+    the feature-normalization pass before clustering / linear probing
+    / whitening, emitted long-form as (id, dim, zscore).
+
+    Determinism without rounding: components are fixed-pointed
+    (round(x*scale) as int64); per-dim sufficient statistics (n, S,
+    SS) are EXACT (SS summed as DECIMAL(38,0) — n*SS overflows int64
+    at ~1e4 rows x 64 dims, and DuckDB's HUGEINT must be matched by
+    an exact type, not a double accumulator). The z closed form
+    cancels n: z = (x*n - S) / sqrt(n*SS - S^2) — one fixed sequence
+    of exact-int casts and IEEE ops, bit-stable across engines.
+    Constant dimensions (zero variance) emit NULL. Bound: |x*n - S|
+    must fit int64 — holds to ~1e11 rows at scale 1e6.
+
+    Scale design: one narrow fixed-point pass + posexplode, a
+    64-key groupBy with map-side partials, and a broadcast join of
+    the 64-row stats back onto the stream. No global state beyond
+    d rows.
+    """
+    s = float(scale)
+    sc = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(s), 0).cast("long"),
+    )
+    ex = embeddings.select(
+        F.col(id_col), F.posexplode(sc).alias("i", "x6")
+    ).withColumn("i", F.col("i").cast("long"))
+    dec = "decimal(38,0)"
+    stats = ex.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("s_"),
+        F.sum(F.col("x6").cast(dec) * F.col("x6").cast(dec)).alias("ss"),
+    )
+    num = (
+        F.col("n").cast(dec) * F.col("ss")
+        - F.col("s_").cast(dec) * F.col("s_").cast(dec)
+    )
+    z = (F.col("x6") * F.col("n") - F.col("s_")).cast("double") / F.sqrt(
+        num.cast("double")
+    )
+    return (
+        ex.join(F.broadcast(stats), on="i")
+        .select(
+            id_col,
+            "i",
+            F.when(num != 0, z).alias("zscore"),
+        )
+    )

@@ -3014,3 +3014,86 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_jaccard") - ex).alias("abs_err"),
         )
     )
+
+
+@register(
+    "embedding_standardize",
+    op_ids="beyond-reference feature normalization (per-dimension "
+    "z-scores from exact fixed-point sufficient statistics; 64-key "
+    "partial-agg groupBy + broadcast join back — no rounding needed, "
+    "the n-cancelling closed form is bit-stable)",
+    description="long-form (vec_id, dim, zscore) standardization of "
+    "the embedding table — the normalize-before-cluster/probe pass",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(r.i AS BIGINT) AS i,
+                   CAST(ROUND(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE)
+                              * 1000000, 0) AS BIGINT) AS x6
+            FROM embeddings, range(0, 64) r(i)
+        ),
+        stats AS (
+            SELECT i, COUNT(*) AS n, SUM(x6) AS s, SUM(x6 * x6) AS ss
+            FROM ex GROUP BY i
+        )
+        SELECT e.vec_id, e.i,
+               CASE WHEN st.n * st.ss - st.s * st.s = 0 THEN NULL
+                    ELSE CAST(e.x6 * st.n - st.s AS DOUBLE)
+                         / sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+               END AS zscore
+        FROM ex e JOIN stats st USING (i)
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.standardize_embeddings(embeddings)
+
+
+@register(
+    "curriculum_quality_order",
+    op_ids="beyond-reference curriculum scheduling (quality-decile "
+    "tiers, content-addressed shuffle within tier, scale-safe "
+    "two-level rank for the global position — no RNG, no global "
+    "sort)",
+    description="global training order presenting higher-quality "
+    "documents first, md5-shuffled within each quality tier — the "
+    "curriculum dataloader feed",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> list_contains(['the','a','of','and','is'], lower(x)))) AS n_stop,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_tok_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+                    + CASE WHEN n_punct * 10 < n_chars THEN 2 ELSE 0 END
+                    + CASE WHEN n_stop > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN sum_tok_len >= 3 * n_tokens
+                            AND sum_tok_len <= 10 * n_tokens
+                           THEN 2 ELSE 0 END) AS quality_decile
+            FROM feats
+        )
+        SELECT doc_id, quality_decile,
+               ROW_NUMBER() OVER (
+                   ORDER BY quality_decile DESC,
+                            md5('curr-v1|' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS curriculum_pos
+        FROM scored
+    """,
+)
+def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import curriculum_order
+
+    (documents,) = load(spark, sf_dir, "documents")
+    scored = text.quality_score(documents).select("doc_id", "quality_decile")
+    return curriculum_order(scored, "quality_decile").select(
+        "doc_id", "quality_decile", "curriculum_pos"
+    )

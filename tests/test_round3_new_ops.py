@@ -168,3 +168,52 @@ class TestMinhashJaccardError:
         pair = {(r.a_id, r.b_id): r.jaccard for r in exact.collect()}
         # identical docs: exact jaccard 1.0, all 8 slots match
         assert pair[(1, 2)] == 1.0
+
+
+class TestStandardizeEmbeddings:
+    def test_zscores_exact(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import (
+            standardize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {(r.vec_id, r.i): r.zscore for r in standardize_embeddings(df).collect()}
+        # dim 0: mean 3, pop std sqrt(8/3); z = (x-3)/sqrt(8/3)
+        import math
+        sd = math.sqrt(8 / 3)
+        assert got[(1, 0)] == pytest.approx(-2 / sd, rel=1e-12)
+        assert got[(2, 0)] == pytest.approx(0.0, abs=0.0)
+        assert got[(3, 0)] == pytest.approx(2 / sd, rel=1e-12)
+        # dim 1 constant -> NULL
+        assert got[(1, 1)] is None and got[(3, 1)] is None
+
+
+class TestCurriculumOrder:
+    def test_tiers_then_hash(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 10), (3, 2), (4, 7)], "doc_id long, q int"
+        )
+        rows = curriculum_order(df, "q", max_score=10).orderBy("curriculum_pos").collect()
+        # positions are a dense 1..n permutation, scores non-increasing
+        assert [r.curriculum_pos for r in rows] == [1, 2, 3, 4]
+        scores = [r.q for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert rows[0].doc_id == 2 and rows[1].doc_id == 4
+
+    def test_stable_under_repartition(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(40)], "doc_id long, q int"
+        )
+        a = {r.doc_id: r.curriculum_pos for r in curriculum_order(df, "q").collect()}
+        b = {
+            r.doc_id: r.curriculum_pos
+            for r in curriculum_order(df.repartition(7), "q").collect()
+        }
+        assert a == b
