@@ -634,3 +634,73 @@ def dup_chunk_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct ``chunk_tokens``-token chunks they share, with the
+    chunk-set Jaccard — the "is corpus B just a mirror of corpus A"
+    diagnostic a curation pipeline runs before paying to dedup or
+    license a new source.
+
+    Scale design: chunks reduce to DISTINCT (source, md5) pairs first
+    (map-side combine; the relation is bounded by distinct-chunk
+    count, not corpus size), and the pair fan-out of the chunk-keyed
+    self-join is bounded by C(#sources, 2) per chunk — sources are a
+    dimension (tens), so this is dimension-squared work per key,
+    never doc-pair work. Emits only pairs sharing >= 1 chunk.
+    """
+    c = int(chunk_tokens)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        scale_out(df)
+        .select(F.col(group_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    n_chunks = F.ceil(F.col("_n") / F.lit(float(c)))
+    sc = base.select(
+        F.col(group_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i * c + 1, c), " ")
+                ),
+            )
+        ).alias("chunk_hash"),
+    ).distinct()
+    # read 3x (sizes + both self-join sides); callers reclaim via
+    # session.release_cached between queries
+    sc = sc.persist()
+    sizes = sc.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = sc.select(F.col(group_col).alias("src_a"), "chunk_hash")
+    b = sc.select(F.col(group_col).alias("src_b"), "chunk_hash")
+    inter = (
+        a.join(b, on="chunk_hash")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(group_col).alias("src_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias("src_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        inter.join(sa, on="src_a")
+        .join(sb, on="src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("chunk_jaccard"),
+        )
+    )

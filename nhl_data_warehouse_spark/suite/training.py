@@ -3097,3 +3097,46 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(scored, "quality_decile").select(
         "doc_id", "quality_decile", "curriculum_pos"
     )
+
+
+@register(
+    "cross_source_overlap",
+    op_ids="beyond-reference cross-corpus duplication matrix (distinct "
+    "(source, chunk-md5) reduction first; chunk-keyed self-join whose "
+    "fan-out is dimension-squared per key, never doc-pair work)",
+    description="for every source pair: shared distinct 8-token "
+    "chunks and chunk-set Jaccard — the 'is corpus B a mirror of "
+    "corpus A' gate before paying to ingest a new source",
+    oracle="""
+        WITH base AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        sc AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(ts[(i*8+1):(i*8+8)], ' ')) AS chunk_hash
+            FROM (SELECT source, ts,
+                         CAST(unnest(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT)))
+                              AS BIGINT) AS i
+                  FROM base WHERE len(ts) > 0)
+        ),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sc GROUP BY source),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+            FROM sc a JOIN sc b
+              ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               n_common / CAST(sa.n + sb.n - n_common AS DOUBLE)
+                   AS chunk_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(documents, chunk_tokens=8)

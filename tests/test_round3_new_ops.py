@@ -217,3 +217,32 @@ class TestCurriculumOrder:
             for r in curriculum_order(df.repartition(7), "q").collect()
         }
         assert a == b
+
+
+class TestSourceOverlapMatrix:
+    def test_pairwise_chunk_jaccard(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import source_overlap_matrix
+
+        # chunk size 2: A docs -> chunks {a b, c d}; B -> {a b, x y};
+        # C -> {q r} (no overlap with anyone)
+        df = spark.createDataFrame(
+            [("A", "a b c d"), ("B", "a b x y"), ("C", "q r")],
+            "source string, text string",
+        )
+        rows = source_overlap_matrix(df, chunk_tokens=2).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert (r.src_a, r.src_b) == ("A", "B")
+        assert r.n_common == 1 and r.n_a == 2 and r.n_b == 2
+        assert abs(r.chunk_jaccard - 1 / 3) < 1e-12
+
+    def test_distinct_chunks_within_source(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import source_overlap_matrix
+
+        # repeated chunk inside one source counts once
+        df = spark.createDataFrame(
+            [("A", "a b a b"), ("A", "a b c d"), ("B", "a b")],
+            "source string, text string",
+        )
+        (r,) = source_overlap_matrix(df, chunk_tokens=2).collect()
+        assert r.n_a == 2 and r.n_b == 1 and r.n_common == 1
