@@ -39,6 +39,12 @@ PROBES = [
     "tfidf_top_terms",
     "packed_block_segments",
     "model_quality_classifier",
+    # round-3 late additions: sub-doc chunk dedup (md5-narrowed keyed
+    # aggs), fixed-key Gram accumulation (shuffle size O(d^2),
+    # independent of rows), and the curriculum two-level rank
+    "dup_chunk_fraction",
+    "embedding_gram_matrix",
+    "curriculum_quality_order",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
