@@ -704,3 +704,46 @@ def source_overlap_matrix(
             ).alias("chunk_jaccard"),
         )
     )
+
+
+def dedup_rate_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-group duplicate-rate report: for each group (source,
+    language, crawl, ...), how many docs exist, how many are copies
+    of content that appears >= 2 times ANYWHERE in the corpus, and
+    the rate — the per-source health dashboard a curation run emits
+    before and after dedup. Cross-group duplicates count in every
+    group holding a copy (that's the point: it surfaces mirrors).
+
+    One fingerprint pass (md5, narrow), one fingerprint-keyed count,
+    one join back, one per-group rollup — all partial-agg friendly;
+    text never shuffles.
+    """
+    fp = F.md5(normalized_text(text_col)) if normalize else F.md5(F.col(text_col))
+    docs = scale_out(df).select(
+        F.col(group_col), F.col(id_col), fp.alias("_fp")
+    )
+    occ = docs.groupBy("_fp").agg(F.count(F.lit(1)).alias("_nc"))
+    return (
+        docs.join(occ, on="_fp")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_nc") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_dup_docs",
+            (
+                F.round(F.col("n_dup_docs") / F.col("n_docs"), 6) + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )

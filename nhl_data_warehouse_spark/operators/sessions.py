@@ -53,3 +53,51 @@ def sessionize_batch(
         F.min(time_col).alias("session_start"),
         F.max(time_col).alias("session_end"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (from_type, to_type) pair, the observed count
+    and the conditional probability P(to | from) — the
+    path-analysis / next-action model product analytics builds on
+    top of sessionization.
+
+    Scale design: one keyed window per user (lead over the user's
+    time-ordered stream — partitioned, never global), then a
+    dimension-squared aggregation (event types are a small vocab);
+    the per-from totals come from a second tiny agg joined back.
+    Probability is one double division of exact counts — engine-
+    stable without rounding. The last event per user has no
+    successor and drops out (standard convention).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / F.col("n_from").cast("double")).alias("p"),
+        )
+    )

@@ -787,3 +787,40 @@ def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM rev)
         WHERE rk <= 2
     """)
+
+
+@register(
+    "event_transition_matrix",
+    op_ids="beyond-reference Markov path analysis (per-user lead "
+    "window -> dimension-squared transition aggregate; conditional "
+    "probabilities as one exact-count division)",
+    description="first-order event-type transition matrix with "
+    "P(to|from) over per-user time-ordered streams — the next-action "
+    "model behind funnels and recommendation triggers",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        counted AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        totals AS (
+            SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM counted GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n,
+               c.n / CAST(t.n_from AS DOUBLE) AS p
+        FROM counted c JOIN totals t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sessions import event_transitions
+
+    (events,) = load(spark, sf_dir, "events")
+    return event_transitions(events)

@@ -3140,3 +3140,34 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return dedup.source_overlap_matrix(documents, chunk_tokens=8)
+
+
+@register(
+    "dedup_rate_by_source",
+    op_ids="beyond-reference per-source dedup health report "
+    "(fingerprint-keyed occurrence counts joined back, one per-group "
+    "rollup; cross-source copies counted in every holding source)",
+    description="per source: docs, docs whose normalized content "
+    "occurs >= 2 times corpus-wide, and the duplicate rate — the "
+    "before/after dashboard of a dedup run",
+    oracle=r"""
+        WITH fps AS (
+            SELECT source, doc_id,
+                   MD5(trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        occ AS (SELECT fp, COUNT(*) AS nc FROM fps GROUP BY fp)
+        SELECT f.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN o.nc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               ROUND(SUM(CASE WHEN o.nc >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) + 0.0 AS dup_rate
+        FROM fps f JOIN occ o USING (fp)
+        GROUP BY f.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.dedup_rate_by_group(documents, group_col="source")

@@ -246,3 +246,44 @@ class TestSourceOverlapMatrix:
         )
         (r,) = source_overlap_matrix(df, chunk_tokens=2).collect()
         assert r.n_a == 2 and r.n_b == 1 and r.n_common == 1
+
+
+class TestEventTransitions:
+    def test_counts_and_probabilities(self, spark):
+        from nhl_data_warehouse_spark.operators.sessions import event_transitions
+
+        rows = [
+            (1, 1, "2025-01-01 10:00:00", "a"),
+            (2, 1, "2025-01-01 10:01:00", "b"),
+            (3, 1, "2025-01-01 10:02:00", "a"),
+            (4, 2, "2025-01-01 09:00:00", "a"),
+            (5, 2, "2025-01-01 09:05:00", "c"),
+        ]
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
+        # user1: a->b, b->a; user2: a->c; from 'a' totals 2
+        assert got[("a", "b")].n == 1 and got[("a", "c")].n == 1
+        assert got[("a", "b")].p == 0.5 and got[("a", "c")].p == 0.5
+        assert got[("b", "a")].p == 1.0
+        # last events per user have no successor
+        assert ("a", None) not in got
+
+
+class TestDedupRateByGroup:
+    def test_cross_group_copies_count_in_both(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import dedup_rate_by_group
+
+        df = spark.createDataFrame(
+            [("A", 1, "Same text!"), ("B", 2, "same text"), ("A", 3, "unique a")],
+            "source string, doc_id long, text string",
+        )
+        got = {r.source: r for r in dedup_rate_by_group(df).collect()}
+        # normalization makes 1 and 2 equal -> both sources report the dup
+        assert got["A"].n_docs == 2 and got["A"].n_dup_docs == 1
+        assert abs(got["A"].dup_rate - 0.5) < 1e-12
+        assert got["B"].n_docs == 1 and got["B"].n_dup_docs == 1
+        assert got["B"].dup_rate == 1.0
