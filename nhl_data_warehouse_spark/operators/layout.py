@@ -237,3 +237,81 @@ def equal_depth_assign(
     return ranked.withColumn("__tile", _ntile_from_rank(n_tiles)).drop(
         "__vbucket", "__lo", "__hi", "__cnt", "__off", "__lr", "__rn", "__total"
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    id_col: str,
+    metric_cols: list[str],
+    n_tiles: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (ORDER BY metric, id)`` for SEVERAL
+    integer metric columns in ONE pass: the row is melted to
+    (id, metric, value), and the two-level rank runs with every
+    window PARTITIONED by metric — the per-metric bucket offsets come
+    from a (metric, bucket)-grouped count relation, so unlike
+    chaining ``equal_depth_assign`` per metric there is no
+    unpartitioned window at all and no per-metric replanning (three
+    chained passes measured ~48 AQE jobs / 20 s at sf0.1; this form
+    is one rank pipeline). Returns one row per id with a
+    ``<metric>_tile`` column per metric.
+
+    Metrics must be non-null integers (cast upstream — exact ints
+    also make tie order engine-stable).
+    """
+    melted = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("__m"),
+                        F.col(m).cast("long").alias("__v"),
+                    )
+                    for m in metric_cols
+                ]
+            )
+        ).alias("__mv"),
+    ).select(id_col, F.col("__mv.__m").alias("__m"), F.col("__mv.__v").alias("__v"))
+    stats = melted.groupBy("__m").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    bucketed = melted.join(F.broadcast(stats), on="__m").withColumn(
+        "__vb",
+        F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+            F.width_bucket(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), F.lit(n_buckets)
+            )
+        ),
+    )
+    counts = bucketed.groupBy("__m", "__vb").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy("__m")
+        .orderBy("__vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("__m")
+        .orderBy("__vb")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        "__m",
+        "__vb",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__total"),
+    )
+    w_local = Window.partitionBy("__m", "__vb").orderBy(F.col("__v"), F.col(id_col))
+    ranked = (
+        bucketed.withColumn("__lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on=["__m", "__vb"])
+        .withColumn("__rn", (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn("__tile", _ntile_from_rank(n_tiles))
+    )
+    return ranked.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__m") == m, F.col("__tile"))).alias(f"{m}_tile")
+            for m in metric_cols
+        ]
+    )

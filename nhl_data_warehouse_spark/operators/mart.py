@@ -119,3 +119,68 @@ def seasonal_team_rollup(regular_season: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("is_home") == 1, F.col("win"))).alias("home_wins"),
         )
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: recency (days since the customer's
+    last order, measured from the corpus's latest order date),
+    frequency (order count) and monetary (exact cents sum), each
+    split into equal-population quintiles, plus the combined
+    ``rfm_code`` — the classic mart segmentation feeding campaign
+    targeting and churn models. Tile 1 = most recent / least
+    frequent / lowest spend (plain ascending NTILE; invert downstream
+    if a 5-is-best score is wanted).
+
+    Scale design: one keyed per-customer aggregate (map-side
+    partials; amounts summed as exact integer cents so ranking ties
+    are engine-stable), the corpus max date on a 1-row broadcast, and
+    ONE ``layout.grouped_ntile`` pass ranking all three metrics with
+    metric-partitioned windows — the scale-safe two-level-rank NTILE
+    with no single-partition sort and no per-metric replanning.
+    """
+    from nhl_data_warehouse_spark.operators.layout import grouped_ntile
+
+    per = orders.groupBy(cust_col).agg(
+        F.max(F.col(date_col).cast("date")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col(amount_col) * 100, 0).cast("long")).alias("_cents"),
+    )
+    cmax = orders.agg(F.max(F.col(date_col).cast("date")).alias("_cmax"))
+    per = (
+        per.crossJoin(F.broadcast(cmax))
+        .withColumn("recency_days", F.datediff("_cmax", "_last").cast("long"))
+        .drop("_last", "_cmax")
+    )
+    # per feeds the melt AND the final join — persist; callers
+    # reclaim via session.release_cached
+    per = per.persist()
+    tiles = grouped_ntile(
+        per,
+        id_col=cust_col,
+        metric_cols=["recency_days", "frequency", "_cents"],
+        n_tiles=n_tiles,
+    ).select(
+        cust_col,
+        F.col("recency_days_tile").alias("r_tile"),
+        F.col("frequency_tile").alias("f_tile"),
+        F.col("_cents_tile").alias("m_tile"),
+    )
+    per = per.join(tiles, on=cust_col)
+    return per.select(
+        cust_col,
+        "recency_days",
+        "frequency",
+        (F.col("_cents").cast("double") / 100.0).alias("monetary"),
+        F.col("r_tile").cast("int").alias("r_tile"),
+        F.col("f_tile").cast("int").alias("f_tile"),
+        F.col("m_tile").cast("int").alias("m_tile"),
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
+        .cast("int")
+        .alias("rfm_code"),
+    )

@@ -1018,3 +1018,55 @@ def customer_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_y"),
     )
     return grouped_ols(pts, "o_custkey", "_x", "_y")
+
+
+@register(
+    "rfm_customer_segments",
+    op_ids="beyond-reference RFM segmentation (per-customer aggregate "
+    "+ three scale-safe two-level-rank NTILE passes; exact integer "
+    "cents make ranking ties engine-stable)",
+    description="recency/frequency/monetary quintiles per customer "
+    "with the combined rfm_code — the classic campaign/churn mart "
+    "segmentation",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        cm AS (SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS cmax
+               FROM orders),
+        feats AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_d, cmax) AS BIGINT)
+                       AS recency_days,
+                   frequency, cents
+            FROM per, cm
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, cents,
+                   NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                       AS r_tile,
+                   NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+                       AS f_tile,
+                   NTILE(5) OVER (ORDER BY cents ASC, o_custkey ASC)
+                       AS m_tile
+            FROM feats
+        )
+        SELECT o_custkey, recency_days, frequency,
+               CAST(cents AS DOUBLE) / 100.0 AS monetary,
+               CAST(r_tile AS INT) AS r_tile,
+               CAST(f_tile AS INT) AS f_tile,
+               CAST(m_tile AS INT) AS m_tile,
+               CAST(r_tile * 100 + f_tile * 10 + m_tile AS INT) AS rfm_code
+        FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.mart import rfm_segments
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return rfm_segments(orders)

@@ -287,3 +287,46 @@ class TestDedupRateByGroup:
         assert abs(got["A"].dup_rate - 0.5) < 1e-12
         assert got["B"].n_docs == 1 and got["B"].n_dup_docs == 1
         assert got["B"].dup_rate == 1.0
+
+
+class TestGroupedNtileRfm:
+    def test_grouped_ntile_matches_global_ntile(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+        from nhl_data_warehouse_spark.operators.layout import grouped_ntile
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 100, (i * 13) % 7) for i in range(50)],
+            "id long, a long, b long",
+        )
+        got = {
+            r.id: (r.a_tile, r.b_tile)
+            for r in grouped_ntile(df, "id", ["a", "b"], n_tiles=4).collect()
+        }
+        for m, idx in (("a", 0), ("b", 1)):
+            w = Window.orderBy(F.col(m), F.col("id"))
+            ref = {
+                r.id: r.t
+                for r in df.select("id", F.ntile(4).over(w).alias("t")).collect()
+            }
+            assert {k: v[idx] for k, v in got.items()} == ref
+
+    def test_rfm_codes(self, spark):
+        from pyspark.sql import functions as F
+        from nhl_data_warehouse_spark.operators.mart import rfm_segments
+
+        rows = []
+        for c in range(10):
+            for o in range(c + 1):  # customer c has c+1 orders
+                rows.append((c, f"2025-01-{o + 1:02d}", 100.0 * (c + 1)))
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate string, o_totalprice double"
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        out = {r.o_custkey: r for r in rfm_segments(df, n_tiles=5).collect()}
+        assert len(out) == 10
+        # customer 9 has the most orders and highest spend -> top tiles
+        assert out[9].f_tile == 5 and out[9].m_tile == 5
+        assert out[0].f_tile == 1
+        for r in out.values():
+            assert r.rfm_code == r.r_tile * 100 + r.f_tile * 10 + r.m_tile
+            assert r.monetary == r.frequency * 100.0 * (r.o_custkey + 1)
