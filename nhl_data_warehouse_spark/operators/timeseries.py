@@ -145,3 +145,70 @@ def time_weighted_avg(
             ),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, observed)
+    spells — observed=1 is a completed event, 0 a right-censored
+    spell. Emits one row per distinct duration t with the at-risk
+    count, event/censor counts, and the LOG survival
+    ln S(t) = sum_{u<=t} ln(1 - d_u/n_u) — emitted in log space so
+    the estimate is a DECIMAL-summed chain of 6dp-rounded ln terms
+    (order-free, engine-stable); exponentiate downstream for S(t).
+    From the first time where every at-risk spell dies (d=n, survival
+    exactly 0) onward, log survival is NULL.
+
+    Scale design: spells reduce to one row per DISTINCT duration
+    first (keyed partial agg); every window runs over that
+    dimension-scale relation (duration values — days, not spells),
+    the same bucket-totals argument as ``layout.two_level_rank``.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(duration_col)
+    per_t = df.groupBy(duration_col).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("n_censored"),
+    )
+    # windows over the distinct-durations relation only
+    w = Window.orderBy(t)
+    n_at_risk = (
+        F.sum("_m").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ).cast("long")
+    stepped = per_t.select(
+        t.alias("duration"),
+        n_at_risk.alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+    )
+    dies_out = F.col("n_events") == F.col("n_at_risk")
+    factor = F.when(
+        dies_out | (F.col("n_events") == 0), F.lit(0).cast("decimal(12,6)")
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events") / F.col("n_at_risk").cast("double")
+            ),
+            6,
+        ).cast("decimal(12,6)")
+    )
+    w2 = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return stepped.select(
+        "duration",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.max(dies_out.cast("int")).over(w2) == 1, F.lit(None).cast("double")
+        )
+        .otherwise(F.sum(factor).over(w2).cast("double"))
+        .alias("log_survival"),
+    )

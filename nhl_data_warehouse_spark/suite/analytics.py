@@ -1070,3 +1070,84 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = load(spark, sf_dir, "orders")
     return rfm_segments(orders)
+
+
+@register(
+    "km_order_gap_survival",
+    op_ids="beyond-reference Kaplan-Meier survival (right-censored "
+    "inter-order gaps; per-customer lead window -> distinct-duration "
+    "reduction; every KM window runs over the dimension-scale "
+    "distinct-durations relation)",
+    description="survival curve of days-between-orders: completed "
+    "gaps are events, the tail gap to the corpus max date is "
+    "censored; emits log S(t) as a decimal-summed chain of "
+    "6dp-rounded ln factors",
+    oracle="""
+        WITH cm AS (SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS cmax
+                    FROM orders),
+        seq AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   LEAD(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+            FROM orders
+        ),
+        spells AS (
+            SELECT CAST(date_diff('day', d, COALESCE(nxt, cmax)) AS BIGINT)
+                       AS duration,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+            FROM seq, cm
+        ),
+        per_t AS (
+            SELECT duration, COUNT(*) AS m,
+                   SUM(observed) AS n_events,
+                   SUM(1 - observed) AS n_censored
+            FROM spells GROUP BY duration
+        ),
+        stepped AS (
+            SELECT duration,
+                   CAST(SUM(m) OVER (ORDER BY duration
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n_at_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored
+            FROM per_t
+        ),
+        factored AS (
+            SELECT *,
+                   CASE WHEN n_events = n_at_risk OR n_events = 0
+                        THEN CAST(0 AS DECIMAL(12,6))
+                        ELSE CAST(ROUND(ln(1.0 - n_events
+                                           / CAST(n_at_risk AS DOUBLE)), 6)
+                                  AS DECIMAL(12,6)) END AS factor,
+                   CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END AS dies
+            FROM stepped
+        )
+        SELECT duration, n_at_risk, n_events, n_censored,
+               CASE WHEN MAX(dies) OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN NULL
+                    ELSE CAST(SUM(factor) OVER (ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) END AS log_survival
+        FROM factored
+    """,
+)
+def km_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("nxt"),
+    )
+    cm = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("cmax"))
+    # one pass, no union: the censored tail spell is just
+    # coalesce(next_order, corpus_max) — evaluating `seq` once
+    spells = seq.crossJoin(F.broadcast(cm)).select(
+        F.datediff(F.coalesce("nxt", "cmax"), "d").cast("long").alias("duration"),
+        F.col("nxt").isNotNull().cast("int").alias("observed"),
+    )
+    return timeseries.km_survival(spells, "duration", "observed")

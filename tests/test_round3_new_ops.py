@@ -330,3 +330,37 @@ class TestGroupedNtileRfm:
         for r in out.values():
             assert r.rfm_code == r.r_tile * 100 + r.f_tile * 10 + r.m_tile
             assert r.monetary == r.frequency * 100.0 * (r.o_custkey + 1)
+
+
+class TestKmSurvival:
+    def test_textbook_curve(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import km_survival
+        import math
+
+        # classic toy: events at t=1 (1 of 5), t=3 (1 of 3);
+        # censored at t=2 and t=4; one more at-risk to t=5 censored
+        df = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)],
+            "duration long, observed int",
+        )
+        got = {r.duration: r for r in km_survival(df).collect()}
+        assert got[1].n_at_risk == 5 and got[1].n_events == 1
+        assert got[2].n_at_risk == 4 and got[2].n_censored == 1
+        assert got[3].n_at_risk == 3 and got[3].n_events == 1
+        f1 = round(math.log(1 - 1 / 5), 6)
+        f3 = round(math.log(1 - 1 / 3), 6)
+        assert got[1].log_survival == pytest.approx(f1, abs=1e-9)
+        assert got[2].log_survival == pytest.approx(f1, abs=1e-9)
+        assert got[3].log_survival == pytest.approx(f1 + f3, abs=1e-9)
+        assert got[5].log_survival == pytest.approx(f1 + f3, abs=1e-9)
+
+    def test_dies_out_goes_null(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import km_survival
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1)], "duration long, observed int"
+        )
+        got = {r.duration: r for r in km_survival(df).collect()}
+        # at t=2 every remaining spell dies -> survival 0, log NULL
+        assert got[1].log_survival is not None
+        assert got[2].log_survival is None
