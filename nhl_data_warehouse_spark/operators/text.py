@@ -961,3 +961,50 @@ def bigram_logprob_score(
             ),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 128,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-``top_n`` terms — healthy
+    natural-language corpora sit near slope -1; template/boilerplate
+    or synthetic corpora bend away. One number summarizing corpus
+    shape, cheap enough to track per ingest batch.
+
+    Determinism: both logs are rounded to 6 dp (libm-proofing) and
+    fixed-pointed to int64 (x1e6), then fed to
+    ``regression.grouped_ols`` — exact integer sufficient statistics,
+    no further rounding. Scale: term counts are one map-side-combined
+    aggregate; the top-n cut is a distributed TakeOrdered; everything
+    after runs on <= top_n rows.
+    """
+    from pyspark.sql.window import Window
+
+    from nhl_data_warehouse_spark.operators.regression import grouped_ols
+
+    counts = (
+        df.select(F.explode(_ws_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    # rank window over the <= top_n cut only
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    pts = counts.select(
+        F.lit(1).alias("_g"),
+        F.round(F.round(F.log(F.row_number().over(w).cast("double")), 6) * 1e6, 0)
+        .cast("long")
+        .alias("_lnrank"),
+        F.round(F.round(F.log(F.col("c").cast("double")), 6) * 1e6, 0)
+        .cast("long")
+        .alias("_lnfreq"),
+    )
+    return grouped_ols(pts, "_g", "_lnrank", "_lnfreq").select(
+        F.col("n").alias("n_terms"),
+        (F.col("slope")).alias("zipf_slope"),
+        F.col("intercept").alias("zipf_intercept"),
+    )

@@ -3171,3 +3171,53 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return dedup.dedup_rate_by_group(documents, group_col="source")
+
+
+@register(
+    "zipf_corpus_fit",
+    op_ids="beyond-reference corpus-shape diagnostic (Zipf slope: "
+    "ln-frequency vs ln-rank OLS on exact fixed-point integers over "
+    "the top-128 TakeOrdered cut)",
+    description="OLS slope of ln(freq) on ln(rank) for the top-128 "
+    "terms — natural corpora sit near -1; the one-number health "
+    "metric per ingest batch",
+    oracle="""
+        WITH counts AS (
+            SELECT term, COUNT(*) AS c FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents)
+            GROUP BY term ORDER BY c DESC, term ASC LIMIT 128
+        ),
+        pts AS (
+            SELECT CAST(ROUND(ROUND(ln(CAST(ROW_NUMBER() OVER (
+                           ORDER BY c DESC, term ASC) AS DOUBLE)), 6) * 1e6, 0)
+                        AS BIGINT) AS x,
+                   CAST(ROUND(ROUND(ln(CAST(c AS DOUBLE)), 6) * 1e6, 0)
+                        AS BIGINT) AS y
+            FROM counts
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_terms,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS zipf_slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE)) / n
+               END AS zipf_intercept
+        FROM stats
+    """,
+)
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.zipf_fit(documents, top_n=128)

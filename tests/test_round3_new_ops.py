@@ -364,3 +364,18 @@ class TestKmSurvival:
         # at t=2 every remaining spell dies -> survival 0, log NULL
         assert got[1].log_survival is not None
         assert got[2].log_survival is None
+
+
+class TestZipfFit:
+    def test_perfect_zipf_slope(self, spark):
+        from nhl_data_warehouse_spark.operators.text import zipf_fit
+
+        # construct counts ~ 1000/rank: term t_r repeated 1000//r times
+        words = []
+        for r in range(1, 9):
+            words += [f"t{r:02d}"] * (1000 // r)
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        (row,) = zipf_fit(df, top_n=8).collect()
+        assert row.n_terms == 8
+        # counts floor(1000/r) -> slope near -1
+        assert -1.05 < row.zipf_slope < -0.95
