@@ -235,3 +235,53 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_gram_matrix_is_joinless_partial_agg(spark, registry):
+    # X^T X must come from the narrow per-row pair expansion + one
+    # keyed aggregate with map-side partials — a vec_id self-join
+    # formulation would shuffle the corpus twice
+    plan = plan_of(registry["embedding_gram_matrix"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "partial_" in plan.lower() or "partial" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_standardize_stats_join_broadcasts(spark, registry):
+    # the 64-row per-dimension stats relation must broadcast back onto
+    # the exploded stream, never sort-merge with it
+    plan = plan_of(registry["embedding_standardize"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_rank_windows_are_metric_partitioned(spark, registry):
+    # grouped_ntile: every row-scale window must carry the metric (and
+    # bucket) partition keys; only the (metric, bucket)-totals window
+    # runs per-metric over dimension-scale rows
+    plan = plan_of(registry["rfm_customer_segments"].fn(spark, SF))
+    assert "ntile" not in plan  # closed-form tile, no global NTILE
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__m" in m.group(1) and "__vb" in m.group(1)
+
+
+def test_transition_matrix_window_is_user_partitioned(spark, registry):
+    plan = plan_of(registry["event_transition_matrix"].fn(spark, SF))
+    for m in re.finditer(r"Window \[[^\]]*lead[^\]]*\], \[([^\]]*)\]", plan):
+        assert "user_id" in m.group(1)
+
+
+def test_dup_chunk_never_shuffles_text(spark, registry):
+    # chunk hashes (32-char md5) cross the wire, the token arrays and
+    # raw text must not survive past the narrow chunking projection
+    plan = plan_of(registry["dup_chunk_fraction"].fn(spark, SF))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1) and "_toks" not in m.group(1)
+
+
+def test_recall_eval_ground_truth_broadcasts_queries(spark, registry):
+    # the exact arm must broadcast the sampled query vectors over the
+    # corpus (map-side only) — a shuffled all-pairs join would defeat
+    # the sampling
+    plan = plan_of(registry["ann_recall_eval"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

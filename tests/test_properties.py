@@ -465,3 +465,99 @@ def test_fuzzy_pairs_sound_and_complete_within_block(spark, vals):
             if a[0] == b[0] and abs(len(a) - len(b)) <= 1 and lev(a, b) <= 1:
                 expected[(a, b)] = lev(a, b)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.integers(-100, 100)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_grouped_ols_matches_exact_rational_fit(spark, rows):
+    from fractions import Fraction
+
+    from nhl_data_warehouse_spark.operators.regression import grouped_ols
+
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        den = n * sxx - sx * sx
+        assert got[g].n == n
+        if den == 0:
+            assert got[g].slope is None and got[g].intercept is None
+        else:
+            exact = Fraction(n * sxy - sx * sy, den)
+            assert abs(got[g].slope - float(exact)) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    durations=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), min_size=1, max_size=12
+    )
+)
+def test_km_survival_matches_naive_product(spark, durations):
+    import math
+
+    from nhl_data_warehouse_spark.operators.timeseries import km_survival
+
+    df = spark.createDataFrame(
+        [(d, 1 if obs else 0) for d, obs in durations],
+        "duration long, observed int",
+    )
+    got = {r.duration: r for r in km_survival(df).collect()}
+    times = sorted({d for d, _ in durations})
+    log_s = 0.0
+    dead = False
+    for t in times:
+        n = sum(1 for d, _ in durations if d >= t)
+        dt = sum(1 for d, obs in durations if d == t and obs)
+        assert got[t].n_at_risk == n and got[t].n_events == dt
+        if dt == n:
+            dead = True
+        elif dt > 0:
+            log_s += round(math.log(1 - dt / n), 6)
+        if dead:
+            assert got[t].log_survival is None
+        else:
+            assert got[t].log_survival is not None
+            assert abs(got[t].log_survival - log_s) < 1e-9
+        # survival never increases
+    vals = [got[t].log_survival for t in times if got[t].log_survival is not None]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+def test_grouped_ntile_matches_global_ntile_property(spark, vals):
+    from pyspark.sql.window import Window
+
+    from nhl_data_warehouse_spark.operators.layout import grouped_ntile
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r.id: (r.a_tile, r.b_tile)
+        for r in grouped_ntile(df, "id", ["a", "b"], n_tiles=3).collect()
+    }
+    for m, idx in (("a", 0), ("b", 1)):
+        w = Window.orderBy(F.col(m), F.col("id"))
+        ref = {
+            r.id: r.t
+            for r in df.select("id", F.ntile(3).over(w).alias("t")).collect()
+        }
+        assert {k: v[idx] for k, v in got.items()} == ref
