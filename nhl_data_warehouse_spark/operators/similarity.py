@@ -1004,3 +1004,80 @@ def standardize_embeddings(
             F.when(num != 0, z).alias("zscore"),
         )
     )
+
+
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    k: int = 10,
+    sample_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF nprobe=1 probe against the exact scan over
+    the deterministic query sample ``id % sample_mod == 0`` — the IVF
+    twin of ``ann_recall_at_k``, measuring what single-cell pruning
+    costs in recall before raising nprobe. Same architecture: the
+    ground-truth arm broadcasts only the sampled queries (map-side
+    only); the approx arm joins inside the query's assigned cell
+    exactly like the production probe.
+    """
+    import pyspark.sql.window as W
+
+    qs = embeddings.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe")
+    )
+    rounded_cos = (
+        F.round(
+            _dot(F.col(vec_col), F.col("_qe"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qe"))),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("_cos")
+    w = (
+        W.Window.partitionBy("query_id")
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+    )
+    exact_top = (
+        embeddings.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, rounded_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col)
+    )
+    assigned = ivf_assign(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    qc = assigned.join(
+        F.broadcast(qs.select("query_id")), F.col(id_col) == F.col("query_id")
+    ).select("query_id", F.col(vec_col).alias("_qe"), F.col("cell_id"))
+    approx_top = (
+        assigned.join(F.broadcast(qc), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, rounded_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col(id_col).alias("_hit_id"))
+    )
+    return (
+        exact_top.join(
+            approx_top,
+            (exact_top["query_id"] == approx_top["query_id"])
+            & (exact_top[id_col] == approx_top["_hit_id"]),
+            "left",
+        )
+        .groupBy(exact_top["query_id"].alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit_id").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.round(F.col("n_hit") / F.col("n_exact"), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+    )

@@ -3221,3 +3221,143 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return text.zipf_fit(documents, top_n=128)
+
+
+@register(
+    "ivf_recall_eval",
+    op_ids="beyond-reference IVF index evaluation (recall@k of the "
+    "nprobe=1 cell probe vs the exact scan over a deterministic "
+    "query sample — measures what single-cell pruning costs before "
+    "raising nprobe; broadcast-only ground-truth arm)",
+    description="recall@10 per sampled query (vec_id % 25 == 0) of "
+    "the IVF single-cell probe against exact cosine top-10",
+    oracle=f"""
+        WITH {_IVF_ASSIGN_CTE},
+        qs AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id % 25 = 0),
+        exact_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT q.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM embeddings e, qs q WHERE e.vec_id <> q.qid)
+            GROUP BY qid, vec_id
+        ),
+        exact_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM exact_dots) WHERE rn <= 10
+        ),
+        qcell AS (SELECT qs.qid, a.cell_id FROM assign a
+                  JOIN qs ON a.vec_id = qs.qid),
+        cand AS (SELECT qc.qid, a.vec_id FROM qcell qc
+                 JOIN assign a ON a.cell_id = qc.cell_id
+                                AND a.vec_id <> qc.qid),
+        appr_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT c.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM cand c
+                  JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN qs q ON q.qid = c.qid)
+            GROUP BY qid, vec_id
+        ),
+        appr_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM appr_dots) WHERE rn <= 10
+        )
+        SELECT et.qid AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) + 0.0 AS recall_at_k
+        FROM exact_top et
+        LEFT JOIN appr_top ap ON ap.qid = et.qid AND ap.vec_id = et.vec_id
+        GROUP BY et.qid
+    """,
+)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall_at_k(
+        embeddings, n_centroids=8, k=10, sample_mod=25
+    )
+
+
+@register(
+    "pq_distortion_report",
+    op_ids="beyond-reference PQ quantization-quality evaluation "
+    "(per-subspace reconstruction error + codebook utilization over "
+    "the pq_encode output — the distortion gate before shipping a "
+    "codebook; decimal-exact error sums)",
+    description="per PQ subspace: vectors encoded, mean/max squared "
+    "reconstruction error, distinct codes used of the 8 available — "
+    "a subspace with high distortion or dead codes needs retraining",
+    oracle="""
+        WITH subs AS (
+            SELECT vec_id, s.subspace,
+                   list_slice(embedding, s.subspace * 16 + 1,
+                              s.subspace * 16 + 16) AS subvec
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(0, 3)) AS subspace) s
+        ),
+        codes AS (
+            SELECT vec_id AS code_id, subspace, subvec AS codevec
+            FROM subs WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT vec_id, subspace, code_id,
+                   ROUND(SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                             * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 6)
+                       AS dist
+            FROM (SELECT v.vec_id, v.subspace, c.code_id,
+                         unnest(v.subvec) AS x, unnest(c.codevec) AS y
+                  FROM subs v JOIN codes c USING (subspace))
+            GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT vec_id, subspace, code_id AS code, dist
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id, subspace
+                      ORDER BY dist ASC, code_id ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        )
+        SELECT CAST(subspace AS BIGINT) AS subspace,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(dist AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+                   AS mean_sqdist,
+               MAX(dist) AS max_sqdist,
+               CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used
+        FROM best GROUP BY subspace
+    """,
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode(embeddings, dim=64, m=4, n_codes=8)
+    return (
+        enc.groupBy(F.col("subspace").cast("long").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("dist").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_sqdist"),
+            F.max("dist").alias("max_sqdist"),
+            F.count_distinct("code").alias("n_codes_used"),
+        )
+    )

@@ -379,3 +379,34 @@ class TestZipfFit:
         assert row.n_terms == 8
         # counts floor(1000/r) -> slope near -1
         assert -1.05 < row.zipf_slope < -0.95
+
+
+class TestIvfRecallEval:
+    def test_sampled_queries_bounded(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import ivf_recall_at_k
+
+        vecs = [(i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(8)]) for i in range(24)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = ivf_recall_at_k(df, n_centroids=4, k=3, sample_mod=6).collect()
+        assert {r.query_id for r in rows} == {0, 6, 12, 18}
+        for r in rows:
+            assert r.n_exact == 3 and 0 <= r.n_hit <= 3
+            assert abs(r.recall_at_k - round(r.n_hit / 3, 6)) < 1e-12
+
+
+class TestPqDistortionReport:
+    def test_codebook_members_have_zero_distortion(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import pq_encode
+        from pyspark.sql import functions as F
+
+        vecs = [(i, [float((i + j) % 5) for j in range(8)]) for i in range(12)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        enc = pq_encode(df, dim=8, m=2, n_codes=4)
+        # a codebook seed vector reconstructs itself exactly
+        own = enc.filter(F.col("vec_id") < 4).collect()
+        assert all(r.dist == 0.0 and r.code == r.vec_id for r in own)
+        rep = enc.groupBy("subspace").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("mx")
+        ).collect()
+        assert {r.subspace for r in rep} == {0, 1}
+        assert all(r.n == 12 for r in rep)
