@@ -278,3 +278,71 @@ def cooccurrence_pairs(
             F.col("n_groups").desc(), F.col("item_a").asc(), F.col("item_b").asc()
         ).limit(top_k)
     return counts
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+    top_k: int = 30,
+) -> DataFrame:
+    """Association-rule mining over the co-occurrence projection:
+    support, directional confidence and lift per item pair — the
+    market-basket step after pair counting that turns counts into a
+    ranked recommendation signal (lift > 1 = the pair co-occurs more
+    than independence predicts).
+
+    Every ratio is one fixed-order division of exact integers (pair /
+    item / basket counts), so the doubles are engine-stable without
+    rounding and the lift-desc ordering is deterministic (item-pair
+    tie-break). Scale: reuses the bounded-fan-out pair join of
+    ``cooccurrence_pairs``; item counts and the 1-row basket total
+    join back by broadcast; ``min_pair_count`` prunes the long tail
+    before the joins.
+    """
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    items = items.persist()  # pair join (both sides) + item counts + N
+    item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_n_item"))
+    total = items.select("_g").distinct().agg(
+        F.count(F.lit(1)).alias("_n_groups")
+    )
+    pairs = (
+        items.join(
+            items.select(F.col("_g"), F.col("_i").alias("_j")), on="_g"
+        )
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy(F.col("_i").alias("item_a"), F.col("_j").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    na = item_counts.select(
+        F.col("_i").alias("item_a"), F.col("_n_item").alias("n_a")
+    )
+    nb = item_counts.select(
+        F.col("_i").alias("item_b"), F.col("_n_item").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(na), on="item_a")
+        .join(F.broadcast(nb), on="item_b")
+        .join(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("_n_groups").cast("double")).alias("support"),
+            (F.col("n_ab") / F.col("n_a").cast("double")).alias("conf_a_to_b"),
+            (F.col("n_ab") / F.col("n_b").cast("double")).alias("conf_b_to_a"),
+            (
+                (F.col("n_ab").cast("double") * F.col("_n_groups"))
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_k)

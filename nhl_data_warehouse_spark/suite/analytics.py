@@ -1151,3 +1151,48 @@ def km_order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nxt").isNotNull().cast("int").alias("observed"),
     )
     return timeseries.km_survival(spells, "duration", "observed")
+
+
+@register(
+    "association_rules_lift",
+    op_ids="beyond-reference association-rule mining (support / "
+    "directional confidence / lift over the bounded-fan-out pair "
+    "join; exact-integer ratios, broadcast item counts and 1-row "
+    "basket total)",
+    description="top-30 part pairs by lift with support and both "
+    "confidences — the counts-to-recommendation step after "
+    "co-occurrence mining",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                       FROM lineitem),
+        ic AS (SELECT i, COUNT(*) AS n_item FROM items GROUP BY i),
+        tot AS (SELECT COUNT(DISTINCT g) AS n_groups FROM items),
+        pairs AS (
+            SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+            FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(na.n_item AS BIGINT) AS n_a,
+               CAST(nb.n_item AS BIGINT) AS n_b,
+               n_ab / CAST(tot.n_groups AS DOUBLE) AS support,
+               n_ab / CAST(na.n_item AS DOUBLE) AS conf_a_to_b,
+               n_ab / CAST(nb.n_item AS DOUBLE) AS conf_b_to_a,
+               CAST(n_ab AS DOUBLE) * tot.n_groups
+                   / CAST(na.n_item * nb.n_item AS DOUBLE) AS lift
+        FROM pairs
+        JOIN ic na ON na.i = item_a
+        JOIN ic nb ON nb.i = item_b
+        CROSS JOIN tot
+        ORDER BY lift DESC, item_a ASC, item_b ASC
+        LIMIT 30
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return graph.association_rules(
+        lineitem, group_col="l_orderkey", item_col="l_partkey",
+        min_pair_count=3, top_k=30,
+    )

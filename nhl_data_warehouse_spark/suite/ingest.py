@@ -1064,3 +1064,41 @@ def runner_retry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = runner.run()
     assert attempts["n"] == 2, "retry path did not run"
     return results["mart_region_counts"]
+
+
+@register(
+    "orc_roundtrip_agg",
+    op_ids="beyond-reference columnar-format breadth (ORC sink + "
+    "source: write the 1995 order slice as ORC, read it back, "
+    "aggregate — the parquet-equivalent columnar path for stacks "
+    "standardized on ORC; predicate/column pruning semantics carry "
+    "over unchanged)",
+    description="orders for 1995 written to ORC and re-read, then "
+    "aggregated per priority — value-identical to the same aggregate "
+    "on the parquet source",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _fresh_dir("suite_orc_")
+    sliced = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    sliced.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

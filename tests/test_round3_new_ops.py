@@ -410,3 +410,29 @@ class TestPqDistortionReport:
         ).collect()
         assert {r.subspace for r in rep} == {0, 1}
         assert all(r.n == 12 for r in rep)
+
+
+class TestAssociationRules:
+    def test_lift_and_confidence(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import association_rules
+
+        # 4 baskets; a,b together in 2 of them; a in 3, b in 2
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "g long, i string")
+        got = {
+            (r.item_a, r.item_b): r
+            for r in association_rules(df, "g", "i", min_pair_count=1).collect()
+        }
+        ab = got[("a", "b")]
+        assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 2
+        assert ab.support == pytest.approx(2 / 4)
+        assert ab.conf_a_to_b == pytest.approx(2 / 3)
+        assert ab.conf_b_to_a == pytest.approx(1.0)
+        assert ab.lift == pytest.approx(2 * 4 / (3 * 2))
+        # duplicate items in one basket count once
+        assert ("a", "c") in got and got[("a", "c")].n_ab == 1
