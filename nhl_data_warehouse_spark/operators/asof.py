@@ -85,3 +85,42 @@ def as_of_join(
         F.col(f"__f_{c}").alias(f"asof_{c}") for c in payloads
     ]
     return filled.filter(F.col("__src") == 1).select(*out_cols)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join of a fact stream to an SCD2 dimension: each
+    fact row picks the dimension version whose validity interval
+    covers the fact's event time (``valid_from <= ts < valid_to``,
+    NULL valid_to = open) — the feature-store correctness join that
+    prevents training-serving leakage from joining TODAY's attributes
+    onto YESTERDAY's events.
+
+    Plan shape: an EQUI-join on the key with the interval predicate as
+    a join filter — co-partitioned hash join (or broadcast for a
+    bounded dimension), never a range-bucket join, because the version
+    count per key is small by SCD2 construction. With a correct SCD2
+    table (non-overlapping intervals) at most one version matches.
+    """
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (F.col(f"__f.{ts_col}") >= F.col(f"__d.{valid_from}"))
+        & (
+            F.col(f"__d.{valid_to}").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col(f"__d.{valid_to}"))
+        )
+    )
+    dim_cols = [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    return f.join(d, cond, how).select(
+        "__f.*", *[F.col(f"__d.{c}").alias(c) for c in dim_cols]
+    )

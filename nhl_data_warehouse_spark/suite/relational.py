@@ -603,3 +603,75 @@ def scd2_segment_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="valid_to",
     )
     return out.select("c_custkey", "segment", "valid_from", "valid_to")
+
+
+@register(
+    "pit_scd2_enrichment",
+    op_ids="beyond-reference point-in-time SCD2 join (equi-join on "
+    "the key with the validity interval as a join filter — the "
+    "feature-store correctness join preventing training-serving "
+    "leakage; never a range-bucket join, versions per key are "
+    "bounded by construction)",
+    description="orders enriched with the customer segment valid AT "
+    "ORDER TIME (delinquent customers re-labeled from 1996-01-01), "
+    "rolled up per (as-of segment, order year): pre-1996 orders keep "
+    "the original segment, later ones see the new version",
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '1992-01-01' AS valid_from,
+                   CASE WHEN c_acctbal < 0 THEN DATE '1996-01-01' END
+                       AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'DELINQUENT', DATE '1996-01-01', NULL
+            FROM customer WHERE c_acctbal < 0
+        )
+        SELECT d.segment AS segment_asof,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        GROUP BY 1, 2
+    """,
+)
+def pit_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.asof import pit_join
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    v1 = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(F.col("c_acctbal") < 0, F.lit("1996-01-01").cast("date")).alias(
+            "valid_to"
+        ),
+    )
+    v2 = customer.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey",
+        F.lit("DELINQUENT").alias("segment"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    enriched = pit_join(facts, dim, key="c_custkey", ts_col="o_orderdate", how="inner")
+    return (
+        enriched.groupBy(
+            F.col("segment").alias("segment_asof"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

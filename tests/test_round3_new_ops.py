@@ -436,3 +436,31 @@ class TestAssociationRules:
         assert ab.lift == pytest.approx(2 * 4 / (3 * 2))
         # duplicate items in one basket count once
         assert ("a", "c") in got and got[("a", "c")].n_ab == 1
+
+
+class TestPitJoin:
+    def test_picks_version_valid_at_event_time(self, spark):
+        from pyspark.sql import functions as F
+        from nhl_data_warehouse_spark.operators.asof import pit_join
+
+        dim = spark.createDataFrame(
+            [
+                (1, "OLD", "2020-01-01", "2021-01-01"),
+                (1, "NEW", "2021-01-01", None),
+                (2, "ONLY", "2020-06-01", None),
+            ],
+            "k long, attr string, valid_from string, valid_to string",
+        ).select(
+            "k", "attr",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+        )
+        facts = spark.createDataFrame(
+            [(1, "2020-06-15"), (1, "2021-01-01"), (2, "2020-01-01"), (3, "2022-01-01")],
+            "k long, ts string",
+        ).select("k", F.col("ts").cast("date").alias("ts"))
+        got = {(r.k, str(r.ts)): r.attr for r in pit_join(facts, dim, "k", "ts").collect()}
+        assert got[(1, "2020-06-15")] == "OLD"
+        assert got[(1, "2021-01-01")] == "NEW"   # boundary: from inclusive, to exclusive
+        assert got[(2, "2020-01-01")] is None    # before first version
+        assert got[(3, "2022-01-01")] is None    # unknown key, left join keeps fact
