@@ -1081,3 +1081,49 @@ def ivf_recall_at_k(
             ),
         )
     )
+
+
+def gram_power_step(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = G·1 / ||G·1|| on the exact fixed-point Gram
+    matrix — the distributed half of PCA (the full pattern: corpus
+    reduces to the O(d^2) Gram in one pass, the d x d eigensolve is
+    driver-side/offline, and the resulting component broadcasts back
+    for projection; this operator IS that reduce-then-matvec step,
+    iterate for convergence).
+
+    Determinism: Gram cells are 6dp decimals by construction
+    (``gram_matrix``); the matvec and the norm accumulate as DECIMAL
+    (exact under any aggregation order — products kept at (18,6) x
+    (18,6) -> (37,12) so neither engine's precision-capping rules
+    trigger); the final component is one division of deterministic
+    doubles, no rounding. Scale: everything after the Gram pass
+    touches only d and d^2-row relations.
+    """
+    cells = gram_matrix(embeddings, vec_col=vec_col, scale=scale)
+    full = cells.unionByName(
+        cells.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("gram")
+        )
+    )
+    w = full.groupBy("i").agg(
+        F.sum(F.col("gram").cast("decimal(24,6)"))
+        .cast("decimal(18,6)")
+        .alias("_w")
+    )
+    nrm = w.agg(
+        F.sqrt(
+            F.sum(F.col("_w") * F.col("_w")).cast("double")
+        ).alias("_n")
+    )
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .select(
+            "i",
+            (F.col("_w").cast("double") / F.col("_n")).alias("component"),
+        )
+    )

@@ -3361,3 +3361,48 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("code").alias("n_codes_used"),
         )
     )
+
+
+@register(
+    "gram_power_iteration",
+    op_ids="beyond-reference distributed PCA step (power iteration on "
+    "the exact fixed-point Gram: corpus reduces to O(d^2) cells in "
+    "one pass, the matvec + normalization run on d-row relations in "
+    "exact DECIMAL — the reduce-then-eigensolve PCA pattern)",
+    description="one power-iteration step v = G*1/||G*1|| on the "
+    "embedding Gram matrix — the normalized dominant-direction "
+    "estimate PCA/whitening starts from",
+    oracle="""
+        WITH cells0 AS (
+            SELECT CAST(r1.i AS BIGINT) AS i, CAST(r2.j AS BIGINT) AS j,
+                   CAST(ROUND(CAST(e.embedding[CAST(r1.i + 1 AS INT)] AS DOUBLE)
+                              * 1000000, 0) AS BIGINT)
+                   * CAST(ROUND(CAST(e.embedding[CAST(r2.j + 1 AS INT)] AS DOUBLE)
+                                * 1000000, 0) AS BIGINT) AS p
+            FROM embeddings e, range(0, 64) r1(i), range(0, 64) r2(j)
+            WHERE r2.j >= r1.i
+        ),
+        cells AS (
+            SELECT i, j,
+                   ROUND(CAST(SUM(p) AS DOUBLE) / 1000000000000.0, 6) + 0.0
+                       AS gram
+            FROM cells0 GROUP BY i, j
+        ),
+        fullm AS (
+            SELECT i, j, gram FROM cells
+            UNION ALL
+            SELECT j AS i, i AS j, gram FROM cells WHERE i < j
+        ),
+        w AS (
+            SELECT i, CAST(SUM(CAST(gram AS DECIMAL(24,6)))
+                           AS DECIMAL(18,6)) AS wd
+            FROM fullm GROUP BY i
+        ),
+        nrm AS (SELECT sqrt(CAST(SUM(wd * wd) AS DOUBLE)) AS nv FROM w)
+        SELECT i, CAST(wd AS DOUBLE) / nv AS component
+        FROM w, nrm
+    """,
+)
+def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.gram_power_step(embeddings)

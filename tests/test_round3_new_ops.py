@@ -464,3 +464,20 @@ class TestPitJoin:
         assert got[(1, "2021-01-01")] == "NEW"   # boundary: from inclusive, to exclusive
         assert got[(2, "2020-01-01")] is None    # before first version
         assert got[(3, "2022-01-01")] is None    # unknown key, left join keeps fact
+
+
+class TestGramPowerStep:
+    def test_unit_norm_and_direction(self, spark):
+        import math
+        from nhl_data_warehouse_spark.operators.similarity import gram_power_step
+
+        # rows along e0 dominate -> component concentrates on dim 0
+        df = spark.createDataFrame(
+            [(i, [10.0, 1.0, 0.5]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        comp = {r.i: r.component for r in gram_power_step(df).collect()}
+        assert len(comp) == 3
+        norm = math.sqrt(sum(v * v for v in comp.values()))
+        assert norm == pytest.approx(1.0, abs=1e-9)
+        assert comp[0] > comp[1] > comp[2] > 0
