@@ -1196,3 +1196,62 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, group_col="l_orderkey", item_col="l_partkey",
         min_pair_count=3, top_k=30,
     )
+
+
+@register(
+    "trimmed_mean_revenue",
+    op_ids="beyond-reference robust aggregate (rank-based trimmed "
+    "mean: drop floor(5%) rows per tail by exact integer rank, "
+    "decimal-exact mean of the rest — fully integer-deterministic, "
+    "no interpolated percentile boundary to drift cross-engine)",
+    description="per-priority 5%-trimmed mean order price: the "
+    "outlier-robust revenue center a dashboard should quote when "
+    "whale orders distort the plain mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0
+                   AS trimmed_mean_price
+        FROM ranked
+        WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY o_orderpriority
+    """,
+)
+def trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents"), F.col("o_orderkey")
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", cents.alias("cents"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n div 20")) & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+        ).alias("trimmed_mean_price"),
+    )

@@ -3406,3 +3406,46 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return similarity.gram_power_step(embeddings)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    op_ids="beyond-reference tokenizer fertility report (chars/token "
+    "per language — one map-side-combined aggregate; exact-integer "
+    "ratio)",
+    description="per language: docs, whitespace tokens, characters, "
+    "and chars-per-token — the fertility planning number (CJK vs "
+    "Latin) a tokenizer budget is sized from",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(length(text)) AS BIGINT)
+                   / CAST(SUM(len(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))) AS DOUBLE)
+                   AS chars_per_token
+        FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_chars") / F.col("n_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
