@@ -887,13 +887,20 @@ def ann_recall_at_k(
     """
     import pyspark.sql.window as W
 
-    qs = embeddings.filter((F.col(id_col) % sample_mod) == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe")
+    # norms are per-VECTOR quantities: fold them once per row on each
+    # side before the pair join — folding them per PAIR (the naive
+    # form) re-runs two 64-element folds for every candidate, ~3x the
+    # expression work at eval scale
+    corpus = embeddings.withColumn("_nv", _norm(F.col(vec_col)))
+    qs = corpus.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qe"),
+        F.col("_nv").alias("_nq"),
     )
     rounded_cos = (
         F.round(
             _dot(F.col(vec_col), F.col("_qe"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qe"))),
+            / (F.col("_nv") * F.col("_nq")),
             6,
         )
         + F.lit(0.0)
@@ -903,21 +910,21 @@ def ann_recall_at_k(
         .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     )
     exact_top = (
-        embeddings.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        corpus.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, rounded_cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("query_id", id_col)
     )
     buckets = lsh_hyperplane_buckets(
-        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
-    )
+        corpus, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    ).join(corpus.select(id_col, "_nv"), on=id_col)
     qb = (
         buckets.join(
-            F.broadcast(qs.select("query_id")),
+            F.broadcast(qs.select("query_id", "_nq")),
             F.col(id_col) == F.col("query_id"),
         )
-        .select("query_id", F.col(vec_col).alias("_qe"), F.col("bucket"))
+        .select("query_id", F.col(vec_col).alias("_qe"), "_nq", F.col("bucket"))
     )
     approx_top = (
         buckets.join(F.broadcast(qb), "bucket")
@@ -1024,13 +1031,18 @@ def ivf_recall_at_k(
     """
     import pyspark.sql.window as W
 
-    qs = embeddings.filter((F.col(id_col) % sample_mod) == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qe")
+    # per-row norms folded once per side, not per pair (see
+    # ann_recall_at_k)
+    corpus = embeddings.withColumn("_nv", _norm(F.col(vec_col)))
+    qs = corpus.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qe"),
+        F.col("_nv").alias("_nq"),
     )
     rounded_cos = (
         F.round(
             _dot(F.col(vec_col), F.col("_qe"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qe"))),
+            / (F.col("_nv") * F.col("_nq")),
             6,
         )
         + F.lit(0.0)
@@ -1040,7 +1052,7 @@ def ivf_recall_at_k(
         .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
     )
     exact_top = (
-        embeddings.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        corpus.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, rounded_cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -1048,10 +1060,10 @@ def ivf_recall_at_k(
     )
     assigned = ivf_assign(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    ).join(corpus.select(id_col, "_nv"), on=id_col)
     qc = assigned.join(
-        F.broadcast(qs.select("query_id")), F.col(id_col) == F.col("query_id")
-    ).select("query_id", F.col(vec_col).alias("_qe"), F.col("cell_id"))
+        F.broadcast(qs.select("query_id", "_nq")), F.col(id_col) == F.col("query_id")
+    ).select("query_id", F.col(vec_col).alias("_qe"), "_nq", F.col("cell_id"))
     approx_top = (
         assigned.join(F.broadcast(qc), "cell_id")
         .filter(F.col(id_col) != F.col("query_id"))
