@@ -122,16 +122,25 @@ def embedding_near_dup_pairs(
     Cosine is computed once per surviving candidate pair.
     """
     bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    # per-row norm folded once before the self-join (per-pair folds
+    # would redo two 64-element folds per candidate)
+    bucketed = bucketed.withColumn("_nv", _norm(F.col(vec_col)))
     bucketed = bucketed.persist()  # both join sides read it
     a = bucketed.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nv").alias("_na"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nv").alias("_nb"),
+        "bucket",
     )
     pairs = a.join(b, on="bucket").filter(F.col("a_id") < F.col("b_id"))
     cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         6,
     )
     return (
@@ -191,16 +200,25 @@ def _bucketed_cosine_pairs(
     exact 6dp cosine — the common core of the kNN join and hard-negative
     mining. Fan-out is sum over buckets of n_b^2 (never all-pairs)."""
     bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    # norms are per-vector: fold once per row BEFORE the self-join —
+    # per-pair norm folds would redo two 64-element folds per candidate
+    bucketed = bucketed.withColumn("_nv", _norm(F.col(vec_col)))
     bucketed = bucketed.persist()  # both self-join sides read it
     a = bucketed.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "bucket"
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nv").alias("_na"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "bucket"
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nv").alias("_nb"),
+        "bucket",
     )
     pairs = a.join(b, on="bucket").filter(F.col("a_id") != F.col("b_id"))
     cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         6,
     ) + F.lit(0.0)
     return pairs.select("a_id", "b_id", cos.alias("cosine"))
@@ -299,16 +317,23 @@ def semantic_dedup(
     Returns the KEPT rows as (id, cell_id).
     """
     assigned = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    assigned = assigned.withColumn("_nv", _norm(F.col(vec_col)))
     assigned = assigned.persist()  # pair build (2 sides) + final anti-join
     a = assigned.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), "cell_id"
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nv").alias("_na"),
+        "cell_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), "cell_id"
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nv").alias("_nb"),
+        "cell_id",
     )
     pairs = a.join(b, on="cell_id").filter(F.col("a_id") < F.col("b_id"))
     cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         6,
     )
     dup_ids = (
@@ -339,15 +364,18 @@ def ivf_assign(
     as ordinary partition pruning.
     """
     centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_nc"),
     )
     cos = F.round(
-        _dot(F.col(vec_col), F.col("_cv"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_cv"))),
+        _dot(F.col(vec_col), F.col("_cv")) / (F.col("_nvec") * F.col("_nc")),
         6,
     )
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "cell_id", cos.alias("_cos")
+    scored = (
+        embeddings.withColumn("_nvec", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "cell_id", cos.alias("_cos"))
     )
     # argmax via min_by over struct(-cos, cell_id): lexicographic struct
     # ordering encodes the tie-break (lower cell id), and the groupBy
