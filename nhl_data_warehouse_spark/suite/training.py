@@ -3449,3 +3449,106 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "training_manifest_assembly",
+    op_ids="beyond-reference END-TO-END training-data assembly in one "
+    "lazy plan: quality gate -> exact dedup (fingerprint-keyed, text "
+    "never shuffles) -> deterministic 80% train split -> content-"
+    "addressed corpus shuffle (two-level rank) -> distributed prefix-"
+    "sum token spans over the shuffled order. The manifest a "
+    "dataloader consumes, produced as ONE Spark job",
+    description="per kept train document: its reproducible shuffle "
+    "position, token count, absolute token start offset and first "
+    "512-token training block — gate, dedup, split, shuffle and pack "
+    "composed end to end",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, text FROM feats
+            WHERE n_chars BETWEEN 100 AND 20000 AND n_punct * 10 < n_chars
+        ),
+        reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY MD5(text)),
+        kept AS (SELECT g.doc_id, g.text FROM gated g
+                 JOIN reps r ON g.doc_id = r.doc_id),
+        train AS (
+            SELECT doc_id, text FROM kept
+            WHERE substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccc'
+        ),
+        counted AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tokens
+            FROM train
+        ),
+        shuffled AS (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('asm-v1|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS shuffle_pos
+            FROM counted
+        ),
+        cum AS (
+            SELECT *,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY shuffle_pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_offset
+            FROM shuffled
+        )
+        SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // 512 AS BIGINT) AS first_block
+        FROM cum
+    """,
+)
+def training_manifest_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import packing, sampling
+
+    (documents,) = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    gated = documents.select("doc_id", "text").filter(
+        n_chars.between(100, 20000) & (n_punct * 10 < n_chars)
+    )
+    reps = (
+        gated.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = gated.join(reps, on="doc_id", how="left_semi")
+    split = sampling.hash_split(
+        kept.select("doc_id"),
+        ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v1",
+    ).filter(F.col("split") == "train")
+    train = kept.join(split.select("doc_id"), on="doc_id", how="left_semi")
+    counted = train.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    shuffled = sampling.deterministic_shuffle(
+        counted, key_cols=["doc_id"], salt="asm-v1"
+    ).select("doc_id", "n_tokens", "shuffle_pos")
+    spans = packing.token_spans(
+        shuffled, id_col="shuffle_pos", weight_col="n_tokens", block_size=512
+    )
+    return spans.select(
+        "doc_id",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        "n_tokens",
+        "start_offset",
+        "first_block",
+    )

@@ -481,3 +481,26 @@ class TestGramPowerStep:
         norm = math.sqrt(sum(v * v for v in comp.values()))
         assert norm == pytest.approx(1.0, abs=1e-9)
         assert comp[0] > comp[1] > comp[2] > 0
+
+
+class TestTrainingManifestAssembly:
+    def test_spans_are_contiguous_in_shuffle_order(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        rows = (
+            REGISTRY["training_manifest_assembly"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .orderBy("shuffle_pos")
+            .collect()
+        )
+        assert rows, "manifest must keep at least one train doc"
+        # dense 1..n shuffle positions; offsets = exact prefix sums
+        assert [r.shuffle_pos for r in rows] == list(range(1, len(rows) + 1))
+        off = 0
+        for r in rows:
+            assert r.start_offset == off
+            assert r.first_block == off // 512
+            off += r.n_tokens
+        # dedup + split really filtered something
+        n_all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+        assert len(rows) < n_all
