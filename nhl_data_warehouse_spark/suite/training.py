@@ -3552,3 +3552,94 @@ def training_manifest_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         "first_block",
     )
+
+
+@register(
+    "cross_split_contamination",
+    op_ids="beyond-reference train/test NEAR-DUP decontamination "
+    "(MinHash LSH candidates restricted to pairs crossing the "
+    "deterministic split boundary, exact-Jaccard verified — the "
+    "eval-integrity gate ngram_contamination's exact matching "
+    "misses when the leaked copy is lightly edited)",
+    description="test-split documents whose shingle Jaccard with some "
+    "train-split document is >= 0.5, with the offending train doc — "
+    "candidates from LSH banding, cross-boundary pairs only",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'cccccccc' THEN 'train' ELSE 'heldout' END AS split
+            FROM documents
+        ),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+                for b in range(N_HASHES // BAND_SIZE)
+            )}
+        ),
+        cand AS (
+            SELECT DISTINCT tr.doc_id AS train_id, te.doc_id AS test_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id <> b.doc_id
+            JOIN split tr ON tr.doc_id = a.doc_id AND tr.split = 'train'
+            JOIN split te ON te.doc_id = b.doc_id AND te.split = 'heldout'
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.train_id, c.test_id, COUNT(*) AS n_common
+            FROM cand c
+            JOIN shingles a ON a.doc_id = c.train_id
+            JOIN shingles b ON b.doc_id = c.test_id AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT i.test_id, i.train_id,
+               i.n_common / CAST(st.n + se.n - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes st ON st.doc_id = i.train_id
+        JOIN sizes se ON se.doc_id = i.test_id
+        WHERE i.n_common / CAST(st.n + se.n - i.n_common AS DOUBLE) >= 0.5
+    """,
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import sampling
+
+    (documents,) = load(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        documents.select("doc_id"), ["doc_id"], {"train": 0.8, "heldout": 0.2},
+        salt="split-v1",
+    )
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sigs = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cands = dedup.minhash_band_candidates(
+        sigs, n_hashes=N_HASHES, band_size=BAND_SIZE
+    )
+    # candidates are undirected (a < b); orient both ways, then keep
+    # only pairs crossing the split boundary (train -> heldout)
+    both = cands.select(
+        F.col("a_id").alias("train_id"), F.col("b_id").alias("test_id")
+    ).unionByName(
+        cands.select(
+            F.col("b_id").alias("train_id"), F.col("a_id").alias("test_id")
+        )
+    )
+    tr = split.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id")
+    )
+    te = split.filter(F.col("split") == "heldout").select(
+        F.col("doc_id").alias("test_id")
+    )
+    crossing = both.join(tr, on="train_id").join(te, on="test_id")
+    verified = dedup.jaccard_pairs(
+        sh,
+        candidates=crossing.select(
+            F.col("train_id").alias("a_id"), F.col("test_id").alias("b_id")
+        ),
+        threshold=0.5,
+    )
+    return verified.select(
+        F.col("b_id").alias("test_id"),
+        F.col("a_id").alias("train_id"),
+        "jaccard",
+    )

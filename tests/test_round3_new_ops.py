@@ -504,3 +504,30 @@ class TestTrainingManifestAssembly:
         # dedup + split really filtered something
         n_all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
         assert len(rows) < n_all
+
+
+class TestCrossSplitContamination:
+    def test_planted_leak_detected(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        rows = REGISTRY["cross_split_contamination"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        # every reported pair crosses the boundary with jaccard >= 0.5
+        from nhl_data_warehouse_spark.operators import sampling
+
+        split = {
+            r.doc_id: r.split
+            for r in sampling.hash_split(
+                spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+                .select("doc_id"),
+                ["doc_id"],
+                {"train": 0.8, "heldout": 0.2},
+                salt="split-v1",
+            ).collect()
+        }
+        assert rows
+        for r in rows:
+            assert split[r.train_id] == "train"
+            assert split[r.test_id] == "heldout"
+            assert r.jaccard >= 0.5
