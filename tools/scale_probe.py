@@ -45,6 +45,10 @@ PROBES = [
     "dup_chunk_fraction",
     "embedding_gram_matrix",
     "curriculum_quality_order",
+    # capstone compositions: the one-job dataloader manifest and the
+    # LSH-verified cross-split leak scan
+    "training_manifest_assembly",
+    "cross_split_contamination",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
