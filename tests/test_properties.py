@@ -561,3 +561,77 @@ def test_grouped_ntile_matches_global_ntile_property(spark, vals):
             for r in df.select("id", F.ntile(3).over(w).alias("t")).collect()
         }
         assert {k: v[idx] for k, v in got.items()} == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gram_matrix_matches_fixed_point_reference(spark, vecs):
+    from nhl_data_warehouse_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.i, r.j): r.gram for r in gram_matrix(df).collect()}
+    # reference: exact integer arithmetic on the same fixed-pointing
+    import struct
+
+    def f32(x):  # the float32 value Spark stores
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    scaled = [
+        [int(round(f32(x) * 1_000_000)) for x in v] for v in vecs
+    ]
+    d = 3
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(row[i] * row[j] for row in scaled)
+            expect = round(float(s) / 1e12, 6) + 0.0
+            assert got[(i, j)] == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dup_chunk_counts_and_bounds(spark, docs):
+    from nhl_data_warehouse_spark.operators.dedup import dup_chunk_stats
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_chunk_stats(df, chunk_tokens=3).collect()}
+    # reference: exact chunking in python
+    chunks_by_doc = {}
+    for i, words in enumerate(docs):
+        if not words:
+            continue
+        chunks_by_doc[i] = [
+            " ".join(words[k : k + 3]) for k in range(0, len(words), 3)
+        ]
+    from collections import Counter
+
+    owners = Counter()
+    for i, cs in chunks_by_doc.items():
+        for c in set(cs):
+            owners[c] += 1
+    assert set(got) == set(chunks_by_doc)
+    for i, cs in chunks_by_doc.items():
+        # duplicated = chunk text present in >= 2 DISTINCT docs
+        n_dup = sum(1 for c in cs if owners[c] >= 2)
+        assert got[i].n_chunks == len(cs)
+        assert got[i].n_dup_chunks == n_dup
+        assert abs(got[i].dup_chunk_frac - round(n_dup / len(cs), 6)) < 1e-12
