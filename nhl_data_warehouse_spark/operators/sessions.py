@@ -101,3 +101,57 @@ def event_transitions(
             (F.col("n") / F.col("n_from").cast("double")).alias("p"),
         )
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed ordered funnel (the ClickHouse ``windowFunnel`` shape):
+    per user, the deepest step sequence completed strictly in order
+    within ``window_seconds`` of the ANCHOR (step-1) event — unlike
+    the unbounded ordered funnel, a user who converts a week later
+    does not count. Returns (user, funnel_level).
+
+    Correctness: per (user, anchor) the chain keeps only the EARLIEST
+    next-step event — greedy-earliest maximizes the remaining window,
+    so it reaches level L iff any event choice does. Scale: each hop
+    is a per-user equi-join whose time predicate bounds fan-out, then
+    a (user, anchor) min — partial-agg keyed shuffles; anchors bound
+    intermediate cardinality by the step-1 event count.
+    """
+    w = F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    anchors = events.filter(F.col(type_col) == steps[0]).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_t1"),
+        F.col(ts_col).alias("_tprev"),
+    )
+    levels = anchors.select(user_col).distinct().select(
+        F.col(user_col), F.lit(1).alias("funnel_level")
+    )
+    cur = anchors
+    for depth, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_tn")
+        )
+        cur = (
+            cur.join(nxt, on=user_col)
+            .filter(
+                (F.col("_tn") > F.col("_tprev"))
+                & (F.col("_tn") <= F.col("_t1") + w)
+            )
+            .groupBy(user_col, "_t1")
+            .agg(F.min("_tn").alias("_tprev"))
+        )
+        levels = levels.unionByName(
+            cur.select(user_col)
+            .distinct()
+            .select(F.col(user_col), F.lit(depth).alias("funnel_level"))
+        )
+    return levels.groupBy(user_col).agg(
+        F.max("funnel_level").alias("funnel_level")
+    )

@@ -1255,3 +1255,51 @@ def trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
         ).alias("trimmed_mean_price"),
     )
+
+
+@register(
+    "window_funnel_levels",
+    op_ids="beyond-reference windowed ordered funnel (ClickHouse "
+    "windowFunnel shape: deepest strictly-ordered step chain within "
+    "a time window of the anchor event; greedy-earliest hop keeps "
+    "per-(user, anchor) state bounded)",
+    description="view -> click -> purchase completed within 6 hours "
+    "of the anchoring view: users counted at their deepest level — "
+    "the time-bounded conversion metric the unbounded funnel "
+    "overstates",
+    oracle="""
+        WITH s1 AS (SELECT user_id, ts AS t1 FROM events
+                    WHERE event_type = 'view'),
+        s2 AS (
+            SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+            FROM s1 JOIN events e
+              ON e.user_id = s1.user_id AND e.event_type = 'click'
+             AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+            GROUP BY 1, 2
+        ),
+        s3 AS (
+            SELECT s2.user_id, MIN(e.ts) AS t3
+            FROM s2 JOIN events e
+              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+             AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 6 HOUR
+            GROUP BY 1
+        ),
+        lv AS (
+            SELECT user_id,
+                   CASE WHEN user_id IN (SELECT user_id FROM s3) THEN 3
+                        WHEN user_id IN (SELECT user_id FROM s2) THEN 2
+                        ELSE 1 END AS funnel_level
+            FROM (SELECT DISTINCT user_id FROM s1)
+        )
+        SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM lv GROUP BY funnel_level
+    """,
+)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sessions import window_funnel
+
+    (events,) = load(spark, sf_dir, "events")
+    lv = window_funnel(
+        events, steps=["view", "click", "purchase"], window_seconds=6 * 3600
+    )
+    return lv.groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -531,3 +531,34 @@ class TestCrossSplitContamination:
             assert split[r.train_id] == "train"
             assert split[r.test_id] == "heldout"
             assert r.jaccard >= 0.5
+
+
+class TestWindowFunnel:
+    def test_window_bounds_and_order(self, spark):
+        from pyspark.sql import functions as F
+        from nhl_data_warehouse_spark.operators.sessions import window_funnel
+
+        rows = [
+            # user 1: full chain inside 1h of the anchor
+            (1, "10:00", "view"), (1, "10:10", "click"), (1, "10:20", "purchase"),
+            # user 2: purchase outside the window of the only view
+            (2, "10:00", "view"), (2, "10:10", "click"), (2, "11:30", "purchase"),
+            # user 3: click BEFORE the view (order violated)
+            (3, "10:10", "view"), (3, "10:00", "click"),
+            # user 4: view only
+            (4, "10:00", "view"),
+            # user 5: later anchor rescues the chain
+            (5, "09:00", "view"), (5, "10:30", "view"),
+            (5, "10:40", "click"), (5, "10:50", "purchase"),
+        ]
+        df = spark.createDataFrame(
+            [(u, f"2025-01-01 {t}:00", ty) for u, t, ty in rows],
+            "user_id long, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r.user_id: r.funnel_level
+            for r in window_funnel(
+                df, ["view", "click", "purchase"], window_seconds=3600
+            ).collect()
+        }
+        assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 3}
