@@ -583,20 +583,28 @@ def test_gram_matrix_matches_fixed_point_reference(spark, vecs):
         "vec_id long, embedding array<float>",
     )
     got = {(r.i, r.j): r.gram for r in gram_matrix(df).collect()}
-    # reference: exact integer arithmetic on the same fixed-pointing
+    # reference: exact integer arithmetic on the same fixed-pointing.
+    # NB rounding must be HALF-AWAY-FROM-ZERO (Spark round / DuckDB
+    # std::round), NOT python's banker's round — hypothesis found the
+    # exact-half case [1.5, 1.546875] where they differ
     import struct
+    from decimal import ROUND_HALF_UP, Decimal
 
     def f32(x):  # the float32 value Spark stores
         return struct.unpack("f", struct.pack("f", x))[0]
 
+    def half_up(v, digits):
+        q = Decimal(1).scaleb(-digits)
+        return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
     scaled = [
-        [int(round(f32(x) * 1_000_000)) for x in v] for v in vecs
+        [int(half_up(f32(x) * 1_000_000, 0)) for x in v] for v in vecs
     ]
     d = 3
     for i in range(d):
         for j in range(i, d):
             s = sum(row[i] * row[j] for row in scaled)
-            expect = round(float(s) / 1e12, 6) + 0.0
+            expect = half_up(float(s) / 1e12, 6) + 0.0
             assert got[(i, j)] == expect
 
 
