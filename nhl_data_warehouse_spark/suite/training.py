@@ -3643,3 +3643,55 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_id").alias("train_id"),
         "jaccard",
     )
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+        WITH preds AS ({_lang_id_oracle()}),
+        joined AS (
+            SELECT d.lang AS true_lang, p.pred_lang
+            FROM documents d JOIN preds p USING (doc_id)
+        ),
+        cells AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM joined GROUP BY 1, 2
+        ),
+        tot AS (SELECT true_lang, SUM(n) AS n_true FROM cells GROUP BY 1)
+        SELECT c.true_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+               CAST(t.n_true AS BIGINT) AS n_true,
+               c.n / CAST(t.n_true AS DOUBLE) AS recall_share
+        FROM cells c JOIN tot t USING (true_lang)
+    """
+
+
+@register(
+    "lang_id_confusion",
+    op_ids="beyond-reference model evaluation: confusion matrix of "
+    "the language-ID heuristic against the gold lang column "
+    "(prediction join on the id key, dimension-squared aggregate, "
+    "exact-count recall shares)",
+    description="(true lang, predicted lang) counts with each cell's "
+    "share of the true class — the error-analysis matrix showing "
+    "WHICH languages the classifier confuses, not just how often it "
+    "is wrong",
+    oracle=_lang_confusion_oracle(),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    preds = text.lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, on="doc_id"
+    )
+    cells = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("true_lang").agg(F.sum("n").cast("long").alias("n_true"))
+    return (
+        cells.join(F.broadcast(tot), on="true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            "n_true",
+            (F.col("n") / F.col("n_true").cast("double")).alias("recall_share"),
+        )
+    )

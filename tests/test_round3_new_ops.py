@@ -562,3 +562,22 @@ class TestWindowFunnel:
             ).collect()
         }
         assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 3}
+
+
+class TestLangIdConfusion:
+    def test_recall_shares_sum_to_one(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        rows = REGISTRY["lang_id_confusion"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        from collections import defaultdict
+
+        by_true = defaultdict(float)
+        for r in rows:
+            assert 0 < r.recall_share <= 1
+            assert r.n <= r.n_true
+            by_true[r.true_lang] += r.recall_share
+        for lang, total in by_true.items():
+            assert abs(total - 1.0) < 1e-9, lang
