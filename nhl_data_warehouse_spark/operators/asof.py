@@ -121,6 +121,16 @@ def pit_join(
     dim_cols = [
         c for c in dim.columns if c not in (key, valid_from, valid_to)
     ]
+    # dim payloads keep their own names next to __f.* — that is only
+    # well-formed when the names are disjoint from the fact columns
+    # (unlike as_of_join, which prefixes with asof_). Fail loudly
+    # instead of emitting a frame with duplicate column names.
+    clash = sorted(set(dim_cols) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"pit_join: dimension payload columns {clash} collide with "
+            "fact columns; rename them on the dim side before joining"
+        )
     return f.join(d, cond, how).select(
         "__f.*", *[F.col(f"__d.{c}").alias(c) for c in dim_cols]
     )

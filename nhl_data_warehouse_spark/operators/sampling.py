@@ -331,11 +331,39 @@ def curriculum_order(
     Rows shuffle once into partitioned windows; only the
     (max_score+1) * 16^d bucket totals cross a single partition. No
     global sort.
+
+    Contract: ``score_col`` must be integer-valued in
+    ``[0, max_score]`` — the composite bucket is only monotone under
+    that bound. Enforced in-plan: an out-of-range / fractional / NULL
+    score raises at execution instead of silently corrupting the
+    global order.
     """
     from nhl_data_warehouse_spark.operators.layout import two_level_rank
 
     n_hb = 16 ** bucket_hex_digits
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    s_raw = F.col(score_col)
+    s_int = s_raw.cast("long")
+    s_valid = (
+        s_raw.isNotNull()
+        & (s_int >= 0)
+        & (s_int <= max_score)
+        & (s_int.cast("double") == s_raw.cast("double"))
+    )
+    # coalesce evaluates left-to-right, so valid rows never reach the
+    # raise_error branch; __cb depends on it, so it cannot be pruned
+    s_checked = F.coalesce(
+        F.when(s_valid, s_int),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"curriculum_order: {score_col} must be an integer in "
+                    f"[0, {max_score}], got "
+                ),
+                F.coalesce(s_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    )
     out = (
         scored.withColumn("__h", h)
         .withColumn(
@@ -344,7 +372,7 @@ def curriculum_order(
         )
         .withColumn(
             "__cb",
-            (F.lit(max_score) - F.col(score_col)) * n_hb + F.col("__hb"),
+            (F.lit(max_score) - s_checked) * n_hb + F.col("__hb"),
         )
     )
     ranked = two_level_rank(out, "__cb", [F.col("__h"), F.col(id_col)])

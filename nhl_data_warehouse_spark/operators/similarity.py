@@ -960,16 +960,21 @@ def ann_recall_at_k(
         .select("query_id", id_col, rounded_cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("query_id", F.col(id_col).alias("_hit_id"))
+        # alias BOTH output columns: the exact and approx arms share
+        # lineage from the corpus frame, so joining on a same-named
+        # query_id would lean on Spark's ambiguous-self-join rewrite
+        # (it logs "trivially true equals predicate"); distinct names
+        # make the join condition unambiguous by construction
+        .select(F.col("query_id").alias("_q2"), F.col(id_col).alias("_hit_id"))
     )
     return (
         exact_top.join(
             approx_top,
-            (exact_top["query_id"] == approx_top["query_id"])
-            & (exact_top[id_col] == approx_top["_hit_id"]),
+            (F.col("query_id") == F.col("_q2"))
+            & (F.col(id_col) == F.col("_hit_id")),
             "left",
         )
-        .groupBy(exact_top["query_id"].alias("query_id"))
+        .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("_hit_id").alias("n_hit"),
@@ -1098,16 +1103,21 @@ def ivf_recall_at_k(
         .select("query_id", id_col, rounded_cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("query_id", F.col(id_col).alias("_hit_id"))
+        # alias BOTH output columns: the exact and approx arms share
+        # lineage from the corpus frame, so joining on a same-named
+        # query_id would lean on Spark's ambiguous-self-join rewrite
+        # (it logs "trivially true equals predicate"); distinct names
+        # make the join condition unambiguous by construction
+        .select(F.col("query_id").alias("_q2"), F.col(id_col).alias("_hit_id"))
     )
     return (
         exact_top.join(
             approx_top,
-            (exact_top["query_id"] == approx_top["query_id"])
-            & (exact_top[id_col] == approx_top["_hit_id"]),
+            (F.col("query_id") == F.col("_q2"))
+            & (F.col(id_col) == F.col("_hit_id")),
             "left",
         )
-        .groupBy(exact_top["query_id"].alias("query_id"))
+        .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("_hit_id").alias("n_hit"),

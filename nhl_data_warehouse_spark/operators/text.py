@@ -478,22 +478,25 @@ def bm25_scores(
 
     Scale: tokens are filtered to the query terms BEFORE the (doc,
     term) aggregate, so the shuffle carries only query-term hits —
-    O(matches), not O(corpus tokens). N/sum_dl is a 1-row broadcast;
-    per-term df is an aggregate of the already-tiny tf relation;
-    the final top-k is TakeOrderedAndProject (no global sort).
+    O(matches), not O(corpus tokens). The doc length rides through
+    that aggregate as a (functionally id-dependent) group key, so no
+    row-scale dl relation is ever joined back — the r3 plan paid a
+    full-corpus shuffle there for one long column. N/sum_dl is a
+    1-row broadcast; per-term df is an aggregate of the already-tiny
+    tf relation; the final top-k is TakeOrderedAndProject (no global
+    sort).
     """
     arr = _ws_tokens(text_col)
     base = df.select(F.col(id_col), arr.alias("toks"))
     base = base.persist()  # corpus stats + per-doc tf both read it
-    dl = base.select(id_col, F.size("toks").alias("dl"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("sum_dl"),
     )
-    toks = base.select(F.col(id_col), F.explode("toks").alias("term")).filter(
-        F.col("term").isin(*query_terms)
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    toks = base.select(
+        F.col(id_col), F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_d = F.col("n_docs").cast("double")
     df_d = F.col("df_docs").cast("double")
@@ -513,7 +516,6 @@ def bm25_scores(
     idf_by_term = dfreq.join(F.broadcast(stats)).select("term", idf)
     scored = (
         tf.join(F.broadcast(idf_by_term), on="term")
-        .join(dl, on=id_col)
         .join(F.broadcast(stats))
         .select(F.col(id_col), F.col("dl"), contrib.alias("contrib"))
     )

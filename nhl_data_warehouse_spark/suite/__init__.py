@@ -32,69 +32,92 @@ from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 
-# Round-3 rotation (VERDICT r2 item 1): the driver checks the first
-# ~50 registered queries per round, so this round's window is the 41
-# queries with no driver verdict in either prior round (the
-# training-data back half, media, sampling, streaming-dedup, fuzzy,
-# k-means, CDC/as-of) followed by the 9 highest-risk round-1
-# hash-fails that were fixed suite-wide in round 2 but never driver
-# re-verified (decimal/HUGEINT class: pricing, grouping-sets family,
-# pagerank, map-stats, gap-fill). Never-checked first so a slightly
-# narrower window still covers them. In-place reorder: REGISTRY is
-# imported by reference elsewhere, so the dict object keeps its id.
+# Round-4 rotation (VERDICT r3 item 1): cumulative driver-green is
+# 125/191 after rounds 1-3; this list is ALL 66 queries without a
+# green CORRECTNESS row yet, so the driver's ~50-query window covers
+# the first 50 and whatever spills over leads round 5's window
+# automatically. Order: the 13 round-1 hash-fails (fixed suite-wide
+# in round 2, never driver re-verified) first, then the four
+# §2-completing queries, the reshaped approx sketch, the streaming
+# executions, the index-eval harness, then the remaining
+# never-checked training/analytics queries. In-place reorder:
+# REGISTRY is imported by reference elsewhere, so the dict object
+# keeps its id.
 _PRIORITY = [
-    # -- 41 never driver-checked (r1, r2 windows both missed these) --
-    "tfidf_top_terms",
-    "bm25_doc_ranking",
-    "pmi_collocations",
-    "repetition_signals",
-    "boilerplate_removal",
-    "unigram_logprob_scores",
-    "ngram_contamination",
-    "inverted_index_postings",
-    "token_entropy_scores",
-    "bpe_merge_candidates",
-    "doc_chunking_overlap",
-    "pii_redaction",
-    "udtf_positional_tokenize",
-    "sequence_token_spans",
-    "greedy_pack_bins",
-    "sample_hash_bernoulli",
-    "sample_train_val_test_split",
-    "sample_group_cap",
-    "sample_rebalance_langs",
-    "sample_temperature_mix",
-    "weighted_sample_docs",
-    "embedding_vector_stats",
-    "embedding_int8_quantize",
-    "pq_codes",
-    "ivfpq_topk",
-    "ann_ivf_topk_nprobe2",
-    "kmeans_lloyd_step",
-    "containment_near_dups",
-    "vocab_typo_pairs",
-    "fuzzy_source_lookup",
-    "media_feature_extract",
-    "media_resize_meta",
-    "media_frame_sample",
-    "approx_distinct_users",
+    # -- 13 fixed round-1 hash-fails, driver re-verification --
+    "clean_cast_project",
+    "case_nullout_filter",
+    "json_extract",
+    "null_count_quality",
+    "unpivot_monthly_metrics",
+    "rolling_7d_revenue",
+    "incremental_agg_merge",
+    "window_running_sum",
+    "monthly_order_stats",
+    "sql_api_top_nations",
+    "outer_join_null_fill",
+    "variant_json_path",
+    "value_histogram",
+    # -- §2-completing queries (judge-verified r3, never driver-run) --
+    "glob_pruned_csv_load",
+    "runner_retry_pipeline",
+    "merge_upsert_roundtrip",
+    "data_quality_report",
+    # -- reshaped this round: scalar p50/p95 (was array<double>) --
     "approx_value_percentiles",
-    "event_hourly_stats",
-    "event_sliding_stats",
-    "cdc_latest_state",
-    "snapshot_diff_orders",
-    "asof_join_orders_forward",
-    "streaming_dedup_exactly_once",
-    # -- 9 riskiest fixed r1 hash-fails, driver re-verification --
-    "pricing_summary",
-    "regional_revenue",
-    "pagerank_trade_graph",
-    "props_map_stats",
-    "gapfill_priority_revenue",
-    "grouping_sets_status_priority",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "salted_hot_key_agg",
+    # -- streaming executions --
+    "streaming_static_enrichment",
+    "streaming_foreachbatch_upsert",
+    "streaming_sessionize",
+    "streaming_interval_join",
+    # -- index/sketch evaluation harness --
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "pq_distortion_report",
+    "minhash_jaccard_error",
+    "lang_id_confusion",
+    # -- remaining never-driver-checked (round-3 additions) --
+    "near_dup_clusters_kiveris",
+    "near_dup_clusters_starcap",
+    "knn_join_bucketed",
+    "hard_negative_pairs",
+    "embedding_group_centroids",
+    "semantic_dedup_semdedup",
+    "model_quality_classifier",
+    "chi2_term_label_selection",
+    "cdc_apply_roundtrip",
+    "packed_block_segments",
+    "corpus_shuffle_order",
+    "dup_chunk_fraction",
+    "oov_rate_scores",
+    "embedding_gram_matrix",
+    "bigram_logprob_scores",
+    "embedding_standardize",
+    "curriculum_quality_order",
+    "cross_source_overlap",
+    "dedup_rate_by_source",
+    "zipf_corpus_fit",
+    "gram_power_iteration",
+    "tokenizer_fertility_by_lang",
+    "training_manifest_assembly",
+    # -- round-5 spillover (positions 51+; checked if the window is
+    #    wider, otherwise they lead the next rotation) --
+    "cross_split_contamination",
+    "orc_roundtrip_agg",
+    "time_weighted_avg_value",
+    "psi_value_drift",
+    "zorder_skipping_stats",
+    "recursive_cte_reachability",
+    "customer_price_trend",
+    "rfm_customer_segments",
+    "km_order_gap_survival",
+    "association_rules_lift",
+    "trimmed_mean_revenue",
+    "window_funnel_levels",
+    "bucketed_join_roundtrip",
+    "event_transition_matrix",
+    "scd2_segment_versions",
+    "pit_scd2_enrichment",
 ]
 _ordered = {
     n: REGISTRY[n]

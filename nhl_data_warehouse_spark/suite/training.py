@@ -1178,10 +1178,19 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    # Scalar p50/p95 columns, not one array<double>: the driver's pandas
+    # canonicalizer cannot hash list cells, so a top-level array column
+    # crashes even the rows-only check (CORRECTNESS_r03 err). The sketch
+    # is computed once; the two quantiles project out of its result.
+    sketch = events.groupBy("event_type").agg(
         F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias(
             "p50_p95"
         )
+    )
+    return sketch.select(
+        "event_type",
+        F.col("p50_p95")[0].alias("p50"),
+        F.col("p50_p95")[1].alias("p95"),
     )
 
 
@@ -2955,7 +2964,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ({" + ".join(
                        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
                        for i in range(1, N_HASHES + 1)
-                   )}) / 8.0 AS est_jaccard
+                   )}) / {float(N_HASHES)} AS est_jaccard
             FROM cand c
             JOIN sig sa ON sa.doc_id = c.a_id
             JOIN sig sb ON sb.doc_id = c.b_id
@@ -3000,7 +3009,12 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(sa, on="a_id")
         .join(sb, on="b_id")
         .select(
-            "a_id", "b_id", (matches / F.lit(8.0)).alias("est_jaccard")
+            "a_id",
+            "b_id",
+            # divisor derived from N_HASHES (the slot-list source), so
+            # changing the signature width cannot silently skew the
+            # estimate; the oracle generates its divisor the same way
+            (matches / F.lit(float(N_HASHES))).alias("est_jaccard"),
         )
     )
     ex = F.coalesce(F.col("_exact"), F.lit(0.0))

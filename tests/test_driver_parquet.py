@@ -71,53 +71,94 @@ def test_every_registered_query_builds_a_plan(spark):
 
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries;
-    round 3's window is the 41 queries with no driver verdict in
-    rounds 1-2 plus the 9 riskiest fixed round-1 hash-fails — an
-    accidental import reorder silently forfeits their driver
-    verdicts. The exact lists come from CORRECTNESS_r01/r02.json
-    (see COVERAGE.md's driver-verdict history)."""
+    round 4's priority list is ALL queries without a green driver
+    CORRECTNESS row in rounds 1-3, so no already-green query may
+    occupy a priority slot ahead of one still waiting for its
+    verdict — an accidental import reorder silently forfeits driver
+    verdicts. Derived from CORRECTNESS_r0{1,2,3}.json exactly like
+    COVERAGE.md's driver-verdict history."""
     import json
     from pathlib import Path
 
-    from nhl_data_warehouse_spark.suite import REGISTRY
+    from nhl_data_warehouse_spark.suite import _PRIORITY, REGISTRY
 
-    window = list(REGISTRY)[:50]
     repo = Path(__file__).resolve().parents[1]
-    checked = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    green = set()
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         p = repo / fname
-        if p.exists():
-            checked |= set(json.loads(p.read_text()))
-    never_checked_in_window = [n for n in window[:41] if n not in checked]
-    assert len(never_checked_in_window) == 41, (
-        "first 41 slots must all be never-driver-checked; intruders: "
-        f"{[n for n in window[:41] if n in checked]}"
+        if not p.exists():
+            continue
+        for name, row in json.loads(p.read_text()).items():
+            if (
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)  # declared rows-only sketch, ran clean
+    not_green = [n for n in REGISTRY if n not in green]
+    assert sorted(_PRIORITY) == sorted(not_green), (
+        "priority list must be exactly the not-yet-driver-green set; "
+        f"missing={sorted(set(not_green) - set(_PRIORITY))} "
+        f"extra={sorted(set(_PRIORITY) - set(not_green))}"
     )
+    assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
+    # the ~50-query window must lead with the highest-risk families
+    window = list(REGISTRY)[:50]
     for must in (
-        # training back half
-        "tfidf_top_terms",
-        "bm25_doc_ranking",
-        "pmi_collocations",
-        "repetition_signals",
-        "ivfpq_topk",
-        "pq_codes",
-        "sequence_token_spans",
-        "greedy_pack_bins",
-        "streaming_dedup_exactly_once",
-        "media_feature_extract",
-        "cdc_latest_state",
-        # riskiest fixed r1 hash-fails (decimal/HUGEINT class)
-        "pricing_summary",
-        "regional_revenue",
-        "pagerank_trade_graph",
-        "props_map_stats",
-        "gapfill_priority_revenue",
-        "grouping_sets_status_priority",
-        "rollup_region_nation",
-        "cube_status_priority",
-        "salted_hot_key_agg",
+        # fixed round-1 hash-fails (decimal/HUGEINT class)
+        "clean_cast_project",
+        "case_nullout_filter",
+        "json_extract",
+        "null_count_quality",
+        "variant_json_path",
+        "value_histogram",
+        # §2-completing queries
+        "glob_pruned_csv_load",
+        "runner_retry_pipeline",
+        "merge_upsert_roundtrip",
+        "data_quality_report",
+        # reshaped sketch + streaming + eval harness
+        "approx_value_percentiles",
+        "streaming_interval_join",
+        "ann_recall_eval",
+        "minhash_jaccard_error",
     ):
         assert must in window, must
+
+
+def test_no_toplevel_array_or_map_in_oracle_less_schemas(spark):
+    """Driver-harness insurance (VERDICT r3 item 6): the driver's
+    pandas canonicalization sorts cells through ``Categorical``, which
+    cannot hash list/dict cells — a top-level ArrayType/MapType column
+    in an ORACLE-LESS query crashes even the rows-only check
+    (CORRECTNESS_r03's approx_value_percentiles err). Oracle-bearing
+    queries are exercised hash-strict by tools/check_oracle.py, so any
+    array column that survives there is one the driver's text-form
+    normalization handles; the rows-only queries get no such cover and
+    must stay scalar at the edge."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        df = spec.fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
 
 
 def test_no_decimal_in_final_schemas(spark):

@@ -285,3 +285,20 @@ def test_recall_eval_ground_truth_broadcasts_queries(spark, registry):
     # the sampling
     plan = plan_of(registry["ann_recall_eval"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_carries_dl_through_tf_agg_no_rowscale_join(spark, registry):
+    # VERDICT r3 item 5: the r3 plan joined the tiny query-term tf
+    # relation back to a row-scale per-doc length relation — a
+    # full-corpus shuffle for one long column. The doc length is
+    # functionally dependent on doc_id, so it rides the tf aggregate
+    # as a group key instead: after the query-term filter, NO exchange
+    # may partition on doc_id alone (the signature of the dl
+    # join-back); every hash exchange is either the (doc, dl, term)
+    # tf shuffle or the tiny per-term df shuffle.
+    plan = plan_of(registry["bm25_doc_ranking"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "doc_id" in keys:
+            assert "dl" in keys, f"row-scale dl join-back resurfaced: {keys}"

@@ -218,6 +218,29 @@ class TestCurriculumOrder:
         }
         assert a == b
 
+    def test_out_of_contract_score_raises(self, spark):
+        # ADVICE r3: the composite bucket is only monotone for integer
+        # scores in [0, max_score]; violations must fail the job, not
+        # silently corrupt the global order
+        from nhl_data_warehouse_spark.operators.sampling import curriculum_order
+
+        for bad in [[(1, 11)], [(1, -1)], [(1, None)]]:
+            df = spark.createDataFrame(bad, "doc_id long, q int")
+            with pytest.raises(Exception, match="curriculum_order"):
+                curriculum_order(df, "q", max_score=10).collect()
+        frac = spark.createDataFrame([(1, 2.5)], "doc_id long, q double")
+        with pytest.raises(Exception, match="curriculum_order"):
+            curriculum_order(frac, "q", max_score=10).collect()
+
+    def test_valid_boundary_scores_pass(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import curriculum_order
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 10.0), (3, 5.0)], "doc_id long, q double"
+        )
+        rows = curriculum_order(df, "q", max_score=10).collect()
+        assert sorted(r.curriculum_pos for r in rows) == [1, 2, 3]
+
 
 class TestSourceOverlapMatrix:
     def test_pairwise_chunk_jaccard(self, spark):
@@ -464,6 +487,26 @@ class TestPitJoin:
         assert got[(1, "2021-01-01")] == "NEW"   # boundary: from inclusive, to exclusive
         assert got[(2, "2020-01-01")] is None    # before first version
         assert got[(3, "2022-01-01")] is None    # unknown key, left join keeps fact
+
+    def test_payload_name_clash_raises(self, spark):
+        # ADVICE r3: dim payloads keep their own names next to __f.*;
+        # a shared payload name would emit duplicate columns — refuse
+        from pyspark.sql import functions as F
+        from nhl_data_warehouse_spark.operators.asof import pit_join
+
+        dim = spark.createDataFrame(
+            [(1, "x", "2020-01-01", None)],
+            "k long, note string, valid_from string, valid_to string",
+        ).select(
+            "k", "note",
+            F.col("valid_from").cast("date").alias("valid_from"),
+            F.col("valid_to").cast("date").alias("valid_to"),
+        )
+        facts = spark.createDataFrame(
+            [(1, "2020-06-15", "f")], "k long, ts string, note string"
+        ).select("k", F.col("ts").cast("date").alias("ts"), "note")
+        with pytest.raises(ValueError, match="collide"):
+            pit_join(facts, dim, "k", "ts")
 
 
 class TestGramPowerStep:
