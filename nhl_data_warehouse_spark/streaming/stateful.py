@@ -54,3 +54,50 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564): state is declared
+    per-variable through a ``StatefulProcessorHandle`` (ValueState /
+    ListState / MapState, optional TTL, timers) instead of one
+    monolithic state tuple, and the processor is an object with an
+    explicit lifecycle (init / handleInputRows / close).
+
+    Same semantics and scale shape as the older twin: one (n, s)
+    ValueState per user in the partitioned state store, each
+    micro-batch shuffles only its own rows, output in Update mode.
+    Keeping both operators exercises both custom-state APIs the
+    engine supports.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+            prior = self._totals.get() if self._totals.exists() else None
+            n, s = prior if prior is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum()) if len(pdf) else 0.0
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

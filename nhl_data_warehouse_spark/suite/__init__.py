@@ -119,6 +119,15 @@ _PRIORITY = [
     "scd2_segment_versions",
     "pit_scd2_enrichment",
 ]
+# round-4 additions that register conditionally (environment-gated:
+# streaming_user_totals_tws needs the google.protobuf runtime for
+# Spark's transformWithState Python runner) join the back of the
+# priority queue only when present
+_PRIORITY += [
+    n
+    for n in ("hll_sketch_merge_rollup", "streaming_user_totals_tws")
+    if n in REGISTRY
+]
 _ordered = {
     n: REGISTRY[n]
     for n in (*_PRIORITY, *[q for q in REGISTRY if q not in _PRIORITY])

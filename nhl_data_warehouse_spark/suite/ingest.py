@@ -534,6 +534,121 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tws_runtime_available() -> bool:
+    """Spark 4's transformWithState Python runner ships state updates
+    over a protobuf channel; without the ``google.protobuf`` package
+    the driver-side runner process crashes at initialization
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The operator
+    (``streaming/stateful.py:running_user_totals_tws``) is real and
+    unit-tested where the runtime allows; the driver query registers
+    only when the runtime can actually execute it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws_query():
+    if not _tws_runtime_available():
+        return
+
+    @register(
+        "streaming_user_totals_tws",
+        op_ids="§2.7 CUSTOM stateful streaming EXECUTION on Spark 4's "
+        "transformWithStateInPandas (SPARK-49564, the successor API to "
+        "applyInPandasWithState): per-user ValueState accumulators with "
+        "an explicit processor lifecycle, drained with availableNow — "
+        "proof the new arbitrary-state API runs and converges to the "
+        "batch aggregate",
+        description="per-user lifetime (count, value sum) maintained by a "
+        "StatefulProcessor ValueState over a file-source stream; value is "
+        "carried as exact integer cents inside the state so the final "
+        "emission equals the batch oracle bit-for-bit",
+        oracle="""
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_value
+            FROM events GROUP BY user_id
+        """,
+    )
+    def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _streaming_user_totals_tws(spark, sf_dir)
+
+
+def _streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.stateful import running_user_totals_tws
+    from nhl_data_warehouse_spark.suite.registry import pin_session_defaults
+
+    pin_session_defaults(spark)
+    src_dir = _fresh_dir("suite_tws_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    ckpt = _fresh_dir("suite_tws_ckpt_")
+    name = _fresh_memory_sink(
+        spark, "stream_tws_", os.path.basename(ckpt).split("_")[-1]
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    # exact integer cents through the double-typed state slot (same
+    # convention as streaming_user_totals: int64 pandas sums are
+    # exact, and integer-valued doubles below 2^53 are exact)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    totals = running_user_totals_tws(
+        stream.select("user_id", cents.cast("double").alias("value"))
+    )
+    # transformWithState requires the RocksDB state store provider
+    # (the HDFS-backed default rejects its multi-variable state);
+    # scope the conf to this query and restore after
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with _stateful_shuffle(spark):
+            q = (
+                totals.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    # update mode re-emits a user's row each micro-batch that touches
+    # it; n_events is strictly monotone per user, so max_by keeps the
+    # final state regardless of how the file source batched
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value"), F.col("n_events")
+            ).alias("_f")
+        )
+        .select(
+            "user_id",
+            F.col("_f.n_events").alias("n_events"),
+            (F.col("_f.sum_value") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+_register_tws_query()
+
+
 @register(
     "streaming_dedup_exactly_once",
     op_ids="§2.7 streaming exactly-once dedup EXECUTION: "

@@ -1170,6 +1170,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sketch_merge_rollup",
+    op_ids="beyond-reference MERGEABLE HLL sketch rollup (DataSketches "
+    "hll_sketch_agg per (event_type, day) -> hll_union_agg at query "
+    "time — the materialize-partials-then-merge distinct pattern a "
+    "100 TB pipeline stores daily sketches for; raw ids never cross "
+    "the wire past the first partial agg; no SQL oracle: sketch "
+    "estimates are engine-specific)",
+    description="distinct users per event type via per-day HLL "
+    "sketches merged at query time (plus how many daily partials "
+    "merged)",
+    oracle=None,
+)
+def hll_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sketches import hll_partitioned_rollup
+
+    (events,) = load(spark, sf_dir, "events")
+    return hll_partitioned_rollup(
+        events,
+        group_col="event_type",
+        partition_col=F.to_date("ts"),
+        id_col="user_id",
+    )
+
+
+@register(
     "approx_value_percentiles",
     op_ids="beyond-reference t-digest percentile sketch (single-pass, mergeable; "
     "no SQL oracle: approximation is engine-specific)",

@@ -296,6 +296,51 @@ class TestCountMin:
         assert all(est == true for true, est in got.values())
 
 
+class TestHllPartitionedRollup:
+    def test_merge_matches_single_pass_and_bounds_error(self, spark):
+        """The 100TB property: per-partition sketches merged via
+        hll_union_agg estimate the same cardinality as one sketch
+        over all rows to within the published HLL error (the union is
+        NOT bit-identical — DataSketches unions run in their own
+        internal mode), and both sit within that error of the exact
+        distinct."""
+        import pyspark.sql.functions as F
+
+        from nhl_data_warehouse_spark.operators.sketches import (
+            hll_partitioned_rollup,
+        )
+
+        rows = [("a", d % 7, u) for d, u in enumerate(range(500))]
+        rows += [("a", d % 7, u) for d, u in enumerate(range(250))]  # dups
+        rows += [("b", 0, u) for u in range(40)]
+        df = spark.createDataFrame(rows, "g string, part int, uid long")
+        merged = {
+            r.g: (r.n_partials, r.est_distinct)
+            for r in hll_partitioned_rollup(
+                df, group_col="g", partition_col="part", id_col="uid"
+            ).collect()
+        }
+        single = {
+            r.g: r.est
+            for r in df.groupBy("g")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("uid", F.lit(12))
+                )
+                .cast("long")
+                .alias("est")
+            )
+            .collect()
+        }
+        assert merged["a"][0] == 7 and merged["b"][0] == 1
+        # merged and single-pass both land within ~3x the published
+        # relative error 1.04/sqrt(2^12) of the exact distinct
+        for g, exact in (("a", 500), ("b", 40)):
+            assert abs(merged[g][1] - exact) <= max(3, 0.05 * exact)
+            assert abs(single[g] - exact) <= max(3, 0.05 * exact)
+            assert abs(merged[g][1] - single[g]) <= max(3, 0.05 * exact)
+
+
 class TestPageRank:
     def test_matches_python_reference(self, spark):
         from nhl_data_warehouse_spark.operators.graph import pagerank

@@ -162,6 +162,56 @@ class TestStatefulCustomOp:
         assert second[9] == (1, 0.5)
         assert 8 not in second
 
+    def test_transform_with_state_twin_matches(self, spark, tmp_path):
+        """Spark 4 transformWithStateInPandas twin of the running
+        totals (ValueState + explicit processor lifecycle). The API's
+        Python runner ships state over protobuf and requires the
+        RocksDB state store; both are environment-gated, mirroring the
+        conditional driver-query registration in suite/ingest.py."""
+        import pandas as pd
+        import pytest
+
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip("google.protobuf not available for the TWS runner")
+
+        from nhl_data_warehouse_spark.streaming.stateful import (
+            running_user_totals_tws,
+        )
+
+        src = tmp_path / "ev"
+        src.mkdir()
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [7, 7, 8], "value": [1.0, 2.0, 10.0]})
+        ).write.parquet(str(src / "p"))
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            emitted = []
+            stream = spark.readStream.schema("user_id long, value double").parquet(
+                str(src)
+            )
+            (
+                running_user_totals_tws(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _id: emitted.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.unset(provider_key)
+        got = {r.user_id: (r.n_events, r.sum_value) for r in emitted}
+        assert got[7] == (2, 3.0) and got[8] == (1, 10.0)
+
 
 class TestWatermarkLateData:
     def test_late_event_dropped_after_watermark(self, spark, tmp_path):
