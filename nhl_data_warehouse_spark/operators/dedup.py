@@ -57,6 +57,39 @@ def exact_dedup(
     )
 
 
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only the new-batch documents
+    whose content fingerprint is absent from the historical corpus,
+    deduplicated within the batch (min-id representative per
+    fingerprint) — the nightly-crawl shape: today's crawl lands
+    against a 100 TB history and only genuinely new content survives.
+
+    Scale shape: both arms reduce to md5 fingerprints BEFORE any
+    join, so text never crosses the wire; the history arm collapses
+    to distinct fingerprints (map-side partial agg) and anti-joins
+    the (small) new batch. In production the history arm is the
+    stored fingerprint table this function's output maintains — the
+    scan-and-hash here is the bootstrap path, not the steady state.
+    Composes with ``write.incremental_insert`` (J3/M2): this is the
+    content-addressed generalization of its key-based anti-join.
+    """
+    content = normalized_text(text_col) if normalize else F.col(text_col)
+    new_fp = new_batch.select(F.col(id_col), F.md5(content).alias("fingerprint"))
+    hist_fp = history.select(F.md5(content).alias("fingerprint")).distinct()
+    return (
+        new_fp.join(hist_fp, on="fingerprint", how="left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
 def scale_out(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input is
     under-partitioned (e.g. one small parquet file): CPU-heavy

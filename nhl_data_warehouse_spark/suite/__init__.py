@@ -125,7 +125,12 @@ _PRIORITY = [
 # priority queue only when present
 _PRIORITY += [
     n
-    for n in ("hll_sketch_merge_rollup", "streaming_user_totals_tws")
+    for n in (
+        "hll_sketch_merge_rollup",
+        "dedup_against_history",
+        "pythonsink_commit_roundtrip",
+        "streaming_user_totals_tws",
+    )
     if n in REGISTRY
 ]
 _ordered = {

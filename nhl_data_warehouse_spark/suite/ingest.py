@@ -1217,3 +1217,55 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "pythonsink_commit_roundtrip",
+    op_ids="beyond-reference Spark 4 Python DataSource WRITER "
+    "(transactional two-phase-commit JSONL sink: tasks stage files, "
+    "the driver publishes an atomic manifest, aborts stay invisible — "
+    "the COPY-grade all-or-nothing load the reference delegates to "
+    "Snowflake, re-expressed on the custom-connector write API; the "
+    "writer-side sibling of the restjson Python DataSource reader)",
+    description="the 1995 order slice written through the jsonlcommit "
+    "sink, read back strictly via its manifest, aggregated per "
+    "priority — value-identical to the same aggregate on the parquet "
+    "source; cents carried as exact integers through the JSON text",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+)
+def pythonsink_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.sources import jsonlcommit_sink
+
+    (orders,) = load(spark, sf_dir, "orders")
+    jsonlcommit_sink.register(spark)
+    out = _fresh_dir("suite_pysink_")
+    # exact integer cents through the JSON text — double-formatted
+    # JSON would reparse fine but integer cents need no float parsing
+    # convention at all
+    sliced = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    sliced.write.format("jsonlcommit").mode("append").save(out)
+    back = jsonlcommit_sink.read_committed(
+        spark, out, "o_orderkey long, o_orderpriority string, price_cents long"
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price_cents").cast("double") / 100.0).alias("revenue"),
+    )

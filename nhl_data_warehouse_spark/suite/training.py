@@ -102,6 +102,40 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_against_history",
+    op_ids="beyond-reference incremental-ingest dedup (today's batch "
+    "anti-joined against the historical corpus BY CONTENT FINGERPRINT "
+    "+ min-id winner within the batch — the nightly-crawl shape; text "
+    "never crosses the wire, the history arm reduces to distinct "
+    "fingerprints; generalizes J3/M2's key anti-join to content "
+    "addressing)",
+    description="docs with doc_id%10>=7 treated as the new crawl, the "
+    "rest as the stored corpus; survivors are batch docs whose md5 "
+    "fingerprint is unseen in history, one winner per fingerprint",
+    oracle="""
+        WITH hist AS (
+            SELECT MD5(text) AS fingerprint FROM documents WHERE doc_id % 10 < 7
+        ),
+        newb AS (
+            SELECT doc_id, MD5(text) AS fingerprint
+            FROM documents WHERE doc_id % 10 >= 7
+        )
+        SELECT MIN(doc_id) AS doc_id, fingerprint
+        FROM newb n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist h WHERE h.fingerprint = n.fingerprint
+        )
+        GROUP BY fingerprint
+    """,
+)
+def dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    history = documents.filter(F.col("doc_id") % 10 < 7)
+    batch = documents.filter(F.col("doc_id") % 10 >= 7)
+    return dedup.dedup_against_corpus(batch, history)
+
+
+@register(
     "minhash_signatures",
     op_ids="beyond-reference MinHash (shingle -> k-min signature)",
     description=f"{N_HASHES}-hash MinHash signature over char {SHINGLE_K}-gram shingles",

@@ -70,3 +70,77 @@ def test_text_wholefile_source(spark, tmp_path):
     df = spark.read.text(str(p), wholetext=True)
     assert df.count() == 1
     assert df.first().value == '{"x": 1}\n{"y": 2}'
+
+
+class TestJsonlCommitSink:
+    """Transactional Python DataSource writer: staged files are hidden
+    until the driver's manifest commit; aborts leave the previous
+    committed state untouched."""
+
+    def test_commit_roundtrip_and_append(self, spark, tmp_path):
+        from nhl_data_warehouse_spark.sources import jsonlcommit_sink
+
+        jsonlcommit_sink.register(spark)
+        out = str(tmp_path / "sink")
+        schema = "k long, s string, cents long"
+        df1 = spark.createDataFrame([(1, "a", 100), (2, "b", 250)], schema)
+        df1.write.format("jsonlcommit").mode("append").save(out)
+        back = jsonlcommit_sink.read_committed(spark, out, schema)
+        assert {(r.k, r.s, r.cents) for r in back.collect()} == {
+            (1, "a", 100),
+            (2, "b", 250),
+        }
+        # append merges with the prior manifest
+        spark.createDataFrame([(3, "c", 5)], schema).write.format(
+            "jsonlcommit"
+        ).mode("append").save(out)
+        back2 = jsonlcommit_sink.read_committed(spark, out, schema)
+        assert back2.count() == 3
+        # overwrite replaces the committed state
+        spark.createDataFrame([(9, "z", 1)], schema).write.format(
+            "jsonlcommit"
+        ).mode("overwrite").save(out)
+        back3 = jsonlcommit_sink.read_committed(spark, out, schema)
+        assert [(r.k, r.s, r.cents) for r in back3.collect()] == [(9, "z", 1)]
+
+    def test_failed_job_leaves_no_commit(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from nhl_data_warehouse_spark.sources import jsonlcommit_sink
+
+        jsonlcommit_sink.register(spark)
+        out = str(tmp_path / "sink")
+        schema = "k long, s string, cents long"
+        # a row whose computed column raises at write time (ANSI
+        # division by zero) fails the job after other tasks staged
+        bad = spark.createDataFrame(
+            [(1, "a", 100), (2, "b", 0)], schema
+        ).withColumn("cents", F.lit(100) / F.col("cents"))
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO|failed|abort"):
+            bad.write.format("jsonlcommit").mode("append").save(out)
+        # no manifest -> no committed state, and nothing visible
+        with pytest.raises(FileNotFoundError):
+            jsonlcommit_sink.read_committed(spark, out, schema)
+        if os.path.isdir(out):
+            assert not [n for n in os.listdir(out) if n.startswith("part-")]
+
+    def test_failed_job_preserves_previous_commit(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from nhl_data_warehouse_spark.sources import jsonlcommit_sink
+
+        jsonlcommit_sink.register(spark)
+        out = str(tmp_path / "sink")
+        schema = "k long, s string, cents long"
+        spark.createDataFrame([(1, "a", 100)], schema).write.format(
+            "jsonlcommit"
+        ).mode("append").save(out)
+        bad = spark.createDataFrame([(2, "b", 0)], schema).withColumn(
+            "cents", F.lit(1) / F.col("cents")
+        )
+        with pytest.raises(Exception):
+            bad.write.format("jsonlcommit").mode("append").save(out)
+        back = jsonlcommit_sink.read_committed(spark, out, schema)
+        assert [(r.k, r.s, r.cents) for r in back.collect()] == [(1, "a", 100)]

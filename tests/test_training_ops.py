@@ -41,6 +41,23 @@ class TestExactDedup:
         groups = {r.representative_id: r.n_copies for r in out}
         assert groups[0] == 3  # docs 0,1,4 collapse after normalization
 
+    def test_dedup_against_corpus(self, spark):
+        history = spark.createDataFrame(
+            [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "seen before"),     # cross-arm dup -> dropped
+                (11, "brand new text"),  # kept
+                (12, "brand new text"),  # within-batch dup of 11 -> collapsed
+                (13, "another new one"),  # kept
+            ],
+            "doc_id long, text string",
+        )
+        out = dedup.dedup_against_corpus(batch, history).collect()
+        assert {r.doc_id for r in out} == {11, 13}
+        assert all(len(r.fingerprint) == 32 for r in out)
+
 
 class TestMinHashLSH:
     def test_near_dup_recall(self, docs):
