@@ -129,6 +129,8 @@ _PRIORITY += [
         "hll_sketch_merge_rollup",
         "dedup_against_history",
         "pythonsink_commit_roundtrip",
+        "xml_roundtrip_extract",
+        "listagg_region_nations",
         "streaming_user_totals_tws",
     )
     if n in REGISTRY

@@ -1269,3 +1269,69 @@ def pythonsink_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("price_cents").cast("double") / 100.0).alias("revenue"),
     )
+
+
+@register(
+    "xml_roundtrip_extract",
+    op_ids="S1-adjacent structured-markup ingest breadth: native XML "
+    "source (new in Spark 4.0) — one <supplier> element per record "
+    "landed as XML files, re-read with rowTag record discovery and an "
+    "explicit schema, then aggregated; the schema-on-read semantics "
+    "(explicit types, permissive corrupt handling) mirror the CSV/JSON "
+    "COPY loads",
+    description="suppliers serialized to XML (deterministic per-row "
+    "markup), re-read through spark.read.format('xml'), aggregated "
+    "per nation — value-identical to the same aggregate on parquet",
+    oracle="""
+        SELECT s_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supplier,) = load(spark, sf_dir, "supplier")
+    out = _fresh_dir("suite_xml_")
+    # deterministic XML markup built in-engine (escape-free columns:
+    # keys are numeric, acctbal re-emitted as exact integer cents).
+    # Spark's XML reader requires each FILE to be one well-formed
+    # document (a single root element — multiple top-level rowTags in
+    # a file silently truncate), so the fixture concatenates all
+    # records under one root via ordered listagg and lands it as one
+    # file. Production XML arrives as MANY rooted files and the read
+    # parallelizes per file, exactly like the CSV/JSON loads.
+    markup = F.concat(
+        F.lit("<supplier><key>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</key><nationkey>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nationkey><acctbal_cents>"),
+        (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        F.lit("</acctbal_cents></supplier>"),
+    )
+    supplier.select(markup.alias("x"), "s_suppkey").createOrReplaceTempView(
+        "v_xml_supplier_markup"
+    )
+    doc = spark.sql(
+        """
+        SELECT concat('<suppliers>',
+                      listagg(x, '') WITHIN GROUP (ORDER BY s_suppkey),
+                      '</suppliers>') AS value
+        FROM v_xml_supplier_markup
+        """
+    )
+    doc.coalesce(1).write.mode("overwrite").text(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("key long, nationkey long, acctbal_cents long")
+        .load(out)
+    )
+    return back.groupBy(F.col("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (F.sum("acctbal_cents").cast("double") / 100.0).alias("total_acctbal"),
+    )

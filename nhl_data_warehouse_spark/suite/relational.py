@@ -675,3 +675,37 @@ def pit_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "listagg_region_nations",
+    op_ids="§2.5 ordered string aggregation: LISTAGG ... WITHIN GROUP "
+    "(SQL:2016, new native in Spark 4.0) — the deterministic "
+    "collect-to-string rollup (report labels, debug digests) that "
+    "previously needed sort_array(collect_list()) gymnastics",
+    description="per region: nation count and the alphabetical "
+    "comma-joined nation list via listagg WITHIN GROUP (ORDER BY), "
+    "run through the SQL surface over registered views",
+    oracle="""
+        SELECT r.r_name AS region,
+               COUNT(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def listagg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation = load(spark, sf_dir, "region", "nation")
+    region.createOrReplaceTempView("v_la_region")
+    nation.createOrReplaceTempView("v_la_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               COUNT(*) AS n_nations,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations
+        FROM v_la_region r JOIN v_la_nation n
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
