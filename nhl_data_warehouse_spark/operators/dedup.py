@@ -669,6 +669,108 @@ def dup_chunk_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the ExactSubstr rewrite of Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", at fixed token-chunk granularity): a chunk whose exact
+    text occurs in >= 2 distinct documents is deleted from every
+    document EXCEPT its canonical first occurrence (min doc id, then
+    min chunk index within that doc), and each document's surviving
+    chunks are stitched back together in order. Unlike
+    ``dup_chunk_stats`` (which only scores the duplication), this is
+    the corpus TRANSFORM — one copy of every repeated span survives
+    corpus-wide. Emits one row per non-empty document: ``n_chunks``,
+    ``n_removed``, ``clean_text``.
+
+    Scale design: chunks cross the wire as (id, index, md5) — never
+    as text; the canonical occurrence is resolved by two keyed
+    aggregations on the 32-char hash (min doc, then min index within
+    that doc — both partial-agg friendly). Kept chunk INDEXES (ints)
+    roll back up per doc and join the original token arrays
+    co-partitioned on the id, so document text is shuffled exactly
+    once, for the final stitch — the irreducible cost of a rewrite.
+    Extends the reference's whole-row md5 dedup (copy_into_games.sql:6)
+    to sub-document spans.
+    """
+    c = int(chunk_tokens)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        scale_out(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "n_chunks", F.ceil(F.col("_n") / F.lit(float(c))).cast("long")
+        )
+    )
+    # base feeds the chunk explode AND the final stitch; chunks feeds
+    # three joins (occurrence stats, canonical index, keep filter) —
+    # persist both so tokenization/hashing runs once (caller clears
+    # via session.release_cached, the suite-wide contract)
+    base = base.persist()
+    chunks = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i * c + 1, c), " ")
+                ),
+            )
+        ).alias("_i", "_h"),
+    ).persist()
+    occ = chunks.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd"),
+        F.min(id_col).alias("_mdoc"),
+    )
+    first_i = (
+        chunks.join(occ, "_h")
+        .filter(F.col(id_col) == F.col("_mdoc"))
+        .groupBy("_h")
+        .agg(F.min("_i").alias("_fi"))
+    )
+    kept = (
+        chunks.join(occ, "_h")
+        .join(first_i, "_h")
+        .filter(
+            (F.col("_nd") < 2)
+            | ((F.col(id_col) == F.col("_mdoc")) & (F.col("_i") == F.col("_fi")))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("_i")).alias("_ki"),
+            F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        )
+    )
+    return (
+        base.join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.col("_ki"),
+                            lambda i: F.slice(F.col("_toks"), i * c + 1, c),
+                        )
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )
+
+
 def source_overlap_matrix(
     df: DataFrame,
     group_col: str = "source",

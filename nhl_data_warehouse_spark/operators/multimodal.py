@@ -349,3 +349,72 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
 
 # backwards-compatible alias (pre-round-2 name)
 resize_stub = resize_media
+
+
+BYTE_CLASS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_ascii", T.LongType()),
+        T.StructField("n_spaces", T.LongType()),
+        T.StructField("ascii_ratio", T.DoubleType()),
+    ]
+)
+
+
+def byte_class_stats(media: DataFrame) -> DataFrame:
+    """Per-item byte-class profile straight off the Arrow buffers via
+    ``mapInArrow`` — the zero-copy sibling of ``mapInPandas``: no
+    pandas materialization, no per-row Python objects. The whole
+    batch's payload bytes are ONE contiguous numpy view over the Arrow
+    data buffer; per-item counts come from cumulative sums indexed by
+    the offsets buffer, so cost is O(total bytes) with vectorized ops
+    regardless of item count.
+
+    The profile itself (total bytes, ASCII bytes, 0x20 bytes, ASCII
+    ratio) is the cheap modality/encoding sniff a media pipeline runs
+    before routing payloads to decoders. NULL payloads count as empty.
+    Determinism: the ratio is one IEEE division — no rounding needed.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("media_id")
+            arr = batch.column("payload")
+            # large_binary for int64 offsets; fill nulls so the
+            # offsets stay contiguous over the data buffer
+            arr = pc.fill_null(arr.cast(pa.large_binary()), b"")
+            bufs = arr.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int64)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            ascii_cum = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data < 0x80, out=ascii_cum[1:])
+            space_cum = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data == 0x20, out=space_cum[1:])
+            n_bytes = off[1:] - off[:-1]
+            n_ascii = ascii_cum[off[1:]] - ascii_cum[off[:-1]]
+            n_spaces = space_cum[off[1:]] - space_cum[off[:-1]]
+            ratio = np.where(
+                n_bytes > 0, n_ascii / np.maximum(n_bytes, 1), 0.0
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(n_ascii, type=pa.int64()),
+                    pa.array(n_spaces, type=pa.int64()),
+                    pa.array(ratio, type=pa.float64()),
+                ],
+                names=["media_id", "n_bytes", "n_ascii", "n_spaces", "ascii_ratio"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(stats, BYTE_CLASS_SCHEMA)

@@ -311,6 +311,123 @@ def deterministic_shuffle(
     )
 
 
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_cols: list[str],
+    salt: str = "kfold-v1",
+    bucket_hex_digits: int = 2,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment: within every
+    stratum the rows are ranked by content hash and folded round-robin
+    ``fold = (rank - 1) % k`` — per-stratum fold sizes differ by at
+    most one row, the property cross-validation needs that plain
+    hash-mod assignment (binomially noisy) cannot give.
+
+    Scale shape: the rank is a per-stratum two-level rank — rows get a
+    hash-prefix bucket (16^d per stratum), ``row_number`` windows are
+    partitioned by (stratum, bucket), and the bucket offsets come from
+    a (stratum, bucket)-grouped count relation whose windows are
+    partitioned by stratum. NO unpartitioned window at any scale, no
+    RNG; the assignment is reproducible across engines and
+    repartitionings (the bucket is the hash's own prefix, so bucket
+    order + within-bucket hash order == full hash order).
+    """
+    assert k >= 2
+    parts = [F.lit(salt), *[F.col(c).cast("string") for c in id_cols]]
+    h = F.md5(F.concat_ws("|", *parts))
+    out = df.withColumn("__h", h).withColumn(
+        "__hb",
+        F.conv(F.substring("__h", 1, bucket_hex_digits), 16, 10).cast("long"),
+    )
+    counts = out.groupBy(stratum_col, "__hb").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        stratum_col,
+        "__hb",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy(stratum_col, "__hb").orderBy(
+        "__h", *[F.col(c) for c in id_cols]
+    )
+    return (
+        out.withColumn("__lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on=[stratum_col, "__hb"])
+        .withColumn(
+            fold_col,
+            ((F.col("__off") + F.col("__lr") - 1) % k).cast("int"),
+        )
+        .drop("__h", "__hb", "__lr", "__off")
+    )
+
+
+def budget_select(
+    scored: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: str = "tb-v1",
+    max_score: int = 10,
+    bucket_hex_digits: int = 2,
+) -> DataFrame:
+    """Token-budget corpus selection: walk the corpus best-first
+    (``score_col`` DESC, content-hash shuffled within each score tier)
+    and keep documents while the running ``weight_col`` total stays
+    within ``budget`` — the "fill the training-token budget with the
+    highest-quality data" selection every budgeted pretraining run
+    performs. Adds ``cum_weight`` (running total INCLUDING the row).
+
+    Scale shape: a distributed prefix sum over the curriculum order —
+    the composite bucket ``(max_score - score) * 16^d + hash_prefix``
+    is monotone in (score DESC, hash ASC), so per-bucket weight sums
+    roll up to exclusive bucket bases via one window over the bounded
+    ``(max_score+1) * 16^d``-row totals relation; row-scale cumsum
+    windows are partitioned by bucket. Same integer-score contract as
+    ``curriculum_order`` (caller casts/validates upstream); the keep
+    decision is a per-row compare, so the filter is exact and
+    engine-stable (integer weights, no float accumulation).
+    """
+    n_hb = 16**bucket_hex_digits
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = F.col(weight_col).cast("long")
+    out = (
+        scored.withColumn("__h", h)
+        .withColumn(
+            "__hb",
+            F.conv(F.substring("__h", 1, bucket_hex_digits), 16, 10).cast("long"),
+        )
+        .withColumn(
+            "__cb",
+            (F.lit(max_score) - F.col(score_col).cast("long")) * n_hb
+            + F.col("__hb"),
+        )
+    )
+    totals = out.groupBy("__cb").agg(F.sum(w).alias("__tot"))
+    w_base = Window.orderBy("__cb").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "__cb",
+        F.coalesce(F.sum("__tot").over(w_base), F.lit(0)).alias("__base"),
+    )
+    w_cum = (
+        Window.partitionBy("__cb")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        out.join(F.broadcast(bases), on="__cb")
+        .withColumn("cum_weight", (F.col("__base") + F.sum(w).over(w_cum)).cast("long"))
+        .filter(F.col("cum_weight") <= budget)
+        .drop("__h", "__hb", "__cb", "__base")
+    )
+
+
 def curriculum_order(
     scored: DataFrame,
     score_col: str,

@@ -1010,3 +1010,82 @@ def zipf_fit(
         (F.col("slope")).alias("zipf_slope"),
         F.col("intercept").alias("zipf_intercept"),
     )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its tokens are under the TARGET
+    slice's hashed-unigram distribution than under the full corpus's —
+    the select-web-data-that-looks-like-the-target move. ``target_pred``
+    is a boolean Column defining the target slice (e.g. curated docs);
+    both distributions are estimated from the corpus itself, so no
+    side model is needed.
+
+    Tokens hash into ``n_buckets`` buckets (first 4 hex chars of md5,
+    mod B — collisions are the point: the feature space stays bounded
+    regardless of vocabulary size). Bucket log-probs are add-one
+    smoothed, each ln rounded to 6 dp (the suite's decimal-ln
+    convention) so the per-doc sum is exact and order-free; a document
+    is ``selected`` when its tokens are net more target-like than
+    corpus-like (log ratio sum > 0).
+
+    Scale design: ONE token explode feeds both distribution arms (a
+    conditional aggregate per bucket — map-side combined, B-bounded)
+    and the scoring join; the B-row log-ratio table broadcasts back,
+    so the only row-scale shuffles are the explode's per-doc rollup.
+    No vocabulary-sized state crosses the wire, unlike the
+    unsmoothed-vocab variant in ``unigram_logprob_score``.
+    """
+    b_total = int(n_buckets)
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(_ws_tokens(text_col)).alias("tok"),
+    ).withColumn(
+        "_b",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % b_total,
+    )
+    toks = toks.persist()  # feeds the bucket counts AND the score join
+    counts = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cs"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+    )
+    # the totals are a window over the <= B-row bucket relation —
+    # bounded by construction, so unpartitioned is correct
+    w = Window.partitionBy()
+    lr = counts.select(
+        "_b",
+        (
+            F.round(
+                F.log(
+                    (F.col("_ct") + 1).cast("double")
+                    / (F.sum("_ct").over(w) + b_total).cast("double")
+                ),
+                6,
+            ).cast("decimal(12,6)")
+            - F.round(
+                F.log(
+                    (F.col("_cs") + 1).cast("double")
+                    / (F.sum("_cs").over(w) + b_total).cast("double")
+                ),
+                6,
+            ).cast("decimal(12,6)")
+        ).alias("_lr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lr").cast("double").alias("dsir_logratio"),
+        )
+        .withColumn("selected", F.col("dsir_logratio") > 0.0)
+    )

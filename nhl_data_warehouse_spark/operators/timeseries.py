@@ -212,3 +212,50 @@ def km_survival(
         .otherwise(F.sum(factor).over(w2).cast("double"))
         .alias("log_survival"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, seeded at the
+    first observation: ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` with
+    ``y_0 = x_0`` (pandas ``ewm(adjust=False)`` semantics) — the
+    smoothing/anomaly-baseline primitive SQL windows cannot express
+    (the recursion has unbounded depth).
+
+    Implemented as ``applyInPandas`` per key: Arrow-batched, one
+    linear pass per group, so cost is O(rows) regardless of series
+    length — the genuinely-iterative case where the Pandas path beats
+    any closed-form window (whose coefficient products over- or
+    under-flow on long series). Keys partition the shuffle; a single
+    key's series must fit one task, the inherent contract of per-key
+    sequential state (same as any sessionizer).
+
+    Determinism: the recursion is evaluated left-to-right in every
+    engine, so plain IEEE double arithmetic reproduces bit-for-bit —
+    pass ``alpha`` and its complement as exact doubles (the oracle
+    mirrors them via ``repr``); no rounding needed, unlike
+    order-free parallel sums.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    beta = 1.0 - alpha
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, {out_col} double"
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        acc = None
+        out = []
+        for x in pdf[value_col].astype("float64"):
+            acc = float(x) if acc is None else alpha * float(x) + beta * acc
+            out.append(acc)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema)

@@ -119,6 +119,18 @@ _PRIORITY = [
     "scd2_segment_versions",
     "pit_scd2_enrichment",
 ]
+# round-4 additions join the back of the priority queue (never
+# driver-checked yet, so they rotate in after the existing backlog)
+_PRIORITY += [
+    "stratified_kfold_assign",
+    "token_budget_selection",
+    "leakage_safe_split",
+    "duplicate_span_removal",
+    "dsir_importance_weights",
+    "ewma_monthly_spend",
+    "lsh_candidate_quality",
+    "media_byte_class_stats",
+]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for
 # Spark's transformWithState Python runner) join the back of the

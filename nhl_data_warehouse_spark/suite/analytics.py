@@ -1303,3 +1303,45 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, steps=["view", "click", "purchase"], window_seconds=6 * 3600
     )
     return lv.groupBy("funnel_level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "ewma_monthly_spend",
+    op_ids="beyond-reference recursive time-series smoothing (per-key "
+    "EWMA via applyInPandas — the unbounded-depth recursion SQL "
+    "windows cannot express; Arrow-batched, linear per group)",
+    description="exponentially weighted moving average of each "
+    "customer's monthly spend, seeded at the first month "
+    "(ewm(adjust=False) semantics) — anomaly baselines / trend "
+    "smoothing; left-to-right IEEE recursion is engine-exact with no "
+    "rounding needed",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS spend
+            FROM orders GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT o_custkey, month, spend,
+                   list(spend) OVER (
+                       PARTITION BY o_custkey ORDER BY month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pre
+            FROM m
+        )
+        SELECT o_custkey, month, spend,
+               list_reduce(pre, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_spend
+        FROM p
+    """,
+)
+def ewma_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend"))
+    return timeseries.ewma(
+        monthly, "o_custkey", "month", "spend", alpha=0.5, out_col="ewma_spend"
+    )

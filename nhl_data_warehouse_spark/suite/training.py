@@ -3768,3 +3768,373 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("n_true").cast("double")).alias("recall_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: budgeted selection, leakage-safe splitting,
+# span-level rewrite dedup, DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_kfold_assign",
+    op_ids="beyond-reference stratified k-fold assignment (per-stratum "
+    "two-level rank -> round-robin fold; exactly balanced within "
+    "every stratum, no unpartitioned window, no RNG)",
+    description="5-fold cross-validation labels balanced within each "
+    "language: content-hash rank within stratum, fold = (rank-1) % 5 "
+    "— per-stratum fold sizes differ by at most one row",
+    oracle="""
+        SELECT doc_id, lang,
+               CAST((ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5('kfold-v1|' || CAST(doc_id AS VARCHAR)),
+                                 doc_id
+                    ) - 1) % 5 AS INTEGER) AS fold
+        FROM documents
+    """,
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return sampling.stratified_kfold(
+        documents.select("doc_id", "lang"),
+        "lang",
+        k=5,
+        id_cols=["doc_id"],
+        salt="kfold-v1",
+    ).select("doc_id", "lang", "fold")
+
+
+@register(
+    "token_budget_selection",
+    op_ids="beyond-reference budgeted corpus selection (distributed "
+    "prefix sum over the curriculum order: composite score+hash "
+    "bucket, per-bucket cumsum windows, one bounded totals relation "
+    "— the fill-the-token-budget-best-first pass)",
+    description="documents selected best-quality-first (hash-shuffled "
+    "within each quality tier) while the running whitespace-token "
+    "total stays within a 20k budget; cum_weight is the running "
+    "total including the row",
+    oracle=r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> list_contains(['the','a','of','and','is'], lower(x)))) AS n_stop,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_tok_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+                    + CASE WHEN n_punct * 10 < n_chars THEN 2 ELSE 0 END
+                    + CASE WHEN n_stop > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN sum_tok_len >= 3 * n_tokens
+                            AND sum_tok_len <= 10 * n_tokens
+                           THEN 2 ELSE 0 END) AS quality_decile
+            FROM feats
+        ),
+        cum AS (
+            SELECT doc_id, quality_decile, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY quality_decile DESC,
+                                md5('tb-v1|' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_weight
+            FROM scored
+        )
+        SELECT doc_id, CAST(quality_decile AS BIGINT) AS quality_decile,
+               n_tokens, cum_weight
+        FROM cum WHERE cum_weight <= 20000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    scored = text.quality_score(documents).select(
+        "doc_id", "quality_decile", "n_tokens"
+    )
+    return sampling.budget_select(
+        scored, "quality_decile", "n_tokens", budget=20000, salt="tb-v1"
+    ).select("doc_id", "quality_decile", "n_tokens", "cum_weight")
+
+
+@register(
+    "leakage_safe_split",
+    op_ids="beyond-reference leakage-safe split assignment (near-dup "
+    "connected components -> split hashed on the CLUSTER id, so "
+    "near-duplicate documents can never straddle train/test — the "
+    "contamination-proof split; singleton docs hash on their own id)",
+    description="80/10/10 train/val/test labels assigned at near-dup-"
+    "cluster granularity: every member of a duplicate cluster lands "
+    "in the same split",
+    oracle=f"""
+        WITH clusters AS ({_NEAR_DUP_CLUSTERS_ORACLE})
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN substring(md5('leak-v1|' ||
+                         CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substring(md5('leak-v1|' ||
+                         CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(
+        sig, n_hashes=N_HASHES, band_size=BAND_SIZE
+    )
+    pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    cc = dedup.connected_components(pairs)
+    withc = (
+        documents.select("doc_id")
+        .join(cc.select("doc_id", "cluster_id"), on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    return sampling.hash_split(
+        withc,
+        ["cluster_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="leak-v1",
+    ).select("doc_id", "cluster_id", "split")
+
+
+@register(
+    "duplicate_span_removal",
+    op_ids="beyond-reference exact duplicated-span REMOVAL (Lee et al. "
+    "ExactSubstr rewrite at token-chunk granularity: one corpus-wide "
+    "canonical copy survives; chunks shuffle as md5, text shuffles "
+    "once for the stitch)",
+    description="every 8-token chunk occurring in >= 2 documents is "
+    "deleted except its first occurrence (min doc, then min index); "
+    "clean_text is the surviving chunks re-joined in order",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        nb AS (
+            SELECT doc_id, ts, CAST(ceil(len(ts)/8.0) AS BIGINT) AS n_chunks
+            FROM base WHERE len(ts) > 0
+        ),
+        chunks AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(ts[(i*8+1):(i*8+8)], ' ')) AS h
+            FROM (SELECT doc_id, ts,
+                         CAST(unnest(range(0, n_chunks)) AS BIGINT) AS i
+                  FROM nb)
+        ),
+        occ AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS mdoc
+            FROM chunks GROUP BY h
+        ),
+        fi AS (
+            SELECT c.h, MIN(c.i) AS fi
+            FROM chunks c JOIN occ o ON c.h = o.h AND c.doc_id = o.mdoc
+            GROUP BY c.h
+        ),
+        kept AS (
+            SELECT c.doc_id, c.i
+            FROM chunks c JOIN occ o ON c.h = o.h JOIN fi ON c.h = fi.h
+            WHERE o.nd < 2 OR (c.doc_id = o.mdoc AND c.i = fi.fi)
+        ),
+        agg AS (
+            SELECT doc_id, list_sort(list(i)) AS ki,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT n.doc_id, n.n_chunks,
+               n.n_chunks - COALESCE(a.n_kept, 0) AS n_removed,
+               COALESCE(array_to_string(flatten(list_transform(
+                   a.ki, i -> n.ts[(i*8+1):(i*8+8)])), ' '), '') AS clean_text
+        FROM nb n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(documents, chunk_tokens=8)
+
+
+@register(
+    "dsir_importance_weights",
+    op_ids="beyond-reference DSIR importance weighting (Xie et al. "
+    "2023: hashed-unigram log-ratio of target-slice vs corpus "
+    "distributions; one explode feeds both arms, B-row ratio table "
+    "broadcasts back)",
+    description="per-document target-likeness weight: sum over tokens "
+    "of ln p_target(bucket) - ln p_corpus(bucket), add-one smoothed, "
+    "6dp-decimal-exact; selected = net more target-like (here the "
+    "target slice is the English documents)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        bt AS (
+            SELECT doc_id,
+                   ({_hex_int_sql("md5(tok)", 4)} % 256) AS b,
+                   lang
+            FROM toks
+        ),
+        counts AS (
+            SELECT b, COUNT(*) AS cs,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+            FROM bt GROUP BY b
+        ),
+        lr AS (
+            SELECT b,
+                   CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+                                 / CAST((SUM(ct) OVER ()) + 256 AS DOUBLE)), 6)
+                        AS DECIMAL(12,6))
+                   - CAST(round(ln(CAST(cs + 1 AS DOUBLE)
+                                   / CAST((SUM(cs) OVER ()) + 256 AS DOUBLE)), 6)
+                          AS DECIMAL(12,6)) AS lr
+            FROM counts
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lr) AS DOUBLE) AS dsir_logratio,
+               CAST(SUM(lr) AS DOUBLE) > 0.0 AS selected
+        FROM bt JOIN lr USING (b)
+        GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.dsir_logratio_weights(
+        documents, target_pred=F.col("lang") == "en", n_buckets=256
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"MD5(mh{b * BAND_SIZE + 1} || mh{b * BAND_SIZE + 2}) AS bucket FROM sig"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+
+@register(
+    "lsh_candidate_quality",
+    op_ids="beyond-reference index evaluation: precision/recall of "
+    "the MinHash-LSH candidate generator against exact-Jaccard "
+    "ground truth — the before-you-trust-the-sketch gate for the "
+    "dedup pipeline (complements minhash_jaccard_error, which "
+    "evaluates the estimator, not the bucketing)",
+    description="LSH band candidates vs exact shingle-Jaccard >= 0.5 "
+    "pairs: candidate count, true-pair count, overlap, precision and "
+    "recall — the exact arm is the declared small-data oracle "
+    "baseline (its scale twin verifies candidates only)",
+    oracle=f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS ({_BANDS_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT a_id, b_id FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+        ),
+        m AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM cand JOIN truth USING (a_id, b_id)) AS n_hit
+        )
+        SELECT n_candidates, n_true, n_hit,
+               CASE WHEN n_candidates = 0 THEN 0.0
+                    ELSE round(n_hit / CAST(n_candidates AS DOUBLE), 6) + 0.0
+               END AS precision_lsh,
+               CASE WHEN n_true = 0 THEN 0.0
+                    ELSE round(n_hit / CAST(n_true AS DOUBLE), 6) + 0.0
+               END AS recall_lsh
+        FROM m
+    """,
+)
+def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(
+        sig, n_hashes=N_HASHES, band_size=BAND_SIZE
+    )
+    cand = cand.persist()  # counted AND joined against truth
+    truth = dedup.jaccard_pairs(sh, threshold=0.5).select("a_id", "b_id")
+    truth = truth.persist()
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = cand.join(truth, on=["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    m = n_cand.crossJoin(n_true).crossJoin(n_hit)
+    prec = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_hit") / F.col("n_candidates").cast("double"), 6)
+        + F.lit(0.0)
+    )
+    rec = F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6) + F.lit(0.0)
+    )
+    return m.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        prec.alias("precision_lsh"),
+        rec.alias("recall_lsh"),
+    )
+
+
+@register(
+    "media_byte_class_stats",
+    op_ids="beyond-reference mapInArrow media profiling (zero-copy "
+    "Arrow-buffer kernel: one numpy view over the batch's data "
+    "buffer, offset-indexed cumulative sums — no pandas, no per-row "
+    "Python objects; completes the Python-execution API surface "
+    "alongside mapInPandas/applyInPandas/pandas_udf/UDTF)",
+    description="per-media byte-class profile (total/ASCII/space "
+    "bytes + ASCII ratio) computed straight off the Arrow buffers — "
+    "the modality/encoding sniff before routing payloads to "
+    "decoders",
+    oracle=r"""
+        SELECT doc_id AS media_id,
+               CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')), 0)
+                    AS BIGINT) AS n_ascii,
+               CAST(COALESCE(length(text) - length(replace(text, ' ', '')), 0)
+                    AS BIGINT) AS n_spaces,
+               CASE WHEN COALESCE(octet_length(encode(text)), 0) > 0
+                    THEN CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+                              AS DOUBLE)
+                         / CAST(octet_length(encode(text)) AS DOUBLE)
+                    ELSE 0.0 END AS ascii_ratio
+        FROM documents
+    """,
+)
+def media_byte_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(documents)
+    return multimodal.byte_class_stats(media)

@@ -1,0 +1,240 @@
+"""Unit tests for the round-4 additions: stratified k-fold, budgeted
+selection, duplicated-span removal, DSIR weights, per-key EWMA, and
+the leakage-safe split composition."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+class TestStratifiedKfold:
+    def test_exact_balance_within_stratum(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import stratified_kfold
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de") for i in range(100)],
+            "doc_id long, lang string",
+        )
+        got = stratified_kfold(df, "lang", k=5, id_cols=["doc_id"]).collect()
+        assert len(got) == 100
+        by = {}
+        for r in got:
+            by.setdefault(r.lang, []).append(r.fold)
+        for lang, folds in by.items():
+            counts = [folds.count(f) for f in range(5)]
+            assert max(counts) - min(counts) <= 1, (lang, counts)
+
+    def test_assignment_is_content_addressed(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import stratified_kfold
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(40)], "doc_id long, lang string"
+        )
+        a = {r.doc_id: r.fold for r in stratified_kfold(df, "lang", 4, ["doc_id"]).collect()}
+        b = {
+            r.doc_id: r.fold
+            for r in stratified_kfold(
+                df.repartition(7), "lang", 4, ["doc_id"]
+            ).collect()
+        }
+        assert a == b  # stable under repartitioning
+
+
+class TestBudgetSelect:
+    def test_greedy_prefix_under_budget(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import budget_select
+
+        # scores 2 > 1; weights 10 each; budget 25 -> both score-2 docs
+        # and zero-or-one score-1 docs depending on hash order
+        df = spark.createDataFrame(
+            [(1, 2, 10), (2, 2, 10), (3, 1, 10), (4, 1, 10)],
+            "doc_id long, score long, w long",
+        )
+        got = budget_select(df, "score", "w", budget=25, max_score=2).collect()
+        ids = {r.doc_id for r in got}
+        assert {1, 2} <= ids and len(ids) == 2  # 3rd doc would hit 30 > 25
+        assert max(r.cum_weight for r in got) == 20
+
+    def test_cum_weight_is_global_running_total(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import budget_select
+
+        df = spark.createDataFrame(
+            [(i, i % 3, 5) for i in range(30)], "doc_id long, score long, w long"
+        )
+        got = sorted(
+            budget_select(df, "score", "w", budget=1000, max_score=2).collect(),
+            key=lambda r: r.cum_weight,
+        )
+        assert [r.cum_weight for r in got] == [5 * (i + 1) for i in range(30)]
+        # best-first: the score-2 tier fills the earliest positions
+        assert all(r.score == 2 for r in got[:10])
+
+
+class TestRemoveDuplicateSpans:
+    def test_one_canonical_copy_survives(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import remove_duplicate_spans
+
+        # chunk size 2: "a b" appears in docs 1 and 2 -> doc 1 (min id,
+        # first index) keeps it, doc 2 loses it
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y"), (3, "q r")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, chunk_tokens=2).collect()
+        }
+        assert got[1].clean_text == "a b c d" and got[1].n_removed == 0
+        assert got[2].clean_text == "x y" and got[2].n_removed == 1
+        assert got[3].clean_text == "q r" and got[3].n_removed == 0
+
+    def test_fully_removed_doc_yields_empty_text(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r
+            for r in remove_duplicate_spans(df, chunk_tokens=2).collect()
+        }
+        assert got[1].clean_text == "a b"
+        assert got[2].clean_text == "" and got[2].n_removed == 1
+
+    def test_intra_doc_repeat_without_cross_doc_dup_kept(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import remove_duplicate_spans
+
+        # "a b" repeats within doc 1 only (nd = 1) -> both copies stay
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        (row,) = remove_duplicate_spans(df, chunk_tokens=2).collect()
+        assert row.clean_text == "a b a b" and row.n_removed == 0
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_positive(self, spark):
+        from nhl_data_warehouse_spark.operators.text import dsir_logratio_weights
+
+        rows = [(i, "alpha beta gamma", "en") for i in range(8)]
+        rows += [(100 + i, "uno dos tres", "es") for i in range(2)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {
+            r.doc_id: r
+            for r in dsir_logratio_weights(df, F.col("lang") == "en").collect()
+        }
+        # target tokens dominate the target distribution -> positive
+        assert got[0].dsir_logratio > 0 and got[0].selected
+        # non-target-only tokens are less likely under target -> negative
+        assert got[100].dsir_logratio < 0 and not got[100].selected
+
+    def test_weight_sums_over_occurrences(self, spark):
+        from nhl_data_warehouse_spark.operators.text import dsir_logratio_weights
+
+        df = spark.createDataFrame(
+            [(1, "w w", "en"), (2, "w", "en")], "doc_id long, text string, lang string"
+        )
+        got = {
+            r.doc_id: r
+            for r in dsir_logratio_weights(df, F.col("lang") == "en").collect()
+        }
+        assert math.isclose(
+            got[1].dsir_logratio, 2 * got[2].dsir_logratio, rel_tol=1e-9
+        )
+
+
+class TestEwma:
+    def test_recursion_matches_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import ewma
+
+        xs = [10.0, 20.0, 0.0, 40.0]
+        df = spark.createDataFrame(
+            [(1, t, x) for t, x in enumerate(xs)], "k long, t long, x double"
+        )
+        got = sorted(
+            ewma(df, "k", "t", "x", alpha=0.5).collect(), key=lambda r: r.t
+        )
+        acc, want = None, []
+        for x in xs:
+            acc = x if acc is None else 0.5 * x + 0.5 * acc
+            want.append(acc)
+        assert [r.ewma for r in got] == want  # bit-exact, same recursion
+
+    def test_keys_are_independent(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [(1, 0, 10.0), (2, 0, 99.0), (1, 1, 20.0)],
+            "k long, t long, x double",
+        )
+        got = {(r.k, r.t): r.ewma for r in ewma(df, "k", "t", "x", 0.5).collect()}
+        assert got[(1, 0)] == 10.0 and got[(2, 0)] == 99.0
+        assert got[(1, 1)] == 15.0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"driver testdata not present at {SF_DIR}"
+)
+class TestLeakageSafeSplitQuery:
+    def test_clusters_never_straddle_splits(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        got = REGISTRY["leakage_safe_split"].fn(spark, SF_DIR).collect()
+        by_cluster = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        assert {r.split for r in got} <= {"train", "val", "test"}
+
+
+class TestByteClassStats:
+    def test_arrow_kernel_matches_python(self, spark):
+        from nhl_data_warehouse_spark.operators.multimodal import (
+            as_media_table,
+            byte_class_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ab c", "s"), (2, "的是 x", "s"), (3, "", "s")],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r.media_id: r
+            for r in byte_class_stats(as_media_table(df)).collect()
+        }
+        for doc_id, text in [(1, "ab c"), (2, "的是 x"), (3, "")]:
+            raw = text.encode("utf-8")
+            assert got[doc_id].n_bytes == len(raw)
+            assert got[doc_id].n_ascii == sum(b < 0x80 for b in raw)
+            assert got[doc_id].n_spaces == raw.count(b" ")
+        assert got[3].ascii_ratio == 0.0
+        assert got[1].ascii_ratio == 1.0
+
+    def test_null_payload_counts_as_empty(self, spark):
+        from nhl_data_warehouse_spark.operators.multimodal import byte_class_stats
+
+        df = spark.createDataFrame(
+            [(1, None), (2, b"xy")], "media_id long, payload binary"
+        )
+        got = {r.media_id: r for r in byte_class_stats(df).collect()}
+        assert got[1].n_bytes == 0 and got[1].ascii_ratio == 0.0
+        assert got[2].n_bytes == 2
+
+
+class TestLshCandidateQuality:
+    def test_metrics_are_consistent(self, spark):
+        import os
+
+        if not os.path.isdir(SF_DIR):
+            pytest.skip("driver testdata absent")
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        (row,) = REGISTRY["lsh_candidate_quality"].fn(spark, SF_DIR).collect()
+        assert row.n_hit <= row.n_candidates and row.n_hit <= row.n_true
+        assert 0.0 <= row.precision_lsh <= 1.0
+        assert 0.0 <= row.recall_lsh <= 1.0
+        # planted dup clusters must be found: band recall on exact
+        # duplicates is 1.0 by construction, so recall stays high
+        assert row.n_true > 0 and row.recall_lsh > 0.5
