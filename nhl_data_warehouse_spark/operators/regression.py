@@ -68,3 +68,51 @@ def grouped_ols(
         F.when(den != 0, slope).alias("slope"),
         F.when(den != 0, intercept).alias("intercept"),
     )
+
+
+def mad_by_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "mad"
+) -> DataFrame:
+    """Median absolute deviation per group via a GROUPED_AGG pandas
+    UDF — the vectorized-UDAF surface (SQL can nest
+    ``median(abs(x - median(x)))`` only with a self-join; the Arrow
+    grouped aggregate does it in one keyed pass). MAD is the robust
+    dispersion gauge outlier pipelines prefer over stddev (a single
+    wild value moves stddev arbitrarily, MAD not at all).
+
+    Determinism: numpy's interpolated median over exact doubles —
+    identical ordering and (a+b)/2 arithmetic on any engine (DuckDB's
+    ``mad``/``median`` match bit-for-bit).
+
+    Scale contract: a GROUPED_AGG UDF materializes each group's
+    column in one Arrow batch — right for bounded groups (event
+    types, languages, status codes). For unbounded/skewed groups use
+    ``approx_percentile``-based dispersion instead; this operator is
+    the exact twin.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this module uses postponed annotation
+    # evaluation, which pandas_udf's Series->scalar hint inference
+    # can't resolve (same workaround as similarity.py's scalar UDFs)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
+        # NULLs arrive as NaN — drop them like SQL aggregates do
+        # (DuckDB's mad() skips NULLs; an all-NULL group yields NULL)
+        a = v.dropna().to_numpy(dtype="float64")
+        if a.size == 0:
+            return None
+        m = np.median(a)
+        return float(np.median(np.abs(a - m)))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the count rides a second pandas agg
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    return df.groupBy(group_col).agg(
+        _n(F.col(value_col)).alias("n"),
+        _mad(F.col(value_col)).alias(out_col),
+    )

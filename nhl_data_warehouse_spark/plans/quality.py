@@ -151,3 +151,35 @@ def quality_report(
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def observed_write(
+    df: DataFrame,
+    action,
+    null_cols: list[str] | None = None,
+    name: str = "quality",
+):
+    """Quality metrics that ride the MAIN action via ``df.observe``:
+    row count + per-column null counts are accumulated DURING whatever
+    ``action`` executes (a write, a count, a collect), so the gate
+    costs ZERO extra scans — at 100 TB the difference between this and
+    a separate ``null_check`` pass is a full re-read of the table.
+
+    ``action`` receives the observed DataFrame and must trigger
+    execution (e.g. ``lambda d: d.write.parquet(path)``). Returns
+    ``(action_result, metrics_dict)``; gate on the metrics afterwards
+    with ``QualityCheckError`` as usual. The same Observation API
+    attaches to streaming queries per micro-batch (metrics surface in
+    ``StreamingQueryListener`` events).
+    """
+    from pyspark.sql import Observation
+
+    null_cols = null_cols or []
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        for c in null_cols
+    ]
+    observed = df.observe(obs, *aggs)
+    result = action(observed)
+    return result, obs.get

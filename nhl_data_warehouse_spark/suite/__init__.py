@@ -130,6 +130,9 @@ _PRIORITY += [
     "ewma_monthly_spend",
     "lsh_candidate_quality",
     "media_byte_class_stats",
+    "value_mad_by_type",
+    "cluster_best_representative",
+    "observed_quality_metrics",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -1345,3 +1345,25 @@ def ewma_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ewma(
         monthly, "o_custkey", "month", "spend", alpha=0.5, out_col="ewma_spend"
     )
+
+
+@register(
+    "value_mad_by_type",
+    op_ids="beyond-reference robust dispersion via GROUPED_AGG pandas "
+    "UDF (the vectorized-UDAF API surface: per-group Arrow batch, "
+    "one keyed pass — completing scalar/grouped-map/map-iter Python "
+    "coverage)",
+    description="median absolute deviation of event value per event "
+    "type — the robust outlier gauge; exact interpolated-median "
+    "semantics matching DuckDB's mad() bit-for-bit",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               mad(value) AS mad
+        FROM events GROUP BY event_type
+    """,
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import mad_by_group
+
+    (events,) = load(spark, sf_dir, "events")
+    return mad_by_group(events, "event_type", "value")

@@ -1335,3 +1335,40 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         (F.sum("acctbal_cents").cast("double") / 100.0).alias("total_acctbal"),
     )
+
+
+@register(
+    "observed_quality_metrics",
+    op_ids="A1 generalized to zero-cost gating: df.observe() metrics "
+    "accumulated DURING the main action (one job, no separate "
+    "quality scan — at 100 TB a standalone null_check pass re-reads "
+    "the whole table; observation is free)",
+    description="row count + null counts over events collected via "
+    "the Observation API while the table is counted once; the gate "
+    "then fires driver-side on the metrics dict",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_props,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_value
+        FROM events
+    """,
+)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.plans.quality import observed_write
+
+    (events,) = load(spark, sf_dir, "events")
+    _, metrics = observed_write(
+        events, action=lambda d: d.count(), null_cols=["props", "value"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(metrics["n_rows"]),
+                int(metrics["n_null_props"]),
+                int(metrics["n_null_value"]),
+            )
+        ],
+        "n_rows long, n_null_props long, n_null_value long",
+    )

@@ -4138,3 +4138,103 @@ def media_byte_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     media = multimodal.as_media_table(documents)
     return multimodal.byte_class_stats(media)
+
+
+@register(
+    "cluster_best_representative",
+    op_ids="beyond-reference dedup representative policy: keep the "
+    "BEST-quality member of every near-dup cluster (max quality, "
+    "then min id — two keyed partial aggs, no window), not the "
+    "arbitrary min-id copy",
+    description="per near-dup cluster: member count, the chosen "
+    "representative doc and its quality tier — the keep-the-best "
+    "dedup policy real curation pipelines apply before dropping "
+    "duplicates",
+    oracle=f"""
+        WITH clusters AS ({_NEAR_DUP_CLUSTERS_ORACLE}),
+        cmap AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ),
+        feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> list_contains(['the','a','of','and','is'], lower(x)))) AS n_stop,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_tok_len
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+                        + CASE WHEN n_punct * 10 < n_chars THEN 2 ELSE 0 END
+                        + CASE WHEN n_stop > 0 THEN 2 ELSE 0 END
+                        + CASE WHEN sum_tok_len >= 3 * n_tokens
+                               AND sum_tok_len <= 10 * n_tokens
+                              THEN 2 ELSE 0 END AS BIGINT) AS quality_decile
+            FROM feats
+        ),
+        j AS (
+            SELECT cluster_id, s.doc_id, quality_decile
+            FROM cmap JOIN scored s USING (doc_id)
+        ),
+        mq AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   MAX(quality_decile) AS rep_quality
+            FROM j GROUP BY cluster_id
+        )
+        SELECT mq.cluster_id, mq.n_members,
+               MIN(j.doc_id) AS rep_doc, mq.rep_quality
+        FROM j JOIN mq ON j.cluster_id = mq.cluster_id
+                      AND j.quality_decile = mq.rep_quality
+        GROUP BY mq.cluster_id, mq.n_members, mq.rep_quality
+    """,
+)
+def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = sh.persist()
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    cand = dedup.minhash_band_candidates(
+        sig, n_hashes=N_HASHES, band_size=BAND_SIZE
+    )
+    pairs = dedup.jaccard_pairs(sh, candidates=cand, threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    cc = dedup.connected_components(pairs)
+    cmap = (
+        documents.select("doc_id")
+        .join(cc.select("doc_id", "cluster_id"), on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    scored = text.quality_score(documents).select("doc_id", "quality_decile")
+    j = cmap.join(scored, on="doc_id")
+    j = j.persist()  # feeds the max-quality agg AND the rep pick
+    # alias the aggregate side's columns so the shared-lineage join is
+    # unambiguous (the suite's recall-eval convention — don't rely on
+    # Spark's ambiguous-self-join rewrite)
+    mq = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("quality_decile").alias("rep_quality"),
+    ).select(
+        F.col("cluster_id").alias("_mq_cid"), "n_members", "rep_quality"
+    )
+    return (
+        j.join(
+            mq,
+            on=(F.col("cluster_id") == F.col("_mq_cid"))
+            & (F.col("quality_decile") == F.col("rep_quality")),
+        )
+        .groupBy("_mq_cid", "n_members", "rep_quality")
+        .agg(F.min("doc_id").alias("rep_doc"))
+        .select(
+            F.col("_mq_cid").alias("cluster_id"),
+            "n_members",
+            "rep_doc",
+            "rep_quality",
+        )
+    )

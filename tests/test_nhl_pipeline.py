@@ -345,3 +345,21 @@ class TestRunnerQualityGates:
             )
         )
         assert clean_runner.run()["gated_ok"].count() == 1
+
+
+class TestObservedWrite:
+    def test_metrics_ride_the_action(self, spark, tmp_path):
+        from nhl_data_warehouse_spark.plans.quality import observed_write
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "k long, v string"
+        )
+        out = str(tmp_path / "observed_out")
+        _, metrics = observed_write(
+            df,
+            action=lambda d: d.write.mode("overwrite").parquet(out),
+            null_cols=["v"],
+        )
+        assert metrics["n_rows"] == 3 and metrics["n_null_v"] == 2
+        # the action really ran: the write landed all rows
+        assert spark.read.parquet(out).count() == 3

@@ -302,3 +302,28 @@ def test_bm25_carries_dl_through_tf_agg_no_rowscale_join(spark, registry):
         keys = m.group(1)
         if "doc_id" in keys:
             assert "dl" in keys, f"row-scale dl join-back resurfaced: {keys}"
+
+
+def test_round4_ops_plan_shapes(spark, registry):
+    # kfold: every window is partitioned — a SinglePartition exchange
+    # would serialize a 100TB stratum onto one task
+    kfold = plan_of(registry["stratified_kfold_assign"].fn(spark, SF))
+    assert "SinglePartition" not in kfold
+    # budget select: exactly one bounded single-partition window (the
+    # 16^d-row bucket-totals cumsum); row-scale windows stay bucketed
+    budget = plan_of(registry["token_budget_selection"].fn(spark, SF))
+    assert budget.count("SinglePartition") <= 1
+    # DSIR: the B-row log-ratio table must broadcast back onto tokens
+    dsir = plan_of(registry["dsir_importance_weights"].fn(spark, SF))
+    assert "BroadcastHashJoin" in dsir
+    # mapInArrow profiling is a narrow per-row pipeline: no shuffle
+    arrow = plan_of(registry["media_byte_class_stats"].fn(spark, SF))
+    assert "MapInArrow" in arrow
+    assert arrow.count("Exchange") <= 1  # scale_out's explicit repartition only
+    # EWMA: one grouped-map python node, keyed shuffle only
+    ewma = plan_of(registry["ewma_monthly_spend"].fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in ewma
+    # pair-scale ops never degrade to cartesian products
+    for name in ("duplicate_span_removal", "leakage_safe_split",
+                 "lsh_candidate_quality"):
+        assert "CartesianProduct" not in plan_of(registry[name].fn(spark, SF)), name

@@ -238,3 +238,36 @@ class TestLshCandidateQuality:
         # planted dup clusters must be found: band recall on exact
         # duplicates is 1.0 by construction, so recall stays high
         assert row.n_true > 0 and row.recall_lsh > 0.5
+
+
+class TestMadByGroup:
+    def test_matches_numpy_and_skips_nulls(self, spark):
+        import numpy as np
+
+        from nhl_data_warehouse_spark.operators.regression import mad_by_group
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.5), ("a", 7.25), ("a", 100.0), ("a", None),
+             ("b", None)],
+            "g string, x double",
+        )
+        got = {r.g: r for r in mad_by_group(df, "g", "x").collect()}
+        vals = np.array([1.0, 3.5, 7.25, 100.0])
+        want = float(np.median(np.abs(vals - np.median(vals))))
+        assert got["a"].mad == want and got["a"].n == 5  # n counts NULLs too
+        assert got["b"].mad is None and got["b"].n == 1
+
+
+class TestClusterBestRepresentative:
+    def test_representative_is_best_quality_member(self, spark):
+        import os
+
+        if not os.path.isdir(SF_DIR):
+            pytest.skip("driver testdata absent")
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        rows = REGISTRY["cluster_best_representative"].fn(spark, SF_DIR).collect()
+        assert sum(r.n_members for r in rows) == 500  # every doc in one cluster
+        assert all(r.rep_quality >= 0 for r in rows)
+        multi = [r for r in rows if r.n_members > 1]
+        assert multi, "planted dup clusters must produce multi-member rows"

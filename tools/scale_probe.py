@@ -49,6 +49,13 @@ PROBES = [
     # LSH-verified cross-split leak scan
     "training_manifest_assembly",
     "cross_split_contamination",
+    # round-4 additions: the ExactSubstr rewrite (chunk hashes keyed,
+    # text shuffled once for the stitch — linear in bytes; removal
+    # COUNTS grow with the planted dup clusters, a data property) and
+    # DSIR scoring (token explode + B-bounded conditional aggs +
+    # broadcast ratio join — linear in tokens)
+    "duplicate_span_removal",
+    "dsir_importance_weights",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
