@@ -356,9 +356,14 @@ def stratified_kfold(
     w_local = Window.partitionBy(stratum_col, "__hb").orderBy(
         "__h", *[F.col(c) for c in id_cols]
     )
+    # no broadcast hint: the offsets relation is |strata| * 16^d rows,
+    # unbounded when the stratum key is high-cardinality — AQE
+    # broadcasts it at runtime when it is actually small and keeps the
+    # co-partitioned join when it is not (a forced hint would pin the
+    # wrong strategy at scale)
     return (
         out.withColumn("__lr", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), on=[stratum_col, "__hb"])
+        .join(offsets, on=[stratum_col, "__hb"])
         .withColumn(
             fold_col,
             ((F.col("__off") + F.col("__lr") - 1) % k).cast("int"),
@@ -390,13 +395,37 @@ def budget_select(
     roll up to exclusive bucket bases via one window over the bounded
     ``(max_score+1) * 16^d``-row totals relation; row-scale cumsum
     windows are partitioned by bucket. Same integer-score contract as
-    ``curriculum_order`` (caller casts/validates upstream); the keep
-    decision is a per-row compare, so the filter is exact and
-    engine-stable (integer weights, no float accumulation).
+    ``curriculum_order``, ENFORCED the same way: an out-of-range /
+    fractional / NULL score raises at execution instead of silently
+    corrupting the bucket order. The keep decision is a per-row
+    compare, so the filter is exact and engine-stable (integer
+    weights, no float accumulation).
     """
     n_hb = 16**bucket_hex_digits
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
     w = F.col(weight_col).cast("long")
+    s_raw = F.col(score_col)
+    s_int = s_raw.cast("long")
+    s_valid = (
+        s_raw.isNotNull()
+        & (s_int >= 0)
+        & (s_int <= max_score)
+        & (s_int.cast("double") == s_raw.cast("double"))
+    )
+    # coalesce evaluates left-to-right: valid rows never reach the
+    # raise; __cb depends on it, so it cannot be pruned
+    s_checked = F.coalesce(
+        F.when(s_valid, s_int),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"budget_select: {score_col} must be an integer in "
+                    f"[0, {max_score}], got "
+                ),
+                F.coalesce(s_raw.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    )
     out = (
         scored.withColumn("__h", h)
         .withColumn(
@@ -405,8 +434,7 @@ def budget_select(
         )
         .withColumn(
             "__cb",
-            (F.lit(max_score) - F.col(score_col).cast("long")) * n_hb
-            + F.col("__hb"),
+            (F.lit(max_score) - s_checked) * n_hb + F.col("__hb"),
         )
     )
     totals = out.groupBy("__cb").agg(F.sum(w).alias("__tot"))

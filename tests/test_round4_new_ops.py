@@ -271,3 +271,14 @@ class TestClusterBestRepresentative:
         assert all(r.rep_quality >= 0 for r in rows)
         multi = [r for r in rows if r.n_members > 1]
         assert multi, "planted dup clusters must produce multi-member rows"
+
+
+class TestBudgetSelectContract:
+    def test_fractional_score_raises_in_plan(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import budget_select
+
+        df = spark.createDataFrame(
+            [(1, 1.5, 10)], "doc_id long, score double, w long"
+        )
+        with pytest.raises(Exception, match="budget_select"):
+            budget_select(df, "score", "w", budget=100, max_score=2).collect()

@@ -279,6 +279,13 @@ def main() -> None:
         "buckets emit (representative, member) star links (connectivity for",
         "clustering preserved; pair count linear in bucket size).",
         "",
+        "Round-4 rows: `duplicate_span_removal` stays ~flat (fixed overhead",
+        "dominates; chunk hashes are 40-byte shuffle rows however long the",
+        "documents get — removal COUNTS grow with the planted dup clusters,",
+        "but the plan's work is linear in bytes). `dsir_importance_weights`",
+        "tracks input size ~linearly: the explode dominates, bucket state is",
+        "fixed at B rows, and the ratio join is a broadcast at every factor.",
+        "",
     ]
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
