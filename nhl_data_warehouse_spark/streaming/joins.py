@@ -29,6 +29,7 @@ def interval_join_streams(
     upper: str = "15 minutes",
     watermark: str = "30 minutes",
     streaming: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join: pair a left event with right events on
     the same key arriving within (left_ts, left_ts + upper]. State
@@ -36,7 +37,15 @@ def interval_join_streams(
     what lets the stream-stream join evict buffered rows; choose
     ``watermark`` >= ``upper`` + max expected skew between streams.
     On batch frames the same expression is a plain range join
-    (watermarks are no-ops), which the tests use as the twin."""
+    (watermarks are no-ops), which the tests use as the twin.
+
+    ``how="leftOuter"`` additionally emits null-padded left rows whose
+    interval produced no match — but ONLY once the watermark passes
+    the row's interval upper bound (Spark cannot know earlier that no
+    match is coming). A finite run must therefore advance the
+    watermark past the data (e.g. a far-future heartbeat row in a
+    final micro-batch — the sentinel-flush pattern) or the trailing
+    unmatched rows stay buffered forever."""
     lhs = left.withWatermark(left_ts, watermark) if streaming else left
     rhs = right.withWatermark(right_ts, watermark) if streaming else right
     cond = (
@@ -44,7 +53,7 @@ def interval_join_streams(
         & (rhs[right_ts] > lhs[left_ts])
         & (rhs[right_ts] <= lhs[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lhs.join(rhs, cond)
+    return lhs.join(rhs, cond, how)
 
 
 def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:

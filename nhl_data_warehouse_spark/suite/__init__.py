@@ -133,6 +133,7 @@ _PRIORITY += [
     "value_mad_by_type",
     "cluster_best_representative",
     "observed_quality_metrics",
+    "streaming_left_outer_join",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -1372,3 +1372,132 @@ def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_null_props long, n_null_value long",
     )
+
+
+@register(
+    "streaming_left_outer_join",
+    op_ids="§2.7 stream-stream LEFT OUTER interval join EXECUTION: "
+    "null-padded unmatched rows can only emit once the watermark "
+    "passes their interval, so a far-future heartbeat row in a final "
+    "micro-batch flushes the state (the sentinel/heartbeat pattern "
+    "every finite or low-traffic outer-join stream needs)",
+    description="every event left-outer-joined to same-user purchases "
+    "within the next 5 minutes: matches emit as they pair, events "
+    "with no purchase emit null-padded after the heartbeat advances "
+    "the watermark; sentinel rows are filtered from the result",
+    oracle="""
+        SELECT e1.user_id AS user_id, e1.event_id AS a_id,
+               e2.event_id AS b_id,
+               CAST(epoch_us(e2.ts) - epoch_us(e1.ts) AS DOUBLE) / 1000000.0
+                   AS gap_seconds
+        FROM events e1
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.streaming.joins import interval_join_streams
+    from nhl_data_warehouse_spark.suite.registry import (
+        normalize_timestamps,
+        pin_session_defaults,
+    )
+
+    pin_session_defaults(spark)
+    left_dir = _fresh_dir("suite_ssoj_left_")
+    right_dir = _fresh_dir("suite_ssoj_right_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{left_dir}/events.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{right_dir}/events.parquet")
+
+    # heartbeat sentinel: one far-future row per side, written NOW so
+    # its mtime orders it into a second micro-batch after the data
+    # file; it advances both sources' watermarks past every real
+    # interval, flushing the buffered unmatched rows
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dtypes = dict(raw.dtypes)
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    if dtypes["ts"] == "bigint":  # TIMESTAMP(NANOS) as long
+        future = F.lit(int(max_ts) + 10 * 86400 * 10**9)
+    else:
+        import datetime
+
+        future = F.lit(max_ts + datetime.timedelta(days=10))
+    overrides = {
+        "event_id": F.lit(-1),
+        "user_id": F.lit(-1),
+        "ts": future,
+        "event_type": F.lit("purchase"),  # must pass the right filter
+    }
+    sentinel = raw.limit(1).select(
+        *[
+            overrides.get(c, F.col(c)).cast(dtypes[c]).alias(c)
+            for c in raw.columns
+        ]
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    scratch = _fresh_dir("suite_ssoj_sent_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
+    (part,) = _glob.glob(os.path.join(scratch, "part-*.parquet"))
+    for d in (left_dir, right_dir):
+        # the stream source lists plain files in the dir — move the
+        # part file up next to the data symlink (mtime = now, so it
+        # orders into the second micro-batch)
+        _shutil.copy(part, os.path.join(d, "zz_sentinel.parquet"))
+
+    name = _fresh_memory_sink(
+        spark, "stream_ssoj_", os.path.basename(left_dir).split("_")[-1]
+    )
+    ckpt = _fresh_dir("suite_ssoj_ckpt_")
+    batch_schema = raw.schema
+    # one file per micro-batch per source, oldest first: batch 1 holds
+    # both data files, batch 2 both sentinels -> the final no-data
+    # batch evicts state under the advanced watermark
+    left = normalize_timestamps(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(left_dir),
+        "events",
+    ).select("user_id", "ts", "event_id")
+    right_all = normalize_timestamps(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(right_dir),
+        "events",
+    )
+    right = right_all.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        upper="5 minutes",
+        watermark="30 minutes",
+        how="leftOuter",
+    )
+    gap_us = F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))
+    out = joined.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("r_event_id").alias("b_id"),
+        (gap_us.cast("double") / F.lit(1000000.0)).alias("gap_seconds"),
+    )
+    with _stateful_shuffle(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    # drop the sentinel's own (unmatched) output row
+    return spark.table(name).filter(F.col("a_id") >= 0)

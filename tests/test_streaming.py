@@ -539,3 +539,27 @@ class TestStreamingPipelineComposition:
         (src / "c2.jsonl").write_text('{"ts": "2024-01-01 10:20:00", "kind": "a"}\n')
         run()
         assert collected[("2024-01-01 10:00:00", "a")] == 3
+
+
+class TestStreamStreamLeftOuter:
+    def test_unmatched_rows_flush_after_heartbeat(self, spark):
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        if not os.path.isdir(sf):
+            import pytest
+
+            pytest.skip("driver testdata absent")
+        from pyspark.sql import functions as F
+
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        out = REGISTRY["streaming_left_outer_join"].fn(spark, sf)
+        rows = out.collect()
+        n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+        # every real event appears at least once (matched or padded)
+        assert len({r.a_id for r in rows}) == n_events
+        assert all(r.a_id >= 0 for r in rows)  # sentinel filtered
+        unmatched = [r for r in rows if r.b_id is None]
+        assert unmatched, "outer rows must flush after the heartbeat"
+        assert all(r.gap_seconds is None for r in unmatched)
