@@ -134,6 +134,8 @@ _PRIORITY += [
     "cluster_best_representative",
     "observed_quality_metrics",
     "streaming_left_outer_join",
+    "partition_pruned_read",
+    "dynamic_partition_pruned_join",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

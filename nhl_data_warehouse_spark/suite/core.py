@@ -824,3 +824,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load(spark, sf_dir, "events")
     return event_transitions(events)
+
+
+@register(
+    "partition_pruned_read",
+    op_ids="S9 generalized to directory partition pruning: a filter on "
+    "the partition column prunes whole directories at PLANNING time "
+    "(PartitionFilters at the scan, pinned in "
+    "tests/test_plan_shapes.py) — only 1 of ~7 year partitions is "
+    "ever listed or read",
+    description="orders written partitioned by order year, read back "
+    "filtered to 1995: the 100 TB raw/staging layout stance (partition "
+    "by date/season) made executable — revenue by status over the one "
+    "surviving partition",
+    oracle="""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        GROUP BY o_orderstatus
+    """,
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.suite.ingest import _fresh_dir
+
+    (orders,) = load(spark, sf_dir, "orders")
+    path = _fresh_dir("suite_partread_") + "/orders_by_year"
+    orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+    ).write.partitionBy("o_year").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_year") == 1995)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "dynamic_partition_pruned_join",
+    op_ids="beyond-reference dynamic partition pruning: the partition "
+    "filter is DERIVED AT RUNTIME from the broadcast dim side of a "
+    "join (dynamicpruningexpression at the scan) — the fact table "
+    "never lists the non-qualifying year directories even though no "
+    "literal filter mentions them",
+    description="orders partitioned by year joined to a 2-row year "
+    "dimension: DPP injects the dim's years into the fact scan's "
+    "partition filters, the 100 TB star-join fact-pruning mechanism",
+    oracle="""
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1996)
+        GROUP BY 1
+    """,
+)
+def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.suite.ingest import _fresh_dir
+
+    (orders,) = load(spark, sf_dir, "orders")
+    path = _fresh_dir("suite_dpp_") + "/orders_by_year"
+    orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+    ).write.partitionBy("o_year").parquet(path)
+    # DPP's planner shape: a FILTERED dimension joined on the
+    # partition column — the filter is what marks the build side
+    # selective enough to derive a pruning subquery from
+    years = spark.createDataFrame(
+        [(1994, "keep"), (1995, "drop"), (1996, "keep")], "o_year int, tag string"
+    ).filter(F.col("tag") == "keep").select("o_year")
+    fact = spark.read.parquet(path)
+    return (
+        fact.join(F.broadcast(years), on="o_year")
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )

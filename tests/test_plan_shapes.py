@@ -327,3 +327,19 @@ def test_round4_ops_plan_shapes(spark, registry):
     for name in ("duplicate_span_removal", "leakage_safe_split",
                  "lsh_candidate_quality"):
         assert "CartesianProduct" not in plan_of(registry[name].fn(spark, SF)), name
+
+
+def test_partition_pruning_reaches_scan(spark, registry):
+    plan = plan_of(registry["partition_pruned_read"].fn(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_year" in m.group(1), "year filter must prune partitions"
+    # the pruned partition column never appears as a data filter
+    d = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert not (d and "o_year" in d.group(1))
+
+
+def test_dynamic_partition_pruning_fires(spark, registry):
+    df = registry["dynamic_partition_pruned_join"].fn(spark, SF)
+    df.collect()  # DPP shows in the final adaptive plan
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), "DPP subquery must reach the scan"
