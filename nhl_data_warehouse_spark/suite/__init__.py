@@ -136,6 +136,8 @@ _PRIORITY += [
     "streaming_left_outer_join",
     "partition_pruned_read",
     "dynamic_partition_pruned_join",
+    "sql_api_parameterized",
+    "paginated_orders",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -913,3 +913,70 @@ def dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "sql_api_parameterized",
+    op_ids="§2 SQL surface parity, Spark 4 parameterized queries: "
+    "spark.sql(sql, args) with named parameter markers — values bind "
+    "as literals through the analyzer (no string interpolation, no "
+    "injection surface), the programmatic-SQL contract an "
+    "application layer builds on",
+    description="order-priority revenue rollup over a half-open date "
+    "range passed as :start/:end named parameters to spark.sql",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(o_orderdate AS DATE) <  DATE '1996-01-01'
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_sql_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM v_sql_param_orders
+        WHERE CAST(o_orderdate AS DATE) >= :start
+          AND CAST(o_orderdate AS DATE) < :end
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start": datetime.date(1995, 1, 1),
+            "end": datetime.date(1996, 1, 1),
+        },
+    )
+
+
+@register(
+    "paginated_orders",
+    op_ids="§2.6 deterministic keyset-free pagination: global ORDER BY "
+    "+ LIMIT/OFFSET (Spark 4 DataFrame.offset) — correct only under a "
+    "total order, hence the unique-key sort; at scale prefer keyset "
+    "pagination (WHERE key > last_seen ORDER BY key LIMIT n), which "
+    "this query's sort key makes directly available",
+    description="page 3 of the orders feed: 50 rows ordered by order "
+    "key, offset 100",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 50 OFFSET 100
+    """,
+)
+def paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )

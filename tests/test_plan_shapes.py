@@ -343,3 +343,12 @@ def test_dynamic_partition_pruning_fires(spark, registry):
     df.collect()  # DPP shows in the final adaptive plan
     plan = plan_of(df)
     assert "dynamicpruning" in plan.lower(), "DPP subquery must reach the scan"
+
+
+def test_pagination_uses_take_ordered(spark, registry):
+    # ORDER BY + LIMIT/OFFSET must plan as TakeOrderedAndProject
+    # (per-partition heaps + a k-row driver merge), never a global Sort
+    plan = plan_of(registry["paginated_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=100" in plan
+    assert "Exchange" not in plan
