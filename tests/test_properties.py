@@ -643,3 +643,110 @@ def test_dup_chunk_counts_and_bounds(spark, docs):
         assert got[i].n_chunks == len(cs)
         assert got[i].n_dup_chunks == n_dup
         assert abs(got[i].dup_chunk_frac - round(n_dup / len(cs), 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators vs naive references
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 9)), min_size=1, max_size=12
+    ),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_budget_select_matches_naive_prefix(spark, rows, budget):
+    from nhl_data_warehouse_spark.operators.sampling import budget_select
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, score long, w long")
+    got = {
+        r.doc_id: r.cum_weight
+        for r in budget_select(
+            df, "score", "w", budget=budget, max_score=2, salt="tb-v1"
+        ).collect()
+    }
+    # naive: sort by (score desc, md5('tb-v1|'+id), id), prefix-sum, cut
+    order = sorted(data, key=lambda t: (-t[1], _md5(f"tb-v1|{t[0]}"), t[0]))
+    cum, want = 0, {}
+    for i, _s, w in order:
+        cum += w
+        if cum > budget:
+            break
+        want[i] = cum
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcxy"), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_removal_conserves_and_keeps_one_copy(spark, docs):
+    from nhl_data_warehouse_spark.operators.dedup import remove_duplicate_spans
+
+    c = 2
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, chunk_tokens=c).collect()}
+
+    def chunks(toks):
+        return [" ".join(toks[j : j + c]) for j in range(0, len(toks), c)]
+
+    all_chunks = {}
+    for i, toks in enumerate(docs):
+        for j, ch in enumerate(chunks(toks)):
+            all_chunks.setdefault(ch, []).append((i, j))
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in out  # empty docs drop, like dup_chunk_stats
+            continue
+        row = out[i]
+        kept = [
+            ch
+            for j, ch in enumerate(chunks(toks))
+            if len({d for d, _ in all_chunks[ch]}) < 2
+            or min(all_chunks[ch]) == (i, j)
+        ]
+        assert row.clean_text == " ".join(kept)
+        assert row.n_removed == row.n_chunks - len(kept)
+    # every duplicated chunk text still exists in exactly one doc's output
+    for ch, occs in all_chunks.items():
+        if len({d for d, _ in occs}) >= 2:
+            assert sum(1 for r in out.values() if ch in chunks(r.clean_text.split())) >= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40)), min_size=2, max_size=20
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_kfold_matches_naive_rank(spark, rows, k):
+    from nhl_data_warehouse_spark.operators.sampling import stratified_kfold
+
+    data = [(i, f"s{s}") for i, (s, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string")
+    got = {
+        r.doc_id: r.fold
+        for r in stratified_kfold(df, "lang", k, ["doc_id"], salt="kfold-v1").collect()
+    }
+    by = {}
+    for i, lang in data:
+        by.setdefault(lang, []).append(i)
+    for lang, ids in by.items():
+        order = sorted(ids, key=lambda i: (_md5(f"kfold-v1|{i}"), i))
+        for rank, i in enumerate(order):
+            assert got[i] == rank % k
