@@ -352,3 +352,47 @@ def test_pagination_uses_take_ordered(spark, registry):
     assert "TakeOrderedAndProject" in plan
     assert "offset=100" in plan
     assert "Exchange" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """session.py enables AQE skew-join handling; this proves it FIRES:
+    a 99%-hot key under test-scaled thresholds replans the sort-merge
+    join as SortMergeJoin(skew=true) with a skewed AQEShuffleRead —
+    the runtime remedy the 100 TB stance leans on for residual skew
+    (salting covers the planned cases; AQE catches the surprises)."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(500000).select(
+            F.when(F.col("id") % 100 < 99, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(50).select(
+            (F.col("id") + 1000).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, on="k")
+        j.collect()  # finalizes THIS df's adaptive plan
+        plan = plan_of(j)
+        assert "skew=true" in plan, "AQE skew-join must split the hot partition"
+        assert "skewed" in plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
