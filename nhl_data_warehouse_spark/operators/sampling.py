@@ -524,3 +524,65 @@ def curriculum_order(
     return ranked.withColumn("curriculum_pos", F.col("__rn")).drop(
         "__h", "__hb", "__cb", "__lr", "__off", "__rn", "__total"
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    shares: dict[str, float],
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Epoch-aware mixture planning (the Dolma/LLaMA data-recipe math):
+    given a token ``budget`` and target ``shares`` per group, how many
+    FULL passes (epochs) over each group's data plus what fractional
+    remainder achieves the mix — capped at ``max_epochs`` repeats
+    (past which repetition hurts more than it helps). Emits one row
+    per group: available tokens, wanted tokens, full epochs, the
+    fractional-pass sampling rate, and achieved tokens after the cap.
+
+    All arithmetic is exact integers (wants are floor(budget*share)
+    with shares scaled to ppm) so the plan is engine-stable; the
+    fractional pass is executed downstream by ``hash_sample`` at
+    ``partial_rate`` — deterministic, so the planned and realized
+    token counts agree to hash-binomial noise.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus (the
+    per-group token totals) joined to a broadcast literal share table;
+    every derived column is per-row arithmetic on the tiny group
+    relation. The plan itself never touches row-scale data again.
+    """
+    shares_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(k, int(round(v * 1_000_000))) for k, v in shares.items()],
+            f"{group_col} string, _share_ppm long",
+        )
+    )
+    # HAVING > 0: a zero-token group has no epochs to plan and would
+    # hit ANSI integer-div-by-zero downstream
+    avail = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("avail_tokens"))
+        .filter(F.col("avail_tokens") > 0)
+    )
+    # exact integer arithmetic end-to-end (div, not /): engine-stable
+    want = F.expr(f"({int(budget)}L * _share_ppm) div 1000000")
+    plan = avail.join(shares_df, on=group_col).select(
+        group_col,
+        "avail_tokens",
+        want.alias("want_tokens"),
+    )
+    capped = F.least(
+        F.col("want_tokens"), F.lit(int(max_epochs)) * F.col("avail_tokens")
+    )
+    full = F.expr("achieved_tokens div avail_tokens")
+    rem = F.col("achieved_tokens") % F.col("avail_tokens")
+    return (
+        plan.withColumn("achieved_tokens", capped)
+        .withColumn("full_epochs", full.cast("int"))
+        .withColumn(
+            "partial_rate",
+            F.round(rem / F.col("avail_tokens").cast("double"), 6) + F.lit(0.0),
+        )
+    )

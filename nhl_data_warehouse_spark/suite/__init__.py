@@ -138,6 +138,8 @@ _PRIORITY += [
     "dynamic_partition_pruned_join",
     "sql_api_parameterized",
     "paginated_orders",
+    "mixture_epoch_plan",
+    "classifier_calibration_bins",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -4238,3 +4238,160 @@ def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_quality",
         )
     )
+
+
+@register(
+    "mixture_epoch_plan",
+    op_ids="beyond-reference epoch-aware mixture planning (the Dolma/"
+    "LLaMA data-recipe math: full passes + a fractional hash-sampled "
+    "remainder per group under a token budget, repeats capped; one "
+    "map-side-combined aggregate + broadcast share table, exact "
+    "integer arithmetic)",
+    description="per-language plan to hit a uniform 20% mix within a "
+    "100k-token budget, at most 3 epochs per language: available and "
+    "wanted tokens, full epochs, the fractional-pass sampling rate, "
+    "achieved tokens after the cap",
+    oracle="""
+        WITH toks AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+            FROM documents
+        ),
+        avail AS (
+            SELECT lang, CAST(SUM(nt) AS BIGINT) AS avail_tokens
+            FROM toks GROUP BY lang HAVING SUM(nt) > 0
+        ),
+        shares(lang, ppm) AS (
+            VALUES ('en', 200000), ('de', 200000), ('fr', 200000),
+                   ('es', 200000), ('zh', 200000)
+        ),
+        plan AS (
+            SELECT a.lang, avail_tokens,
+                   CAST((CAST(100000 AS BIGINT) * ppm) // 1000000 AS BIGINT) AS want_tokens
+            FROM avail a JOIN shares s USING (lang)
+        )
+        SELECT lang, avail_tokens, want_tokens,
+               CAST(LEAST(want_tokens, 3 * avail_tokens) AS BIGINT)
+                   AS achieved_tokens,
+               CAST(LEAST(want_tokens, 3 * avail_tokens) // avail_tokens
+                    AS INT) AS full_epochs,
+               round((LEAST(want_tokens, 3 * avail_tokens) % avail_tokens)
+                     / CAST(avail_tokens AS DOUBLE), 6) + 0.0 AS partial_rate
+        FROM plan
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    weighted = documents.select(
+        "lang", F.size(text._ws_tokens("text")).alias("n_tokens")
+    )
+    return sampling.mixture_epoch_plan(
+        weighted,
+        "lang",
+        "n_tokens",
+        budget=100_000,
+        shares={k: 0.2 for k in ("en", "de", "fr", "es", "zh")},
+        max_epochs=3,
+    )
+
+
+@register(
+    "classifier_calibration_bins",
+    op_ids="beyond-reference model evaluation: calibration/reliability "
+    "bins of the quality classifier against the heuristic gate "
+    "(predicted-score deciles vs empirical positive rate — the "
+    "is-the-score-a-probability check before thresholding a corpus "
+    "on it); two keyed aggregates, decimal-exact mean score",
+    description="10 equal-width score bins: row count, decimal-exact "
+    "mean predicted quality score, and the empirical rate of "
+    "heuristically-good documents (quality_decile >= 6) per bin",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   {_hex_int_sql("md5('hlq-v1|' || tok)", 4)} % 256 AS bucket
+            FROM toks
+        ),
+        w AS (
+            SELECT doc_id,
+                   CAST(round(CAST({_hex_int_sql("md5('hlq-v1|w|' || CAST(bucket AS VARCHAR))", 6)} AS DOUBLE)
+                              / 16777216.0 * 2 - 1, 6) AS DECIMAL(12,6)) AS w
+            FROM b
+        ),
+        agg AS (
+            SELECT doc_id, SUM(w) AS sw, COUNT(*) AS n_tokens
+            FROM w GROUP BY doc_id
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   round(COALESCE(CAST(a.sw AS DOUBLE) / a.n_tokens, 0.0), 9) AS margin
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        ),
+        pred AS (
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-margin)), 6) + 0.0 AS quality_score
+            FROM m
+        ),
+        feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> list_contains(['the','a','of','and','is'], lower(x)))) AS n_stop,
+                   COALESCE(list_sum(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_tok_len
+            FROM documents
+        ),
+        labels AS (
+            SELECT doc_id,
+                   (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END
+                    + CASE WHEN n_punct * 10 < n_chars THEN 2 ELSE 0 END
+                    + CASE WHEN n_stop > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN sum_tok_len >= 3 * n_tokens
+                            AND sum_tok_len <= 10 * n_tokens
+                           THEN 2 ELSE 0 END) >= 6 AS is_good
+            FROM feats
+        )
+        SELECT CAST(LEAST(CAST(floor(quality_score * 10) AS BIGINT), 9)
+                    AS INT) AS score_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_score,
+               CAST(SUM(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               CAST(SUM(CASE WHEN is_good THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS pos_rate
+        FROM pred JOIN labels USING (doc_id)
+        GROUP BY 1
+    """,
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    bin_col = F.least(
+        F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+    ).cast("int")
+    return joined.groupBy(bin_col.alias("score_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+        F.sum(F.col("is_good").cast("long")).cast("long").alias("n_good"),
+        (
+            F.sum(F.col("is_good").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pos_rate"),
+    )

@@ -282,3 +282,21 @@ class TestBudgetSelectContract:
         )
         with pytest.raises(Exception, match="budget_select"):
             budget_select(df, "score", "w", budget=100, max_score=2).collect()
+
+
+class TestCalibrationBins:
+    def test_bins_partition_the_corpus(self, spark):
+        import os
+
+        if not os.path.isdir(SF_DIR):
+            pytest.skip("driver testdata absent")
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        rows = REGISTRY["classifier_calibration_bins"].fn(spark, SF_DIR).collect()
+        assert sum(r.n_docs for r in rows) == 500
+        for r in rows:
+            assert 0 <= r.score_bin <= 9
+            assert 0.0 <= r.pos_rate <= 1.0
+            assert r.n_good <= r.n_docs
+            # mean score lands inside (or at the edge of) its bin
+            assert r.score_bin / 10 - 1e-9 <= r.mean_score <= (r.score_bin + 1) / 10 + 1e-9

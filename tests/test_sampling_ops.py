@@ -192,3 +192,26 @@ class TestDeterministicShuffle:
             ).collect()
         }
         assert got == ref
+
+
+class TestMixtureEpochPlan:
+    def test_cap_and_fraction_math(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import mixture_epoch_plan
+
+        # g=a: 10 tokens avail, wants 50 -> capped at 3 epochs = 30
+        # g=b: 100 avail, wants 50 -> 0 full epochs, rate 0.5
+        df = spark.createDataFrame(
+            [("a", 10), ("b", 100), ("c", 0)], "g string, w long"
+        )
+        got = {
+            r.g: r
+            for r in mixture_epoch_plan(
+                df, "g", "w", budget=100, shares={"a": 0.5, "b": 0.5, "c": 0.2},
+                max_epochs=3,
+            ).collect()
+        }
+        assert "c" not in got  # zero-token groups drop, no div-by-zero
+        assert got["a"].want_tokens == 50 and got["a"].achieved_tokens == 30
+        assert got["a"].full_epochs == 3 and got["a"].partial_rate == 0.0
+        assert got["b"].achieved_tokens == 50
+        assert got["b"].full_epochs == 0 and got["b"].partial_rate == 0.5
