@@ -1,0 +1,66 @@
+"""Degenerate-input hardening: every reusable operator must accept an
+EMPTY frame and return an empty result with the right schema instead
+of crashing — the library contract for incremental pipelines whose
+daily batch can legitimately be empty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, schema: str):
+    return spark.createDataFrame([], schema)
+
+
+def test_dedup_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators import dedup
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.remove_duplicate_spans(docs).count() == 0
+    assert dedup.dup_chunk_stats(docs).count() == 0
+    sh = dedup.char_shingles(docs, k=4)
+    assert dedup.minhash_signatures(sh).count() == 0
+
+
+def test_sampling_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators import sampling
+
+    df = _empty(spark, "doc_id long, lang string, score long, w long")
+    assert sampling.hash_sample(df, ["doc_id"], 0.5).count() == 0
+    assert sampling.stratified_kfold(df, "lang", 5, ["doc_id"]).count() == 0
+    assert (
+        sampling.budget_select(df, "score", "w", budget=10, max_score=2).count()
+        == 0
+    )
+    assert (
+        sampling.mixture_epoch_plan(
+            df, "lang", "w", budget=100, shares={"en": 1.0}
+        ).count()
+        == 0
+    )
+
+
+def test_text_and_stats_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators import text
+    from nhl_data_warehouse_spark.operators.regression import mad_by_group
+
+    docs = _empty(spark, "doc_id long, text string, lang string")
+    assert text.quality_score(docs).count() == 0
+    assert text.dsir_logratio_weights(docs, F.col("lang") == "en").count() == 0
+    assert mad_by_group(_empty(spark, "g string, x double"), "g", "x").count() == 0
+
+
+def test_timeseries_and_media_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators import multimodal
+    from nhl_data_warehouse_spark.operators.timeseries import ewma
+
+    assert (
+        ewma(_empty(spark, "k long, t long, x double"), "k", "t", "x").count() == 0
+    )
+    media = _empty(spark, "media_id long, payload binary")
+    out = multimodal.byte_class_stats(media)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [
+        "media_id", "n_bytes", "n_ascii", "n_spaces", "ascii_ratio",
+    ]
