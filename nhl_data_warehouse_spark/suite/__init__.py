@@ -140,6 +140,7 @@ _PRIORITY += [
     "paginated_orders",
     "mixture_epoch_plan",
     "classifier_calibration_bins",
+    "compaction_roundtrip",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -980,3 +980,32 @@ def paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@register(
+    "compaction_roundtrip",
+    op_ids="beyond-reference table maintenance: small-file compaction "
+    "(the OPTIMIZE pass an incremental/streaming sink needs) — a "
+    "64-file fragmented table rewritten to size-targeted files, "
+    "content hash-verified unchanged; file-count collapse pinned in "
+    "tests",
+    description="orders written as 64 tiny files, compacted by "
+    "layout.compact_files, read back: identical content, a fraction "
+    "of the files",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.layout import compact_files
+    from nhl_data_warehouse_spark.suite.ingest import _fresh_dir
+
+    (orders,) = load(spark, sf_dir, "orders")
+    root = _fresh_dir("suite_compact_")
+    frag = root + "/fragmented"
+    compacted = root + "/compacted"
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(
+        64
+    ).write.parquet(frag)
+    compact_files(spark, frag, compacted, target_file_bytes=64 * 1024 * 1024)
+    return spark.read.parquet(compacted)

@@ -300,3 +300,21 @@ class TestCalibrationBins:
             assert r.n_good <= r.n_docs
             # mean score lands inside (or at the edge of) its bin
             assert r.score_bin / 10 - 1e-9 <= r.mean_score <= (r.score_bin + 1) / 10 + 1e-9
+
+
+class TestCompaction:
+    def test_file_count_collapses_content_survives(self, spark, tmp_path):
+        from nhl_data_warehouse_spark.operators.layout import compact_files
+
+        frag = str(tmp_path / "frag")
+        out = str(tmp_path / "out")
+        df = spark.range(10000).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        df.repartition(32).write.parquet(frag)
+        assert len(spark.read.parquet(frag).inputFiles()) == 32
+        n = compact_files(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+        assert n < 32
+        got = spark.read.parquet(out)
+        assert got.count() == 10000
+        assert got.groupBy().agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
