@@ -1089,3 +1089,46 @@ def dsir_logratio_weights(
         )
         .withColumn("selected", F.col("dsir_logratio") > 0.0)
     )
+
+
+def nfc_normalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass a
+    multilingual corpus needs before ANY hashing/dedup/tokenization
+    (the same text can arrive composed or decomposed; é as one
+    codepoint or e+combining-acute hash differently but render
+    identically, silently defeating exact dedup and splitting token
+    counts). Emits the normalized text plus a ``changed`` flag so the
+    pipeline can measure how much of a source is affected.
+
+    Arrow-batched scalar pandas UDF over stdlib ``unicodedata`` — a
+    narrow per-row projection (no shuffle) whose cost is linear in
+    bytes; Python is the right tool here because the JVM exposes no
+    normalization builtin and the table form (java.text.Normalizer via
+    a JVM UDF) would need custom jars. Cross-engine: utf8proc-based
+    engines (DuckDB ``nfc_normalize``) produce identical output —
+    NFC is a Unicode-standard fixpoint, not an implementation choice.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR: module-level postponed annotations again
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    out = df.select(
+        F.col(id_col), F.col(text_col), _nfc(F.col(text_col)).alias(out_col)
+    )
+    return out.select(
+        id_col,
+        out_col,
+        (F.col(out_col) != F.col(text_col)).alias("changed"),
+    )

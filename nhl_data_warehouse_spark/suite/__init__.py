@@ -141,6 +141,7 @@ _PRIORITY += [
     "mixture_epoch_plan",
     "classifier_calibration_bins",
     "compaction_roundtrip",
+    "text_nfc_normalization",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

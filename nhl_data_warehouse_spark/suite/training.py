@@ -4395,3 +4395,24 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("pos_rate"),
     )
+
+
+@register(
+    "text_nfc_normalization",
+    op_ids="beyond-reference Unicode NFC normalization (the canonical-"
+    "composition pass before hashing/dedup/tokenization; Arrow scalar "
+    "pandas UDF over stdlib unicodedata, narrow, no shuffle — "
+    "cross-engine exact because NFC is a Unicode-standard fixpoint)",
+    description="documents NFC-normalized with a changed flag — "
+    "composed/decomposed variants of identical-rendering text would "
+    "otherwise defeat exact dedup and skew token counts",
+    oracle="""
+        SELECT doc_id,
+               nfc_normalize(text) AS norm_text,
+               nfc_normalize(text) <> text AS changed
+        FROM documents
+    """,
+)
+def text_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.nfc_normalize(documents)

@@ -318,3 +318,23 @@ class TestCompaction:
         got = spark.read.parquet(out)
         assert got.count() == 10000
         assert got.groupBy().agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+class TestNfcNormalize:
+    def test_decomposed_text_composes_and_flags(self, spark):
+        import unicodedata
+
+        from nhl_data_warehouse_spark.operators.text import nfc_normalize
+
+        decomposed = "café"  # e + combining acute
+        composed = unicodedata.normalize("NFC", decomposed)
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, composed), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in nfc_normalize(df).collect()}
+        assert got[1].norm_text == composed and got[1].changed
+        assert got[2].norm_text == composed and not got[2].changed
+        assert got[3].norm_text is None and got[3].changed is None
+        # the whole point: both variants now share one exact-dedup hash
+        assert got[1].norm_text == got[2].norm_text
