@@ -142,6 +142,7 @@ _PRIORITY += [
     "classifier_calibration_bins",
     "compaction_roundtrip",
     "text_nfc_normalization",
+    "null_safe_join",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -709,3 +709,46 @@ def listagg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+@register(
+    "null_safe_join",
+    op_ids="§2.3 null-safe equality join (<=> / IS NOT DISTINCT FROM): "
+    "NULL keys MATCH each other instead of silently dropping — the "
+    "semantic that separates dimension joins on nullable natural "
+    "keys from quiet row loss; plans as a plain hash join on the "
+    "null-safe comparator",
+    description="order-priority buckets joined to a status summary on "
+    "a derived nullable key with <=>: the NULL bucket pairs with the "
+    "NULL bucket, every row accounted for",
+    oracle="""
+        WITH a AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderkey % 10 END AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_a
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderkey % 10 END AS k,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT a.k AS k, n_a, revenue
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 10
+    )
+    a = orders.groupBy(key.alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    b = orders.groupBy(key.alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
+    )
+    bb = b.select(F.col("k").alias("_bk"), "revenue")
+    return a.join(bb, a["k"].eqNullSafe(bb["_bk"])).select("k", "n_a", "revenue")
