@@ -348,7 +348,13 @@ def compact_files(
         local = f.removeprefix("file:")
         if os.path.exists(local):
             total_bytes += os.path.getsize(local)
-    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    if total_bytes:
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    else:
+        # could not size the input (non-local FS without stats): keep
+        # the cluster's parallelism rather than collapsing to ONE
+        # file — repartition(1) on a large table is the failure mode
+        n_files = spark.sparkContext.defaultParallelism
     n_rows = df.count()
     writer = df.repartition(n_files).write.mode("overwrite")
     if total_bytes and n_rows:

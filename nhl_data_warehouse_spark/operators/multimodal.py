@@ -382,6 +382,8 @@ def byte_class_stats(media: DataFrame) -> DataFrame:
 
     def stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
+            if batch.num_rows == 0:  # a 0-row batch has no offset buffer
+                continue
             ids = batch.column("media_id")
             arr = batch.column("payload")
             # large_binary for int64 offsets; fill nulls so the
