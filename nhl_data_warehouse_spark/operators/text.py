@@ -1118,11 +1118,9 @@ def nfc_normalize(
     # explicit SCALAR: module-level postponed annotations again
     @pandas_udf("string", PandasUDFType.SCALAR)
     def _nfc(s):
-        import unicodedata
-
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
+        # pandas' vectorized normalizer (unicodedata under the hood);
+        # NULLs propagate as NaN -> null
+        return s.str.normalize("NFC")
 
     out = df.select(
         F.col(id_col), F.col(text_col), _nfc(F.col(text_col)).alias(out_col)
