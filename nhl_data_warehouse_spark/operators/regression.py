@@ -116,3 +116,65 @@ def mad_by_group(
         _n(F.col(value_col)).alias("n"),
         _mad(F.col(value_col)).alias(out_col),
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale_factor: int = 100,
+) -> DataFrame:
+    """Per-group mean / population variance / skewness that are
+    bit-identical on ANY engine and ANY aggregation order — the
+    reproducible-statistics problem: builtin ``stddev``/``skewness``
+    accumulate doubles whose summation order the engine picks, so two
+    runs (or two engines) legally disagree in the last ulps.
+
+    Method: values scale to exact integers (``value * scale_factor``
+    via DECIMAL — cents for money), the three power sums S1, S2, S3
+    accumulate as wide decimals (exact under any order; S3 of 1e7-cent
+    values fits DECIMAL(38) past 1e12 rows), and the moments come from
+    ONE fixed-order double expression per column at the end — the same
+    expression text the oracle runs, so identical inputs + identical
+    op sequence reproduce bit-for-bit:
+
+        mean = S1/n / f
+        var  = (S2/n - (S1/n)^2) / f^2
+        skew = (S3/n - 3*(S1/n)*(S2/n) + 2*(S1/n)^3) / (m2 * sqrt(m2))
+
+    (skewness is scale-invariant, so no f appears in it; the 1.5
+    power is spelled ``m2 * sqrt(m2)`` because IEEE requires sqrt to
+    be correctly rounded while libm ``pow`` is not — pow(x, 1.5) is
+    exactly the kind of last-ulp cross-engine divergence this
+    operator exists to eliminate.)
+
+    One keyed aggregate, map-side combined; per-group state is three
+    decimals + a count regardless of group size.
+    """
+    f = int(scale_factor)
+    c = (F.col(value_col).cast("decimal(18,2)") * f).cast("decimal(20,0)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("_s1"),
+        F.sum(c * c).cast("decimal(38,0)").alias("_s2"),
+        F.sum((c * c).cast("decimal(38,0)") * c).cast("decimal(38,0)").alias("_s3"),
+    )
+    # fixed-order double arithmetic from exact sums — mirror EXACTLY
+    # in any oracle: m1 = S1/n, m2 = S2/n - m1*m1, ...
+    m1 = F.col("_s1").cast("double") / F.col("n")
+    m2 = F.col("_s2").cast("double") / F.col("n") - m1 * m1
+    m3 = (
+        F.col("_s3").cast("double") / F.col("n")
+        - F.lit(3.0) * m1 * (F.col("_s2").cast("double") / F.col("n"))
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    fd = float(f)
+    return agg.select(
+        group_col,
+        "n",
+        (m1 / fd).alias("mean"),
+        (m2 / (fd * fd)).alias("var_pop"),
+        F.when(m2 <= 0.0, F.lit(0.0))
+        .otherwise(m3 / (m2 * F.sqrt(m2)))
+        .alias("skewness"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY += [
     "compaction_roundtrip",
     "text_nfc_normalization",
     "null_safe_join",
+    "order_value_moments",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

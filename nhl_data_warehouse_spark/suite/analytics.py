@@ -1367,3 +1367,60 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load(spark, sf_dir, "events")
     return mad_by_group(events, "event_type", "value")
+
+
+@register(
+    "order_value_moments",
+    op_ids="beyond-reference reproducible distributed statistics: "
+    "mean/variance/skewness from exact integer-cents power sums "
+    "(order-free decimal accumulation, ONE fixed double expression "
+    "at the end; sqrt not pow for the 1.5 power — builtin skewness() "
+    "is summation-order dependent and engine-divergent)",
+    description="per order priority: population mean, variance, and "
+    "skewness of order value, bit-identical across engines because "
+    "every accumulation is exact and the float math is one fixed "
+    "expression",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                       AS cents
+            FROM orders
+        ),
+        s AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(cents) AS s1,
+                   SUM(cents * cents) AS s2,
+                   SUM(cents * cents * cents) AS s3
+            FROM c GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               (CAST(s1 AS DOUBLE) / n) / 100.0 AS mean,
+               (CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / (100.0 * 100.0) AS var_pop,
+               CASE WHEN (CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                         <= 0.0 THEN 0.0
+                    ELSE (CAST(s3 AS DOUBLE) / n
+                          - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s2 AS DOUBLE) / n)
+                          + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s1 AS DOUBLE) / n)
+                                * (CAST(s1 AS DOUBLE) / n))
+                         / ((CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n))
+                            * sqrt(CAST(s2 AS DOUBLE) / n
+                                   - (CAST(s1 AS DOUBLE) / n)
+                                     * (CAST(s1 AS DOUBLE) / n)))
+               END AS skewness
+        FROM s
+    """,
+)
+def order_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import grouped_moments
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return grouped_moments(orders, "o_orderpriority", "o_totalprice")

@@ -338,3 +338,31 @@ class TestNfcNormalize:
         assert got[3].norm_text is None and got[3].changed is None
         # the whole point: both variants now share one exact-dedup hash
         assert got[1].norm_text == got[2].norm_text
+
+
+class TestGroupedMoments:
+    def test_matches_numpy_population_moments(self, spark):
+        import numpy as np
+
+        from nhl_data_warehouse_spark.operators.regression import grouped_moments
+
+        vals = [10.25, 12.5, 9.75, 30.0, 11.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, x double"
+        )
+        (row,) = grouped_moments(df, "g", "x").collect()
+        a = np.array(vals)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        assert abs(row.mean - a.mean()) < 1e-9
+        assert abs(row.var_pop - m2) < 1e-9
+        assert abs(row.skewness - m3 / m2**1.5) < 1e-9
+
+    def test_constant_group_has_zero_skew(self, spark):
+        from nhl_data_warehouse_spark.operators.regression import grouped_moments
+
+        df = spark.createDataFrame(
+            [("g", 5.0), ("g", 5.0)], "g string, x double"
+        )
+        (row,) = grouped_moments(df, "g", "x").collect()
+        assert row.var_pop == 0.0 and row.skewness == 0.0
