@@ -178,3 +178,50 @@ def grouped_moments(
         .otherwise(m3 / (m2 * F.sqrt(m2)))
         .alias("skewness"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v
+    whose cumulative weight (in ascending value order) reaches half
+    the group's total — the robust center for rows of unequal
+    importance (token-weighted doc stats, quantity-weighted prices).
+    ``2*cum >= W`` keeps the comparison in exact integers: no halves,
+    no float thresholds, engine-stable by construction.
+
+    One keyed window pass (cumulative weight ordered by value with an
+    ``id_cols`` tie-break) + one keyed min-aggregate over the
+    qualifying rows. The window partitions by group — right for a
+    bounded group set (statuses, priorities, languages); a per-key
+    variant over millions of tiny keys is the same plan, and a single
+    100 TB group would need the two-level-rank treatment
+    (``layout.two_level_rank``) exactly like the global sorts it
+    replaces.
+    """
+    from pyspark.sql.window import Window
+
+    ids = id_cols or []
+    w = F.col(weight_col).cast("long")
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col), *[F.col(c) for c in ids])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = (
+        df.withColumn("_cw", F.sum(w).over(win))
+        .withColumn("_tw", F.sum(w).over(tot))
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("_cw") >= F.col("_tw"))
+        .groupBy(group_col)
+        .agg(
+            F.min(F.col(value_col)).alias("weighted_median"),
+            F.max("_tw").cast("long").alias("total_weight"),
+        )
+    )

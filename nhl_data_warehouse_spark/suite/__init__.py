@@ -144,6 +144,7 @@ _PRIORITY += [
     "text_nfc_normalization",
     "null_safe_join",
     "order_value_moments",
+    "weighted_median_price",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -1424,3 +1424,44 @@ def order_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = load(spark, sf_dir, "orders")
     return grouped_moments(orders, "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "weighted_median_price",
+    op_ids="beyond-reference exact weighted median (lower median at "
+    "2*cum >= W — integer-exact threshold, one keyed cumulative "
+    "window + one keyed min-agg; the robust center for rows of "
+    "unequal importance)",
+    description="quantity-weighted median extended price per return "
+    "flag: half the shipped quantity lies at or below it",
+    oracle="""
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cw,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MIN(l_extendedprice) AS weighted_median,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM cum WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import weighted_median
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return weighted_median(
+        lineitem,
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        id_cols=["l_orderkey", "l_linenumber"],
+    )

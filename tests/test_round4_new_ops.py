@@ -366,3 +366,27 @@ class TestGroupedMoments:
         )
         (row,) = grouped_moments(df, "g", "x").collect()
         assert row.var_pop == 0.0 and row.skewness == 0.0
+
+
+class TestWeightedMedian:
+    def test_lower_weighted_median(self, spark):
+        from nhl_data_warehouse_spark.operators.regression import weighted_median
+
+        # values 1..4 with weights 1,1,5,1: total 8, half 4 ->
+        # cum at value 3 is 7, first 2*cum >= 8 -> median 3
+        df = spark.createDataFrame(
+            [("g", 1.0, 1, 1), ("g", 2.0, 1, 2), ("g", 3.0, 5, 3), ("g", 4.0, 1, 4)],
+            "g string, v double, w long, i long",
+        )
+        (row,) = weighted_median(df, "g", "v", "w", id_cols=["i"]).collect()
+        assert row.weighted_median == 3.0 and row.total_weight == 8
+
+    def test_equal_weights_reduce_to_lower_median(self, spark):
+        from nhl_data_warehouse_spark.operators.regression import weighted_median
+
+        df = spark.createDataFrame(
+            [("g", float(v), 1, v) for v in (10, 20, 30, 40)],
+            "g string, v double, w long, i long",
+        )
+        (row,) = weighted_median(df, "g", "v", "w", id_cols=["i"]).collect()
+        assert row.weighted_median == 20.0  # lower median of even count
