@@ -145,6 +145,8 @@ _PRIORITY += [
     "null_safe_join",
     "order_value_moments",
     "weighted_median_price",
+    "monthly_revenue_growth",
+    "cumulative_new_users",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

@@ -1465,3 +1465,93 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         id_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    op_ids="§2.6 period-over-period windows: LAG(1)/LAG(12) over the "
+    "monthly rollup — MoM and YoY growth on the bounded month "
+    "relation (the row-scale work is one keyed aggregate; the lag "
+    "window runs over ~84 month rows)",
+    description="monthly revenue with month-over-month and "
+    "year-over-year percentage change (exact decimal revenue, one "
+    "fixed-order double ratio; NULL where no prior period exists)",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               (revenue - LAG(revenue, 1) OVER (ORDER BY month))
+                   / LAG(revenue, 1) OVER (ORDER BY month) AS mom_growth,
+               (revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                   / LAG(revenue, 12) OVER (ORDER BY month) AS yoy_growth
+        FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    # the month relation is bounded (~84 rows for 7 years) — the
+    # unpartitioned lag window is correct by construction here
+    w = Window.orderBy("month")
+    mom = (F.col("revenue") - F.lag("revenue", 1).over(w)) / F.lag(
+        "revenue", 1
+    ).over(w)
+    yoy = (F.col("revenue") - F.lag("revenue", 12).over(w)) / F.lag(
+        "revenue", 12
+    ).over(w)
+    return monthly.select(
+        "month", "revenue", mom.alias("mom_growth"), yoy.alias("yoy_growth")
+    )
+
+
+@register(
+    "cumulative_new_users",
+    op_ids="beyond-reference cumulative-unique growth curve: first-seen "
+    "reduction (keyed min aggregate — the row-scale work) then a "
+    "cumulative sum over the bounded month relation; never a "
+    "cumulative DISTINCT over raw events",
+    description="per month: first-time event users and the running "
+    "total of distinct users ever seen — the audience growth curve, "
+    "computed from the per-user first month",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(date_trunc('month', ts) AS DATE)) AS first_month
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM firsts GROUP BY first_month
+        )
+        SELECT month, new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY month ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cumulative_users
+        FROM per
+    """,
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("month", "ts").cast("date")).alias("first_month")
+    )
+    per = firsts.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    # bounded month relation — unpartitioned cumsum is correct here
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "month",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -491,3 +491,34 @@ class TestBfsHops:
         seeds = spark.createDataFrame([(0,), (4,)], "node long")
         got = {r.node: r.hop for r in bfs_hops(chain, seeds, max_hops=2).collect()}
         assert got == {0: 0, 4: 0, 1: 1, 5: 1, 2: 2, 6: 2}
+
+
+class TestGrowthQueries:
+    def test_growth_and_cumulative_invariants(self, spark):
+        import os
+
+        import pytest
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        if not os.path.isdir(sf):
+            pytest.skip("driver testdata absent")
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        growth = sorted(
+            REGISTRY["monthly_revenue_growth"].fn(spark, sf).collect(),
+            key=lambda r: r.month,
+        )
+        assert growth[0].mom_growth is None  # no prior month
+        for prev, cur in zip(growth, growth[1:]):
+            if cur.mom_growth is not None:
+                assert abs(
+                    cur.mom_growth - (cur.revenue - prev.revenue) / prev.revenue
+                ) < 1e-12
+        cum = sorted(
+            REGISTRY["cumulative_new_users"].fn(spark, sf).collect(),
+            key=lambda r: r.month,
+        )
+        running = 0
+        for r in cum:
+            running += r.new_users
+            assert r.cumulative_users == running
