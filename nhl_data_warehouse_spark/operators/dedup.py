@@ -24,7 +24,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -388,6 +388,57 @@ def jaccard_pairs(
         .select("a_id", "b_id", score.alias(metric))
         .filter(F.col(metric) >= threshold)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard >= ``threshold`` pairs via prefix filtering
+    (SSJoin/PPJoin candidate generation) — the subquadratic path to
+    *exact* set-similarity joins, complementing the two existing
+    shapes: ``jaccard_pairs`` without candidates is all-pairs exact
+    (quadratic, oracle baseline) and LSH-then-verify is subquadratic
+    but can MISS pairs the bands never collide on. Prefix filtering
+    misses nothing: order every doc's shingles by a global total order
+    (rarest first, shingle text as tie-break) and keep only the first
+    ``n - ceil(t*n) + 1`` as the doc's *prefix*. Lemma: two sets with
+    Jaccard >= t have ``|A∩B| >= ceil(t*max(|A|,|B|))``, so if their
+    prefixes were disjoint the entire intersection would fit in a
+    suffix shorter than the intersection — contradiction. Candidates =
+    pairs sharing a *prefix* shingle; verify recomputes exact Jaccard
+    on the full sets, so the output is exactly the all-pairs answer.
+
+    Scale shape: the candidate join fans out only on prefix tokens,
+    which are the RAREST ~(1-t) fraction of each doc's shingles — the
+    frequency-ordered prefix is what kills the stop-shingle blow-up
+    that forces ``max_shingle_freq`` capping (and its silent recall
+    loss) in the naive join. Per-doc ordering is a window partitioned
+    by doc (bounded by doc length); the frequency relation shuffles
+    once on shingle. No all-pairs stage anywhere.
+    """
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__tf"))
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy("__tf", "shingle")
+    prefix = (
+        shingles.join(freq, on="shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, on=id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+        )
+        .select(id_col, "shingle")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("a_id"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("b_id"), "shingle"), on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return jaccard_pairs(shingles, candidates=cand, id_col=id_col, threshold=threshold)
 
 
 def connected_components(

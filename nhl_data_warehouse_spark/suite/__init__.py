@@ -147,6 +147,7 @@ _PRIORITY += [
     "weighted_median_price",
     "monthly_revenue_growth",
     "cumulative_new_users",
+    "prefix_jaccard_near_dups",
 ]
 # round-4 additions that register conditionally (environment-gated:
 # streaming_user_totals_tws needs the google.protobuf runtime for

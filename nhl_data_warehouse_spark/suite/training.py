@@ -242,6 +242,40 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_jaccard_near_dups",
+    op_ids="beyond-reference EXACT set-similarity join via prefix filtering "
+    "(SSJoin/PPJoin candidate generation): rarest-first per-doc shingle "
+    "prefix -> prefix-token equi-join -> exact Jaccard verify. Unlike "
+    "LSH-then-verify it provably misses nothing; unlike the all-pairs "
+    "join it never fans out on frequent shingles — the oracle IS the "
+    "uncapped all-pairs answer, proving zero recall loss",
+    description="exact shingle-Jaccard >= 0.5 pairs found through "
+    "frequency-ordered prefix filtering (no LSH miss risk, no "
+    "stop-shingle cap)",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM shingles a
+            JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(documents, k=SHINGLE_K).persist()
+    return dedup.prefix_filter_jaccard_pairs(sh, threshold=0.5)
+
+
+@register(
     "near_dup_clusters",
     op_ids="beyond-reference duplicate clustering: verified pairs -> connected "
     "components (iterative min-label propagation; oracle is a recursive CTE)",

@@ -139,6 +139,19 @@ class TestMinHashLSH:
         out = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0)
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8])
+    def test_prefix_filter_matches_all_pairs(self, docs, t):
+        # the prefix-filter lemma guarantees zero recall loss: the
+        # subquadratic candidate generation must reproduce the
+        # all-pairs exact answer bit-for-bit at every threshold
+        sh = dedup.char_shingles(docs, k=12)
+        exact = {(r.a_id, r.b_id, r.jaccard) for r in
+                 dedup.jaccard_pairs(sh, threshold=t).collect()}
+        pref = {(r.a_id, r.b_id, r.jaccard) for r in
+                dedup.prefix_filter_jaccard_pairs(sh, threshold=t).collect()}
+        assert pref == exact
+        assert exact  # fixture has near-dups at every tested threshold
+
 
 class TestUnigramLogprob:
     def test_rare_tokens_score_higher(self, spark):
