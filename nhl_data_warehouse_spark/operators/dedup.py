@@ -351,30 +351,63 @@ def jaccard_pairs(
     # `sh` feeds several plan branches (sizes + both join sides) —
     # persist so shingling runs once instead of per-branch
     sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
     if candidates is not None:
-        # route the intersection THROUGH the candidate pairs: fan out
-        # each pair to its a-side shingles, then equi-join the b side
-        # on (b_id, shingle). Cost scales with |candidates| x |doc|,
-        # never with the all-pairs shingle co-occurrence — this is
-        # what makes LSH-then-verify the scale path.
-        inter = (
-            candidates.join(a, on="a_id")
-            .join(b, on=["b_id", "shingle"])
-            .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        # verify via per-doc shingle SETS: reduce shingles to one
+        # sorted-set array per doc, join each candidate pair to its
+        # two arrays (two equi-joins on doc id, one array per row),
+        # and compute |A∩B| JVM-side with array_intersect. This
+        # replaces the |candidates| x |doc_len| row fan-out join
+        # (~100M shuffled rows at sf0.1 for 265k candidates x 283
+        # shingles/doc) with |candidates| rows of O(n_a+n_b) codegen
+        # array ops — the per-row doc-bounded payload is the same
+        # assumption the minhash fold already makes. Shingles are
+        # distinct per doc (char_shingles does a local distinct), so
+        # size(set) == shingle count and the intersect is exact.
+        # shuffle_hash hint: sort-merge would SORT the array payloads
+        # (expensive, pure overhead — the join key is just the doc id);
+        # hash join partitions by id and never orders the arrays.
+        # Unlike a broadcast hint this stays valid when docsets is
+        # 100TB-scale: build side is hashed per partition, not shipped
+        # to every task.
+        docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+        scored = (
+            candidates.join(
+                docsets.select(
+                    F.col(id_col).alias("a_id"), F.col("__set").alias("__set_a")
+                ).hint("shuffle_hash"),
+                on="a_id",
+            )
+            .join(
+                docsets.select(
+                    F.col(id_col).alias("b_id"), F.col("__set").alias("__set_b")
+                ).hint("shuffle_hash"),
+                on="b_id",
+            )
+            .select(
+                "a_id",
+                "b_id",
+                F.size(F.array_intersect("__set_a", "__set_b")).alias("n_common"),
+                F.size("__set_a").alias("n_a"),
+                F.size("__set_b").alias("n_b"),
+            )
         )
     else:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+        b = sh.select(F.col(id_col).alias("b_id"), "shingle")
         inter = (
             a.join(b, on="shingle")
             .filter(F.col("a_id") < F.col("b_id"))
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b"))
+        sa = sizes.select(
+            F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b")
+        )
+        scored = inter.join(sa, on="a_id").join(sb, on="b_id")
     assert metric in ("jaccard", "containment")
     if metric == "jaccard":
         score = F.col("n_common") / (
@@ -383,9 +416,7 @@ def jaccard_pairs(
     else:
         score = F.col("n_common") / F.least("n_a", "n_b").cast("double")
     return (
-        inter.join(sa, on="a_id")
-        .join(sb, on="b_id")
-        .select("a_id", "b_id", score.alias(metric))
+        scored.select("a_id", "b_id", score.alias(metric))
         .filter(F.col(metric) >= threshold)
     )
 
@@ -410,32 +441,113 @@ def prefix_filter_jaccard_pairs(
     pairs sharing a *prefix* shingle; verify recomputes exact Jaccard
     on the full sets, so the output is exactly the all-pairs answer.
 
+    On top of SSJoin candidate generation this applies the two PPJoin
+    refinements [Xiao et al., WWW'08] that make prefix filtering pay —
+    both are *provably lossless* for Jaccard >= t:
+
+    - **length filter**: a qualifying pair needs |A∩B| >= t*max(n_a,
+      n_b) and |A∩B| <= min(n_a, n_b), so ``min*q >= p*max`` (with
+      t = p/q rationalized) — integer-exact, no FP.
+    - **positional filter**: the first shared token (global order)
+      lies inside BOTH prefixes (else the whole intersection would
+      fit in a too-short suffix), and at its positions (i, j) the
+      overlap is bounded by ``1 + min(n_a - i, n_b - j)``; a true
+      pair has overlap >= alpha = ceil(t*(n_a+n_b)/(1+t)), so any
+      pair whose every shared prefix token fails the bound cannot
+      reach threshold. Keeping pairs with ANY passing token is
+      therefore a superset of the true pairs.
+
+    All ceilings use exact rational arithmetic (threshold rationalized
+    via ``Fraction``; ``ceil(p*n/q) = (p*n + q - 1) div q`` in integer
+    SQL) — double-precision ``CEIL(t*n)`` rounds 0.55*20 up to 12 and
+    silently shortens the prefix, breaking the zero-recall-loss
+    contract for thresholds whose product is FP-inexact.
+
     Scale shape: the candidate join fans out only on prefix tokens,
     which are the RAREST ~(1-t) fraction of each doc's shingles — the
     frequency-ordered prefix is what kills the stop-shingle blow-up
     that forces ``max_shingle_freq`` capping (and its silent recall
     loss) in the naive join. Per-doc ordering is a window partitioned
     by doc (bounded by doc length); the frequency relation shuffles
-    once on shingle. No all-pairs stage anywhere.
+    once on shingle. The length+positional filters then cut the
+    candidate set BEFORE the expensive full-set verify join, which is
+    what bounds the verify stage's |candidates| x |doc| fan-out. No
+    all-pairs stage anywhere.
     """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
     freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__tf"))
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy("__tf", "shingle")
-    prefix = (
-        shingles.join(freq, on="shingle")
+    # index prefix: n - ceil(t*n) + 1 tokens (role: LARGER of a pair).
+    # shuffle_hash on the freq join: both sides are large narrow
+    # relations keyed by shingle; SMJ would sort 1M+ string rows for
+    # nothing.
+    index_pref = (
+        shingles.join(freq.hint("shuffle_hash"), on="shingle")
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, on=id_col)
         .filter(
             F.col("__rn")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+            <= F.col("__n") - F.expr(f"({p} * __n + {q - 1}) div {q}") + F.lit(1)
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "__rn", "__n")
+        # feeds BOTH sides of the candidate join — persist so the
+        # freq join + per-doc window run once, not per branch
+        .persist()
+    )
+    # probe prefix (role: SMALLER of a pair) is tighter: with the
+    # length filter in force (|larger| partners only), overlap >=
+    # ceil(2t/(1+t) * n), so the probe side keeps only
+    # n - ceil(2p*n/(p+q)) + 1 tokens (~n/3 at t=0.5 vs ~n/2) —
+    # Vernica et al., SIGMOD'10. Fewer probe tokens = smaller
+    # equi-join fan-out AND fewer false candidate pairs, losslessly:
+    # the globally-first common token of a qualifying pair provably
+    # sits inside the smaller doc's probe prefix and the larger doc's
+    # index prefix.
+    probe_pref = index_pref.filter(
+        F.col("__rn")
+        <= F.col("__n")
+        - F.expr(f"(2 * {p} * __n + {p + q - 1}) div {p + q}")
+        + F.lit(1)
+    )
+    a = probe_pref.select(
+        F.col(id_col).alias("a_id"),
+        "shingle",
+        F.col("__rn").alias("__rn_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = index_pref.select(
+        F.col(id_col).alias("b_id"),
+        "shingle",
+        F.col("__rn").alias("__rn_b"),
+        F.col("__n").alias("__n_b"),
     )
     cand = (
-        prefix.select(F.col(id_col).alias("a_id"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("b_id"), "shingle"), on="shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        a.join(b, on="shingle")
+        # role order: a is strictly smaller by (size, id) — the
+        # tie-break makes each unordered pair appear in exactly one
+        # role assignment
+        .filter(
+            (F.col("__n_a") < F.col("__n_b"))
+            | ((F.col("__n_a") == F.col("__n_b")) & (F.col("a_id") < F.col("b_id")))
+        )
+        # length filter: n_a >= t*n_b (n_a is the smaller), integer-exact
+        .filter(F.col("__n_a") * F.lit(q) >= F.lit(p) * F.col("__n_b"))
+        # positional filter: overlap upper bound at this shared token
+        # must reach alpha = ceil(p*(n_a+n_b)/(p+q))
+        .filter(
+            F.lit(1) + F.least(F.col("__n_a") - F.col("__rn_a"),
+                               F.col("__n_b") - F.col("__rn_b"))
+            >= F.expr(f"({p} * (__n_a + __n_b) + {p + q - 1}) div {p + q}")
+        )
+        # canonicalize to id order for the verify stage / oracle shape
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
         .distinct()
     )
     return jaccard_pairs(shingles, candidates=cand, id_col=id_col, threshold=threshold)

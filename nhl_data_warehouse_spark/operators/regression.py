@@ -152,7 +152,18 @@ def grouped_moments(
     decimals + a count regardless of group size.
     """
     f = int(scale_factor)
-    c = (F.col(value_col).cast("decimal(18,2)") * f).cast("decimal(20,0)")
+    # the pre-scale cast must keep exactly the digits scale_factor
+    # preserves: a hard-coded decimal(18,2) would round 1.234 to 1.23
+    # BEFORE a x1000 scale, silently losing the precision the caller
+    # asked for — so derive the decimal scale from scale_factor (and
+    # require a power of ten, the only scale a decimal cast can mirror)
+    digits = len(str(f)) - 1
+    if f <= 0 or 10**digits != f:
+        raise ValueError(
+            f"grouped_moments: scale_factor must be a positive power "
+            f"of 10, got {scale_factor}"
+        )
+    c = (F.col(value_col).cast(f"decimal(18,{digits})") * f).cast("decimal(20,0)")
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(c).cast("decimal(38,0)").alias("_s1"),

@@ -335,7 +335,8 @@ def stratified_kfold(
     repartitionings (the bucket is the hash's own prefix, so bucket
     order + within-bucket hash order == full hash order).
     """
-    assert k >= 2
+    if k < 2:  # not an assert: must survive `python -O`
+        raise ValueError(f"stratified_kfold: k must be >= 2, got {k}")
     parts = [F.lit(salt), *[F.col(c).cast("string") for c in id_cols]]
     h = F.md5(F.concat_ws("|", *parts))
     out = df.withColumn("__h", h).withColumn(
@@ -566,8 +567,16 @@ def mixture_epoch_plan(
         .agg(F.sum(F.col(weight_col).cast("long")).alias("avail_tokens"))
         .filter(F.col("avail_tokens") > 0)
     )
-    # exact integer arithmetic end-to-end (div, not /): engine-stable
-    want = F.expr(f"({int(budget)}L * _share_ppm) div 1000000")
+    # exact integer arithmetic end-to-end (div, not /): engine-stable.
+    # The multiply runs in DECIMAL(38,0): budget * ppm overflows LONG
+    # for budgets above ~9.2e12 tokens (realistic pretraining scale) —
+    # ANSI mode would raise, non-ANSI would silently wrap. The result
+    # is <= budget, so the final BIGINT cast is safe for any budget
+    # that fits a long.
+    want = F.expr(
+        f"CAST((CAST('{int(budget)}' AS DECIMAL(38,0)) * _share_ppm)"
+        " div 1000000 AS BIGINT)"
+    )
     plan = avail.join(shares_df, on=group_col).select(
         group_col,
         "avail_tokens",

@@ -247,6 +247,16 @@ def ewma(
     needed, unlike order-free parallel sums. Values must be non-null
     (NaN propagation differs between pandas' ignore_na handling and a
     plain recursion).
+
+    Caveat — the bit-for-bit contract holds only for alphas where
+    ``alpha`` and ``1-alpha`` are both exactly representable AND sum
+    to exactly 1.0 in doubles (0.5, 0.25, 0.75, ...). pandas'
+    ``adjust=False`` Cython kernel divides each step by
+    ``(1-alpha)+alpha``, which is a no-op only when that sum is
+    exactly 1.0; for e.g. alpha=0.3 it is 0.99999999999999989 and the
+    result can differ in the last ulp from the plain recursion an
+    oracle runs. Callers needing cross-engine exactness at arbitrary
+    alpha should compare with a tolerance or pick an FP-exact alpha.
     """
     import pandas as pd  # noqa: F401 — applyInPandas contract
 

@@ -32,76 +32,18 @@ from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 
-# Round-4 rotation (VERDICT r3 item 1): cumulative driver-green is
-# 125/191 after rounds 1-3; this list is ALL 66 queries without a
-# green CORRECTNESS row yet, so the driver's ~50-query window covers
-# the first 50 and whatever spills over leads round 5's window
-# automatically. Order: the 13 round-1 hash-fails (fixed suite-wide
-# in round 2, never driver re-verified) first, then the four
-# §2-completing queries, the reshaped approx sketch, the streaming
-# executions, the index-eval harness, then the remaining
-# never-checked training/analytics queries. In-place reorder:
-# REGISTRY is imported by reference elsewhere, so the dict object
-# keeps its id.
+# Round-5 rotation (VERDICT r4 item 1): cumulative driver-green is
+# 173/222 after rounds 1-4. This list is ALL 47 registered queries
+# without a driver CORRECTNESS row yet (the round-4 spillover from
+# positions 51+ plus the 26 round-4 additions and the unconditional
+# late registrations), so one ~50-query window closes the backlog
+# and every registry query has a driver-green row. Queries added in
+# round 5 itself append right after, filling the remaining window
+# slots; previously-green families follow for re-verification.
+# In-place reorder: REGISTRY is imported by reference elsewhere, so
+# the dict object keeps its id.
 _PRIORITY = [
-    # -- 13 fixed round-1 hash-fails, driver re-verification --
-    "clean_cast_project",
-    "case_nullout_filter",
-    "json_extract",
-    "null_count_quality",
-    "unpivot_monthly_metrics",
-    "rolling_7d_revenue",
-    "incremental_agg_merge",
-    "window_running_sum",
-    "monthly_order_stats",
-    "sql_api_top_nations",
-    "outer_join_null_fill",
-    "variant_json_path",
-    "value_histogram",
-    # -- §2-completing queries (judge-verified r3, never driver-run) --
-    "glob_pruned_csv_load",
-    "runner_retry_pipeline",
-    "merge_upsert_roundtrip",
-    "data_quality_report",
-    # -- reshaped this round: scalar p50/p95 (was array<double>) --
-    "approx_value_percentiles",
-    # -- streaming executions --
-    "streaming_static_enrichment",
-    "streaming_foreachbatch_upsert",
-    "streaming_sessionize",
-    "streaming_interval_join",
-    # -- index/sketch evaluation harness --
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "pq_distortion_report",
-    "minhash_jaccard_error",
-    "lang_id_confusion",
-    # -- remaining never-driver-checked (round-3 additions) --
-    "near_dup_clusters_kiveris",
-    "near_dup_clusters_starcap",
-    "knn_join_bucketed",
-    "hard_negative_pairs",
-    "embedding_group_centroids",
-    "semantic_dedup_semdedup",
-    "model_quality_classifier",
-    "chi2_term_label_selection",
-    "cdc_apply_roundtrip",
-    "packed_block_segments",
-    "corpus_shuffle_order",
-    "dup_chunk_fraction",
-    "oov_rate_scores",
-    "embedding_gram_matrix",
-    "bigram_logprob_scores",
-    "embedding_standardize",
-    "curriculum_quality_order",
-    "cross_source_overlap",
-    "dedup_rate_by_source",
-    "zipf_corpus_fit",
-    "gram_power_iteration",
-    "tokenizer_fertility_by_lang",
-    "training_manifest_assembly",
-    # -- round-5 spillover (positions 51+; checked if the window is
-    #    wider, otherwise they lead the next rotation) --
+    # -- round-4 spillover (never driver-checked) --
     "cross_split_contamination",
     "orc_roundtrip_agg",
     "time_weighted_avg_value",
@@ -118,10 +60,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "scd2_segment_versions",
     "pit_scd2_enrichment",
-]
-# round-4 additions join the back of the priority queue (never
-# driver-checked yet, so they rotate in after the existing backlog)
-_PRIORITY += [
+    # -- round-4 additions (never driver-checked) --
     "stratified_kfold_assign",
     "token_budget_selection",
     "leakage_safe_split",
@@ -148,19 +87,20 @@ _PRIORITY += [
     "monthly_revenue_growth",
     "cumulative_new_users",
     "prefix_jaccard_near_dups",
+    # -- late unconditional registrations (never driver-checked) --
+    "hll_sketch_merge_rollup",
+    "dedup_against_history",
+    "pythonsink_commit_roundtrip",
+    "xml_roundtrip_extract",
+    "listagg_region_nations",
 ]
-# round-4 additions that register conditionally (environment-gated:
-# streaming_user_totals_tws needs the google.protobuf runtime for
-# Spark's transformWithState Python runner) join the back of the
-# priority queue only when present
+# round-5 additions fill the remaining window slots (and any
+# spillover leads round 6 automatically)
 _PRIORITY += [
     n
     for n in (
-        "hll_sketch_merge_rollup",
-        "dedup_against_history",
-        "pythonsink_commit_roundtrip",
-        "xml_roundtrip_extract",
-        "listagg_region_nations",
+        # environment-gated: streaming_user_totals_tws registers only
+        # when the google.protobuf runtime is present
         "streaming_user_totals_tws",
     )
     if n in REGISTRY

@@ -71,11 +71,11 @@ def test_every_registered_query_builds_a_plan(spark):
 
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries;
-    round 4's priority list is ALL queries without a green driver
-    CORRECTNESS row in rounds 1-3, so no already-green query may
+    round 5's priority list is ALL queries without a green driver
+    CORRECTNESS row in rounds 1-4, so no already-green query may
     occupy a priority slot ahead of one still waiting for its
     verdict — an accidental import reorder silently forfeits driver
-    verdicts. Derived from CORRECTNESS_r0{1,2,3}.json exactly like
+    verdicts. Derived from CORRECTNESS_r0{1..4}.json exactly like
     COVERAGE.md's driver-verdict history."""
     import json
     from pathlib import Path
@@ -88,6 +88,7 @@ def test_driver_window_composition():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         p = repo / fname
         if not p.exists():
@@ -108,26 +109,27 @@ def test_driver_window_composition():
         f"extra={sorted(set(_PRIORITY) - set(not_green))}"
     )
     assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
-    # the ~50-query window must lead with the highest-risk families
+    # the ~50-query window must cover the whole never-checked backlog
+    # (47 unconditional queries in round 5 — one window closes it)
     window = list(REGISTRY)[:50]
     for must in (
-        # fixed round-1 hash-fails (decimal/HUGEINT class)
-        "clean_cast_project",
-        "case_nullout_filter",
-        "json_extract",
-        "null_count_quality",
-        "variant_json_path",
-        "value_histogram",
-        # §2-completing queries
-        "glob_pruned_csv_load",
-        "runner_retry_pipeline",
-        "merge_upsert_roundtrip",
-        "data_quality_report",
-        # reshaped sketch + streaming + eval harness
-        "approx_value_percentiles",
-        "streaming_interval_join",
-        "ann_recall_eval",
-        "minhash_jaccard_error",
+        # round-4 spillover heads
+        "cross_split_contamination",
+        "orc_roundtrip_agg",
+        "pit_scd2_enrichment",
+        # round-4 additions
+        "stratified_kfold_assign",
+        "mixture_epoch_plan",
+        "weighted_median_price",
+        "monthly_revenue_growth",
+        "cumulative_new_users",
+        "prefix_jaccard_near_dups",
+        # late unconditional registrations
+        "hll_sketch_merge_rollup",
+        "dedup_against_history",
+        "pythonsink_commit_roundtrip",
+        "xml_roundtrip_extract",
+        "listagg_region_nations",
     ):
         assert must in window, must
 

@@ -1,0 +1,72 @@
+"""Guards for the suite's one externally-recognizable benchmark
+family (TPC-H Q1-Q22) and for environment-gated registrations.
+
+The TPC-H names are the queries a reference user would look for
+first; an accidental rotation/rename would silently drop benchmark
+coverage, so their presence (and runnable oracles) is pinned here
+rather than implied by the registry import.
+"""
+
+import duckdb
+import pytest
+
+from nhl_data_warehouse_spark.suite import REGISTRY
+
+# Q1 kept its reference-derived name (the mart's seasonal aggregate
+# is TPC-H Q1's shape); Q2-Q22 are registered under tpch_*.
+TPCH_NAMES = ["pricing_summary"] + [
+    f"tpch_q{i}_" for i in range(2, 23)
+]
+
+
+def test_all_22_tpch_queries_registered():
+    missing = []
+    for want in TPCH_NAMES:
+        if want == "pricing_summary":
+            ok = want in REGISTRY
+        else:
+            ok = any(n.startswith(want) for n in REGISTRY)
+        if not ok:
+            missing.append(want)
+    assert not missing, f"TPC-H queries missing from registry: {missing}"
+
+
+def test_all_tpch_oracles_parse_and_run():
+    """Every TPC-H oracle must still be valid DuckDB SQL over the
+    driver's views — EXPLAIN compiles (binder + planner) without
+    executing the full query, so this stays fast at any SF."""
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for name, spec in REGISTRY.items():
+        is_tpch = name == "pricing_summary" or name.startswith("tpch_q")
+        if not is_tpch or spec.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {spec.oracle}")
+        except Exception as e:  # pragma: no cover - diagnostic path
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, f"TPC-H oracles failed to compile: {bad}"
+
+
+def test_streaming_user_totals_tws_runs_when_protobuf_present(spark):
+    """transformWithState needs google.protobuf at runtime; the query
+    registers (and the driver sees it) only in environments that have
+    it. When present, actually EXECUTE it so the env-gated path is
+    exercised by CI instead of silently never running."""
+    pytest.importorskip("google.protobuf")
+    assert "streaming_user_totals_tws" in REGISTRY
+    out = REGISTRY["streaming_user_totals_tws"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"user_id", "n_events", "sum_value"} <= set(out.columns)

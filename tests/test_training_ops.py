@@ -139,7 +139,7 @@ class TestMinHashLSH:
         out = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0)
         assert {(r.a_id, r.b_id) for r in out.collect()} == {(0, 1)}
 
-    @pytest.mark.parametrize("t", [0.3, 0.5, 0.8])
+    @pytest.mark.parametrize("t", [0.3, 0.5, 0.55, 0.8])
     def test_prefix_filter_matches_all_pairs(self, docs, t):
         # the prefix-filter lemma guarantees zero recall loss: the
         # subquadratic candidate generation must reproduce the
