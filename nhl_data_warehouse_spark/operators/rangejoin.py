@@ -65,3 +65,51 @@ def range_join_pairs(
             ),
         )
     )
+
+
+def interval_lookup_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cell_width: float,
+) -> DataFrame:
+    """Join each point row to every range row whose half-open interval
+    ``[lo, hi)`` contains ``value_col`` — the IP-range / price-band /
+    geo-cell lookup shape. The naive inequality join is a
+    broadcast-nested-loop (O(points x ranges)); here both sides map to
+    fixed-width cells and meet in a plain equi-join:
+
+    - each RANGE replicates into every cell its interval overlaps
+      (``sequence(floor(lo/w), floor(hi/w))`` — bounded by
+      ceil(range_width / w) + 1 copies),
+    - each POINT maps to exactly ONE cell (``floor(v/w)``),
+    - the equi-join on cell co-locates every true match, and the exact
+      ``lo <= v < hi`` predicate filters the cell's false pairs.
+
+    Pick ``cell_width`` near the median range width: replication
+    factor stays O(1) per range while each point probes one cell.
+    Overlapping ranges are fine (a point then matches several). Cost
+    is O(|points| + |ranges| * avg_cells + |matches|) — never the
+    cross product, and the join shuffles on the cell key so skew is
+    governed by cell population, not table size.
+    """
+    w = float(cell_width)
+    lo, hi, v = F.col(lo_col), F.col(hi_col), F.col(value_col)
+    r = ranges.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(w)).cast("long"),
+                F.floor(hi / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn("__cell", F.floor(v / F.lit(w)).cast("long"))
+    return (
+        p.join(r, on="__cell")
+        .filter((v >= lo) & (v < hi))
+        .drop("__cell")
+    )

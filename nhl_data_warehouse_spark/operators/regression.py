@@ -236,3 +236,59 @@ def weighted_median(
             F.max("_tw").cast("long").alias("total_weight"),
         )
     )
+
+
+def welch_ab_stats(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    scale_factor: int = 100,
+) -> DataFrame:
+    """Two-sample Welch z statistic between exactly two variants —
+    engine-reproducible experimentation analytics. Same determinism
+    contract as ``grouped_moments``: values scale to exact integers,
+    per-variant power sums accumulate as wide decimals (order-free),
+    and the z-score is ONE fixed-order double expression over those
+    exact sums, evaluated in the scaled-integer domain (the statistic
+    is scale-invariant mathematically; staying in one domain makes it
+    bit-stable too). Means are reported in the original unit.
+
+    One conditional aggregate over the frame: map-side combined,
+    constant state, no per-variant shuffle beyond the single global
+    reduce. ``variant_col`` must take exactly the values 'A' and 'B'
+    for rows that participate.
+    """
+    f = int(scale_factor)
+    digits = len(str(f)) - 1
+    if f <= 0 or 10**digits != f:
+        raise ValueError(
+            f"welch_ab_stats: scale_factor must be a positive power "
+            f"of 10, got {scale_factor}"
+        )
+    c = (F.col(value_col).cast(f"decimal(18,{digits})") * f).cast("decimal(20,0)")
+    is_a = F.col(variant_col) == "A"
+    is_b = F.col(variant_col) == "B"
+    agg = df.agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(is_b.cast("long")).alias("n_b"),
+        F.sum(F.when(is_a, c)).cast("decimal(38,0)").alias("_s1a"),
+        F.sum(F.when(is_a, c * c)).cast("decimal(38,0)").alias("_s2a"),
+        F.sum(F.when(is_b, c)).cast("decimal(38,0)").alias("_s1b"),
+        F.sum(F.when(is_b, c * c)).cast("decimal(38,0)").alias("_s2b"),
+    )
+    # fixed-order double arithmetic from exact sums — mirror EXACTLY
+    # in any oracle (cents domain; means divided down once at the end)
+    m_a = F.col("_s1a").cast("double") / F.col("n_a")
+    m_b = F.col("_s1b").cast("double") / F.col("n_b")
+    v_a = F.col("_s2a").cast("double") / F.col("n_a") - m_a * m_a
+    v_b = F.col("_s2b").cast("double") / F.col("n_b") - m_b * m_b
+    fd = float(f)
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        (m_a / fd).alias("mean_a"),
+        (m_b / fd).alias("mean_b"),
+        ((m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))).alias(
+            "z_score"
+        ),
+    )

@@ -97,6 +97,11 @@ _PRIORITY = [
 # round-5 additions fill the remaining window slots (and any
 # spillover leads round 6 automatically)
 _PRIORITY += [
+    "hybrid_exact_quantiles",
+    "price_band_lookup_join",
+    "ab_value_ztest",
+]
+_PRIORITY += [
     n
     for n in (
         # environment-gated: streaming_user_totals_tws registers only

@@ -1555,3 +1555,101 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "hybrid_exact_quantiles",
+    op_ids="beyond-reference EXACT global percentile_cont at scale "
+    "(operators/quantiles.py): GK-sketch bracket (deterministic rank "
+    "bound) -> strictly-below offset count -> band-partitioned window "
+    "refine; 3 scans, no global sort, no collect — the 100TB-exact "
+    "path the sort-based per-group percentile cannot take",
+    description="exact interpolated p50/p90/p99 of lineitem extended "
+    "price via sketch-bracketed band selection (bit-equal to a full "
+    "sort's percentile_cont)",
+    oracle="""
+        WITH n AS (SELECT COUNT(*) AS c FROM lineitem),
+        params AS (SELECT CAST(p AS DOUBLE) AS p
+                   FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+        k AS (
+            SELECT p,
+                   CAST(floor((c - 1) * p) AS BIGINT) + 1 AS klo,
+                   LEAST(CAST(floor((c - 1) * p) AS BIGINT) + 2, c) AS khi,
+                   (c - 1) * p - floor((c - 1) * p) AS f
+            FROM params, n
+        ),
+        o AS (SELECT l_extendedprice AS v,
+                     ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+              FROM lineitem),
+        sel AS (
+            SELECT k.p, k.f,
+                   MAX(CASE WHEN o.rn = k.klo THEN o.v END) AS lo,
+                   MAX(CASE WHEN o.rn = k.khi THEN o.v END) AS hi
+            FROM k JOIN o ON o.rn IN (k.klo, k.khi)
+            GROUP BY k.p, k.f
+        )
+        SELECT p, lo + (hi - lo) * f AS quantile FROM sel
+    """,
+)
+def hybrid_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.quantiles import exact_quantiles
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return exact_quantiles(lineitem, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+@register(
+    "ab_value_ztest",
+    op_ids="beyond-reference experimentation analytics "
+    "(operators/regression.py:welch_ab_stats): deterministic hash "
+    "split -> Welch two-sample z from exact decimal power sums — "
+    "bit-stable across engines because every accumulation is exact "
+    "and the statistic is ONE fixed-order expression in the scaled "
+    "integer domain",
+    description="A/B split of event values by md5(user_id) with "
+    "per-variant counts, means, and the Welch z-score",
+    oracle="""
+        WITH v AS (
+            SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 'A' ELSE 'B' END AS variant,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+            FROM events
+        ),
+        s AS (
+            SELECT
+                CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                SUM(CASE WHEN variant = 'A' THEN cents END) AS s1a,
+                SUM(CASE WHEN variant = 'A' THEN cents * cents END) AS s2a,
+                SUM(CASE WHEN variant = 'B' THEN cents END) AS s1b,
+                SUM(CASE WHEN variant = 'B' THEN cents * cents END) AS s2b
+            FROM v
+        )
+        SELECT n_a, n_b,
+               (CAST(s1a AS DOUBLE) / n_a) / 100.0 AS mean_a,
+               (CAST(s1b AS DOUBLE) / n_b) / 100.0 AS mean_b,
+               (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+               / sqrt((CAST(s2a AS DOUBLE) / n_a
+                       - (CAST(s1a AS DOUBLE) / n_a)
+                         * (CAST(s1a AS DOUBLE) / n_a)) / n_a
+                      + (CAST(s2b AS DOUBLE) / n_b
+                         - (CAST(s1b AS DOUBLE) / n_b)
+                           * (CAST(s1b AS DOUBLE) / n_b)) / n_b)
+                   AS z_score
+        FROM s
+    """,
+)
+def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import welch_ab_stats
+
+    (events,) = load(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return welch_ab_stats(
+        events.withColumn("variant", variant), "variant", "value"
+    )

@@ -1009,3 +1009,58 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(frag)
     compact_files(spark, frag, compacted, target_file_bytes=64 * 1024 * 1024)
     return spark.read.parquet(compacted)
+
+
+@register(
+    "price_band_lookup_join",
+    op_ids="beyond-reference interval-table lookup join "
+    "(operators/rangejoin.py:interval_lookup_join): variable-width, "
+    "overlapping ranges replicated into fixed cells; points probe ONE "
+    "cell; equi-join + exact predicate — the IP-range/price-band/"
+    "geo-cell shape that a naive inequality join turns into a "
+    "broadcast-nested-loop",
+    description="orders matched to overlapping price bands via "
+    "cell-bucketed interval join, aggregated per band",
+    oracle="""
+        WITH bands(label, lo, hi) AS (
+            VALUES ('budget',     CAST(0      AS DOUBLE), CAST(50000  AS DOUBLE)),
+                   ('mid',        CAST(50000  AS DOUBLE), CAST(150000 AS DOUBLE)),
+                   ('premium',    CAST(150000 AS DOUBLE), CAST(300000 AS DOUBLE)),
+                   ('luxury',     CAST(300000 AS DOUBLE), CAST(600000 AS DOUBLE)),
+                   ('high_value', CAST(100000 AS DOUBLE), CAST(600000 AS DOUBLE))
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders JOIN bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY label
+    """,
+)
+def price_band_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.rangejoin import interval_lookup_join
+
+    (orders,) = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("premium", 150000.0, 300000.0),
+            ("luxury", 300000.0, 600000.0),
+            ("high_value", 100000.0, 600000.0),
+        ],
+        "label string, lo double, hi double",
+    )
+    joined = interval_lookup_join(
+        orders,
+        bands,
+        value_col="o_totalprice",
+        cell_width=50000.0,
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,116 @@
+"""Round-5 operators: hybrid exact quantiles, interval lookup join,
+Welch A/B stats."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators.quantiles import exact_quantiles
+from nhl_data_warehouse_spark.operators.rangejoin import interval_lookup_join
+from nhl_data_warehouse_spark.operators.regression import welch_ab_stats
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_percentile_cont(self, spark):
+        # adversarial values: duplicates, negatives, wide magnitudes
+        vals = [5.0, 1.5, 1.5, 1.5, -3.25, 100.0, 7.75, 0.0, 2.5, 2.5, 42.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r.p: r.quantile
+            for r in exact_quantiles(df, "v", [0.0, 0.25, 0.5, 0.9, 1.0]).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+            kf = (n - 1) * p
+            lo, hi = s[math.floor(kf)], s[min(math.floor(kf) + 1, n - 1)]
+            want = lo + (hi - lo) * (kf - math.floor(kf))
+            assert got[p] == want, (p, got[p], want)
+
+    def test_tiny_accuracy_band_still_exact(self, spark):
+        # accuracy 100 -> wide bands; the selection must stay exact
+        df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+        got = {
+            r.p: r.quantile
+            for r in exact_quantiles(df, "v", [0.5, 0.99], accuracy=100).collect()
+        }
+        assert got[0.5] == 499.5
+        assert got[0.99] == 989.01
+
+    def test_rejects_bad_p(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            exact_quantiles(df, "v", [1.5])
+
+
+class TestIntervalLookupJoin:
+    def test_matches_inequality_join(self, spark):
+        pts = spark.createDataFrame(
+            [(i, float(i * 7 % 100)) for i in range(200)], "pid long, v double"
+        )
+        rng = spark.createDataFrame(
+            [
+                ("r0", 0.0, 10.0),
+                ("r1", 5.0, 50.0),  # overlaps r0
+                ("r2", 50.0, 50.0),  # empty interval
+                ("r3", 90.0, 100.0),
+                ("r4", 0.0, 100.0),  # covers everything
+            ],
+            "label string, lo double, hi double",
+        )
+        got = {
+            (r.pid, r.label)
+            for r in interval_lookup_join(
+                pts, rng, value_col="v", cell_width=8.0
+            ).collect()
+        }
+        want = {
+            (r.pid, r.label)
+            for r in pts.crossJoin(rng)
+            .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+            .collect()
+        }
+        assert got == want
+        assert not any(lbl == "r2" for _, lbl in got)  # empty interval
+        assert sum(1 for _, lbl in got if lbl == "r4") == 200
+
+    def test_cell_width_invariance(self, spark):
+        pts = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "pid long, v double"
+        )
+        rng = spark.createDataFrame(
+            [("a", 3.0, 17.0), ("b", 20.0, 21.0)], "label string, lo double, hi double"
+        )
+        outs = [
+            {
+                (r.pid, r.label)
+                for r in interval_lookup_join(
+                    pts, rng, value_col="v", cell_width=w
+                ).collect()
+            }
+            for w in (1.0, 5.0, 100.0)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+
+
+class TestWelchAbStats:
+    def test_against_closed_form(self, spark):
+        a = [10.0, 12.0, 11.0, 13.0]
+        b = [9.0, 8.5, 9.5]
+        rows = [("A", v) for v in a] + [("B", v) for v in b]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        r = welch_ab_stats(df, "variant", "value").collect()[0]
+        assert r.n_a == 4 and r.n_b == 3
+        assert r.mean_a == sum(a) / 4
+        assert r.mean_b == sum(b) / 3
+        ma, mb = sum(a) / 4, sum(b) / 3
+        va = sum(x * x for x in a) / 4 - ma * ma
+        vb = sum(x * x for x in b) / 3 - mb * mb
+        want_z = (ma - mb) / math.sqrt(va / 4 + vb / 3)
+        assert abs(r.z_score - want_z) < 1e-9
+
+    def test_rejects_bad_scale(self, spark):
+        df = spark.createDataFrame([("A", 1.0)], "variant string, value double")
+        with pytest.raises(ValueError):
+            welch_ab_stats(df, "variant", "value", scale_factor=7)
