@@ -240,3 +240,51 @@ def chunk_documents(
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_index", "c.start_token", "c.n_chunk_tokens", "c.chunk_text"
     )
+
+
+def length_bucket_padding_stats(
+    df: DataFrame,
+    weight_col: str = "n_tokens",
+    n_docs_col: str = "n_docs",
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching: assign
+    every doc to the power-of-two bucket that covers its length and
+    measure, per bucket, how many pad tokens batching-to-bucket-top
+    would burn. This is the planning query behind bucketed batch
+    samplers (pad to the bucket boundary instead of the global max):
+    the report quantifies the win and finds degenerate buckets.
+
+    Bucket top = smallest power of two >= weight, computed with
+    integer bit arithmetic (``1 << length(bin(w-1))``) — never
+    ``ceil(log2)``, whose FP rounding misclassifies exact powers of
+    two. One keyed aggregate (map-side combined, ~60 buckets total);
+    the padding fraction is the single double division at the end.
+    """
+    w = F.col(weight_col).cast("long")
+    # SQL shiftleft: the DataFrame F.shiftleft only takes a literal
+    # bit count, the SQL form shifts by an expression
+    top = F.when(w <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            f"length(bin(CAST({weight_col} AS BIGINT) - 1)))"
+        )
+    )
+    agg = (
+        df.select(top.alias("bucket_top"), w.alias("__w"))
+        .groupBy("bucket_top")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(n_docs_col),
+            F.sum("__w").cast("long").alias("sum_tokens"),
+        )
+    )
+    padded = F.col(n_docs_col) * F.col("bucket_top") - F.col("sum_tokens")
+    return agg.select(
+        "bucket_top",
+        n_docs_col,
+        "sum_tokens",
+        padded.alias("pad_tokens"),
+        (
+            padded.cast("double")
+            / (F.col(n_docs_col) * F.col("bucket_top")).cast("double")
+        ).alias("pad_fraction"),
+    )

@@ -1130,3 +1130,48 @@ def nfc_normalize(
         out_col,
         (F.col(out_col) != F.col(text_col)).alias("changed"),
     )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """Deterministic fill-in-the-middle (FIM) transformation — the
+    infilling-objective data prep [Bavarian et al., "Efficient
+    Training of Language Models to Fill in the Middle", 2022]: split
+    each document into (prefix, middle, suffix) at two content-derived
+    cut points and render the PSM (prefix-suffix-middle) training
+    form. Content-hash cut points (md5 of the text, two 8-hex
+    windows mod L+1) make the split reproducible across engines,
+    partitionings, and reruns — no RNG, same contract as
+    ``sampling.hash_sample``.
+
+    Documents shorter than ``min_len`` chars pass through unsplit
+    (``mode='plain'``) — infilling degenerates on tiny inputs.
+
+    Narrow per-row projection: no shuffle, no UDF; every function
+    (md5, conv, substring, concat) is JVM codegen and has an exact
+    SQL mirror.
+    """
+    t = F.col(text_col)
+    L = F.length(t)
+    h = F.md5(t)
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (L + 1)
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % (L + 1)
+    c1, c2 = F.least(a, b), F.greatest(a, b)
+    is_fim = L >= min_len
+    prefix = F.when(is_fim, F.substring(t, 1, c1)).otherwise(t)
+    middle = F.when(is_fim, t.substr(c1 + 1, c2 - c1)).otherwise(F.lit(""))
+    suffix = F.when(is_fim, t.substr(c2 + 1, L - c2)).otherwise(F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.when(is_fim, F.lit("fim")).otherwise(F.lit("plain")).alias("mode"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.concat(
+            F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+        ).alias("psm"),
+    )

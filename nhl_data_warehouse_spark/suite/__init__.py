@@ -100,6 +100,9 @@ _PRIORITY += [
     "hybrid_exact_quantiles",
     "price_band_lookup_join",
     "ab_value_ztest",
+    # positions 51+: spill over to lead round 6's window
+    "fim_split_documents",
+    "length_bucket_padding",
 ]
 _PRIORITY += [
     n

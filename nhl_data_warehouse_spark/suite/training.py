@@ -4450,3 +4450,93 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
     return text.nfc_normalize(documents)
+
+
+@register(
+    "fim_split_documents",
+    op_ids="beyond-reference fill-in-the-middle transform "
+    "(operators/text.py:fim_split): content-hash cut points -> "
+    "(prefix, middle, suffix) + PSM rendering; deterministic across "
+    "engines/partitionings, no RNG, narrow projection (no shuffle, "
+    "no UDF)",
+    description="deterministic FIM (prefix/suffix/middle) split of "
+    "each document with the PSM training rendering",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN length(text) >= 20 THEN 'fim' ELSE 'plain' END AS mode,
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, 1, CAST(c1 AS INT))
+                    ELSE text END AS prefix,
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+                    ELSE '' END AS middle,
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, CAST(c2 + 1 AS INT),
+                                   CAST(length(text) - c2 AS INT))
+                    ELSE '' END AS suffix,
+               '<PRE>' ||
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, 1, CAST(c1 AS INT)) ELSE text END ||
+               '<SUF>' ||
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, CAST(c2 + 1 AS INT),
+                                   CAST(length(text) - c2 AS INT))
+                    ELSE '' END ||
+               '<MID>' ||
+               CASE WHEN length(text) >= 20
+                    THEN substring(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+                    ELSE '' END AS psm
+        FROM (
+            SELECT doc_id, text,
+                   LEAST(a, b) AS c1, GREATEST(a, b) AS c2
+            FROM (
+                SELECT doc_id, text,
+                       {_hex_int_sql("md5(text)", 8)} % (length(text) + 1) AS a,
+                       {_hex_int_sql("substring(md5(text), 9, 8)", 8)} % (length(text) + 1) AS b
+                FROM documents
+            )
+        )
+    """,
+)
+def fim_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.fim_split(documents, min_len=20)
+
+
+@register(
+    "length_bucket_padding",
+    op_ids="beyond-reference batching-efficiency report "
+    "(operators/packing.py:length_bucket_padding_stats): power-of-two "
+    "length buckets via integer bit arithmetic (1 << length(bin(w-1)), "
+    "never FP ceil(log2)); per-bucket pad-token waste for "
+    "pad-to-bucket-top batch samplers",
+    description="per power-of-two length bucket: doc count, token "
+    "sum, pad tokens and pad fraction under bucketed batching",
+    oracle="""
+        WITH b AS (
+            SELECT CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << length(bin(n_chars - 1))
+                   END AS bucket_top,
+                   n_chars
+            FROM documents
+        ),
+        agg AS (
+            SELECT bucket_top,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY bucket_top
+        )
+        SELECT bucket_top, n_docs, sum_tokens,
+               n_docs * bucket_top - sum_tokens AS pad_tokens,
+               CAST(n_docs * bucket_top - sum_tokens AS DOUBLE)
+               / CAST(n_docs * bucket_top AS DOUBLE) AS pad_fraction
+        FROM agg
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.packing import (
+        length_bucket_padding_stats,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return length_bucket_padding_stats(documents, weight_col="n_chars")

@@ -114,3 +114,51 @@ class TestWelchAbStats:
         df = spark.createDataFrame([("A", 1.0)], "variant string, value double")
         with pytest.raises(ValueError):
             welch_ab_stats(df, "variant", "value", scale_factor=7)
+
+
+class TestFimSplit:
+    def test_reassembles_and_is_deterministic(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "short"),  # below min_len -> plain
+            (3, "x" * 100),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from nhl_data_warehouse_spark.operators.text import fim_split
+
+        out = {r.doc_id: r for r in fim_split(df, min_len=20).collect()}
+        for doc_id, txt in rows:
+            r = out[doc_id]
+            assert r.prefix + r.middle + r.suffix == txt
+            assert r.psm == f"<PRE>{r.prefix}<SUF>{r.suffix}<MID>{r.middle}"
+        assert out[2].mode == "plain" and out[2].prefix == "short"
+        assert out[1].mode == "fim" and out[3].mode == "fim"
+        # same content -> same split on rerun (content-hash, no RNG)
+        again = {r.doc_id: r for r in fim_split(df, min_len=20).collect()}
+        assert all(out[i].psm == again[i].psm for i in out)
+
+
+class TestLengthBucketPadding:
+    def test_pow2_buckets_exact(self, spark):
+        from nhl_data_warehouse_spark.operators.packing import (
+            length_bucket_padding_stats,
+        )
+
+        # exact powers of two must land in their OWN bucket (the FP
+        # ceil(log2) trap), w=1 in bucket 1
+        df = spark.createDataFrame(
+            [(w,) for w in [1, 2, 3, 4, 5, 8, 9, 1024, 1025]], "n long"
+        )
+        out = {
+            r.bucket_top: r
+            for r in length_bucket_padding_stats(df, weight_col="n").collect()
+        }
+        assert out[1].n_docs == 1
+        assert out[2].n_docs == 1
+        assert out[4].n_docs == 2  # 3, 4
+        assert out[8].n_docs == 2  # 5, 8
+        assert out[16].n_docs == 1  # 9
+        assert out[1024].n_docs == 1
+        assert out[2048].n_docs == 1
+        assert out[4].pad_tokens == 1  # 3->4 pads 1, 4->4 pads 0
+        assert out[1].pad_fraction == 0.0
