@@ -396,3 +396,43 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_jaccard_plan_shape(spark, registry):
+    """The PPJoin rewrite's scale invariants: no nested-loop or
+    cartesian stage anywhere (prefix filtering exists to AVOID the
+    all-pairs shape), the verify side joins by hash (shuffle_hash hint
+    — sort-merge would sort the per-doc set arrays for nothing), and
+    the shuffle count stays bounded (regressions reintroduce
+    per-branch recomputation of the freq-join + window)."""
+    plan = plan_of(registry["prefix_jaccard_near_dups"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan, "verify joins must be hash, not SMJ"
+    assert "SortMergeJoin" not in plan, "array payloads must not be sorted"
+    # textual Exchange count is inflated by InMemoryTableScan branches
+    # reprinting the cached subplan (24 today, 10 cache scans); the
+    # cap still catches a persist-removal regression, which roughly
+    # doubles the tree
+    assert plan.count("Exchange") <= 30, plan.count("Exchange")
+
+
+def test_hybrid_quantiles_plan_shape(spark, registry):
+    """3-scan exact selection: no global sort of the input (the whole
+    point), band window partitioned by band (never empty partitionBy),
+    scalar stats broadcast into every scan."""
+    plan = plan_of(registry["hybrid_exact_quantiles"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only Sort allowed is the in-band window's local sort; a
+    # global Exchange rangepartitioning = full-sort regression
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_interval_lookup_join_is_equi(spark, registry):
+    """Cell-bucketed interval join must plan as a hash equi-join on
+    the cell key — an inequality-only join degenerates to
+    BroadcastNestedLoopJoin, which is the failure mode this operator
+    exists to avoid."""
+    plan = plan_of(registry["price_band_lookup_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -56,6 +56,15 @@ PROBES = [
     # broadcast ratio join — linear in tokens)
     "duplicate_span_removal",
     "dsir_importance_weights",
+    # round-5 additions: the PPJoin exact set-similarity join (the
+    # round-4 verdict's open scale question — prefix join fan-out +
+    # array_intersect verify, both candidate-bounded), the 3-scan
+    # sketch-bracketed exact quantile (linear, no global sort), and
+    # the cell-bucketed interval lookup join (linear in points +
+    # matches)
+    "prefix_jaccard_near_dups",
+    "hybrid_exact_quantiles",
+    "price_band_lookup_join",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
