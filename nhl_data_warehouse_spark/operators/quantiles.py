@@ -8,8 +8,10 @@ inexact. This module implements the classic hybrid that gets BOTH:
 
 1. **Sketch bracket** (1 scan): a GK sketch (``approx_percentile``
    with accuracy ``a``) has a deterministic rank-error bound n/a, so
-   the values at guard quantiles ``p ± 2/a`` bracket the true order
-   statistics of rank ``floor((n-1)p)+1`` and ``+2`` with certainty.
+   the values at guard quantiles ``p ± 4/a`` bracket the true order
+   statistics of rank ``floor((n-1)p)+1`` and ``+2`` with certainty
+   for n > 2a/3 (see the in-code margin proof); smaller inputs rank
+   in full — both regimes exact by construction.
 2. **Band count** (1 scan): count rows strictly below each band's
    lower bound — the global rank offset of the band.
 3. **Band refine** (1 scan): only rows inside a band (≤ 4n/a of them
@@ -38,10 +40,22 @@ def exact_quantiles(
     value_col: str,
     ps: list[float],
     accuracy: int = 10_000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles (SQL ``percentile_cont``
     semantics) of ``value_col`` at each probability in ``ps``.
-    Returns (p double, quantile double), one row per p.
+    Returns (p double, quantile double), one row per p — or, with
+    ``group_col``, one row per (group, p) with the group column first.
+
+    The grouped form is the scale story sort-based ``F.percentile``
+    can't tell for UNBOUNDED groups: per-group state here is a GK
+    sketch + counters, never the group's values, and the refine
+    window partitions by (group, band) so a giant group still ranks
+    only its ~4n_g/accuracy band rows. Group-cardinality contract:
+    dimension-scale groups (statuses, languages, priorities) — the
+    one-row-per-group stats/offsets relations are broadcast. For
+    millions of groups drop the broadcast hints; the same plan then
+    shuffles on the group key, which is the right trade there.
 
     Values must be non-null; ps must each lie in [0, 1].
     """
@@ -49,9 +63,25 @@ def exact_quantiles(
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"exact_quantiles: p must be in [0,1], got {p}")
     v = F.col(value_col)
-    guard = 2.0 / accuracy
-    # pass 1: count + deterministic sketch brackets per p
-    stats = df.agg(
+    # Guard width 4/a is provably sufficient for n > 2a/3 in BOTH GK
+    # sketch regimes: approx mode (rank error <= n/a leaves a 3n/a >= 2
+    # rank margin) and exact mode (the sketch's rank grid is
+    # ceil(p*n), which sits up to 2 ranks off percentile_cont's
+    # floor((n-1)p)+1 — the margin covers it). Smaller groups skip the
+    # bracket entirely and rank in full (<= 2a/3 rows — bounded by the
+    # accuracy knob, trivially cheap), because no literal guard can
+    # cover a 2-rank miss when 4n/a < 2.
+    guard = 4.0 / accuracy
+    small_n = (2 * accuracy) // 3
+    # unified path: the global form is one synthetic group. Joins on
+    # the group key replace scalar crossJoins; with one group (or few)
+    # the stats/offsets sides broadcast, so the plan degenerates to
+    # the scalar-broadcast shape.
+    synthetic = group_col is None
+    g = "__g" if synthetic else group_col
+    base = df.withColumn("__g", F.lit(0)) if synthetic else df
+    # pass 1: count + deterministic sketch brackets per (group, p)
+    stats = base.groupBy(g).agg(
         F.count(value_col).alias("__n"),
         *[
             F.percentile_approx(
@@ -66,8 +96,8 @@ def exact_quantiles(
             for i, p in enumerate(ps)
         ],
     )
-    with_stats = df.crossJoin(F.broadcast(stats))
-    # pass 2: global rank offset of each band (strictly-below count),
+    with_stats = base.join(F.broadcast(stats), on=g)
+    # pass 2: per (group, band) rank offset (strictly-below count),
     # plus each band's smallest value ABOVE it. The sketch bracket
     # guarantees the k_lo statistic is inside [blo, bhi], but k_hi =
     # k_lo + 1 can fall one rank past the band when the band collapses
@@ -75,32 +105,45 @@ def exact_quantiles(
     # contiguous over a value interval, so in that case the k_hi
     # statistic IS the next value above the band — captured here in
     # the same scan and coalesced in at the end.
-    offsets = with_stats.agg(
+    small = F.col("__n") <= small_n
+    offsets = with_stats.groupBy(g).agg(
         *[
-            F.sum((v < F.col(f"__blo_{i}")).cast("long")).alias(f"__off_{i}")
+            F.sum((~small & (v < F.col(f"__blo_{i}"))).cast("long")).alias(
+                f"__off_{i}"
+            )
             for i in range(len(ps))
         ],
         *[
-            F.min(F.when(v > F.col(f"__bhi_{i}"), v)).alias(f"__next_{i}")
+            F.min(F.when(~small & (v > F.col(f"__bhi_{i}")), v)).alias(
+                f"__next_{i}"
+            )
             for i in range(len(ps))
         ],
     )
     # pass 3: tag band membership (a row can sit in several bands when
-    # ps are close — posexplode keeps one tagged copy per band), rank
-    # within each band, select the two bracketing order statistics
+    # ps are close — the exploded when-array keeps one tagged copy per
+    # band), rank within each (group, band), select the two bracketing
+    # order statistics
     band_tags = F.array(
         *[
             F.when(
-                (v >= F.col(f"__blo_{i}")) & (v <= F.col(f"__bhi_{i}")),
+                small | ((v >= F.col(f"__blo_{i}")) & (v <= F.col(f"__bhi_{i}"))),
                 F.lit(i),
             )
             for i in range(len(ps))
         ]
     )
     tagged = (
-        with_stats.select(v.alias("__v"), "__n", F.explode(band_tags).alias("__band"))
+        with_stats.select(
+            F.col(g).alias("__gk"),
+            v.alias("__v"),
+            "__n",
+            F.explode(band_tags).alias("__band"),
+        )
         .filter(F.col("__band").isNotNull())
-        .crossJoin(F.broadcast(offsets))
+        .join(
+            F.broadcast(offsets.withColumnRenamed(g, "__gk")), on="__gk"
+        )
     )
     off = None
     nxt = None
@@ -118,7 +161,7 @@ def exact_quantiles(
     k_lo = F.floor(kf).cast("long") + 1
     k_hi = F.least(k_lo + 1, F.col("__n"))
     frac = kf - F.floor(kf)
-    w = Window.partitionBy("__band").orderBy("__v")
+    w = Window.partitionBy("__gk", "__band").orderBy("__v")
     ranked = (
         tagged.withColumn("__off", off)
         .withColumn("__nxt", nxt)
@@ -129,7 +172,7 @@ def exact_quantiles(
         .withColumn("__f", frac)
         .filter((F.col("__grank") == F.col("__klo")) | (F.col("__grank") == F.col("__khi")))
     )
-    sel = ranked.groupBy("__band").agg(
+    sel = ranked.groupBy("__gk", "__band").agg(
         F.max("__p").alias("p"),
         F.max("__f").alias("__ff"),
         F.max(F.when(F.col("__grank") == F.col("__klo"), F.col("__v"))).alias("__lo"),
@@ -140,7 +183,9 @@ def exact_quantiles(
     # __hi falls back to the band's next-above value when rank k_hi
     # sits one past the band (see offsets pass).
     hi = F.coalesce(F.col("__hi"), F.col("__nxt"))
-    return sel.select(
-        "p",
-        (F.col("__lo") + (hi - F.col("__lo")) * F.col("__ff")).alias("quantile"),
+    quant = (F.col("__lo") + (hi - F.col("__lo")) * F.col("__ff")).alias(
+        "quantile"
     )
+    if synthetic:
+        return sel.select("p", quant)
+    return sel.select(F.col("__gk").alias(group_col), "p", quant)

@@ -278,3 +278,38 @@ def ewma(
     )
     out = bucketed.groupBy("__kb").applyInPandas(smooth, f"__kb bigint, {schema}")
     return out.drop("__kb")
+
+
+def cusum_positive(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    k_col: str = "k",
+    out_col: str = "cusum",
+) -> DataFrame:
+    """One-sided (positive) CUSUM drift statistic over an ORDERED,
+    BOUNDED relation (daily/monthly aggregates — reduce the row-scale
+    data to the time grain FIRST): ``S_t = max(0, S_{t-1} + x_t - k)``
+    flags sustained upward drift beyond the reference level ``k``.
+
+    The recursion looks window-inexpressible (like EWMA), but has a
+    closed form: with ``C_t = cumsum(x_i - k)``,
+    ``S_t = C_t - min(0, min_{j<=t} C_j)`` — the running sum minus the
+    deepest prior trough. Two plain SQL windows, no UDF, no
+    applyInPandas; exact when ``x`` and ``k`` are integers (cents), so
+    the statistic is bit-stable across engines by construction.
+
+    Both windows are unpartitioned BY DESIGN: the operator contract is
+    a pre-aggregated time spine (thousands of rows), where the
+    reduction has already happened — same bounded-relation pattern as
+    the suite's month-over-month queries, not a row-scale window.
+    """
+    x, k = F.col(value_col), F.col(k_col)
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    c = F.sum(x - k).over(w)
+    out = df.withColumn("__c", c).withColumn(
+        "__trough", F.least(F.lit(0).cast("long"), F.min("__c").over(w))
+    )
+    return out.withColumn(out_col, F.col("__c") - F.col("__trough")).drop(
+        "__c", "__trough"
+    )

@@ -103,6 +103,8 @@ _PRIORITY += [
     # positions 51+: spill over to lead round 6's window
     "fim_split_documents",
     "length_bucket_padding",
+    "cusum_revenue_drift",
+    "grouped_hybrid_quantiles",
 ]
 _PRIORITY += [
     n

@@ -1653,3 +1653,106 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ab_stats(
         events.withColumn("variant", variant), "variant", "value"
     )
+
+
+@register(
+    "cusum_revenue_drift",
+    op_ids="beyond-reference change detection "
+    "(operators/timeseries.py:cusum_positive): one-sided CUSUM drift "
+    "statistic via its closed form S_t = C_t - min(0, min_j<=t C_j) — "
+    "two SQL windows replace the seemingly window-inexpressible "
+    "recursion; exact integer cents end-to-end, row-scale data reduced "
+    "to the bounded day grain FIRST",
+    description="daily revenue CUSUM above the mean daily level — "
+    "sustained-drift detection, bit-stable integer arithmetic",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS HUGEINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        ),
+        s AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        c AS (
+            SELECT day, cents, tot // n AS k,
+                   SUM(cents - tot // n) OVER (
+                       ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily, s
+        )
+        SELECT day,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+                   AS cusum_cents
+        FROM c
+    """,
+)
+def cusum_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import cusum_positive
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    stats = daily.agg(
+        F.sum("cents").cast("long").alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    with_k = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "k", F.expr("__tot div __n")
+    )
+    out = cusum_positive(with_k, order_col="day", value_col="cents")
+    return out.select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.col("cusum").cast("long").alias("cusum_cents"),
+    )
+
+
+@register(
+    "grouped_hybrid_quantiles",
+    op_ids="beyond-reference grouped exact percentile_cont at scale "
+    "(operators/quantiles.py, group_col form): per-group GK-sketch "
+    "bracket + (group, band)-partitioned refine — per-group state is "
+    "a sketch, never the group's values, so an arbitrarily large "
+    "group never needs a sort buffer (the failure mode of sort-based "
+    "percentile on skewed groups)",
+    description="exact interpolated p50/p90 of order price per order "
+    "priority via grouped sketch-bracketed band selection",
+    oracle="""
+        WITH n AS (SELECT o_orderpriority AS grp, COUNT(*) AS c
+                   FROM orders GROUP BY o_orderpriority),
+        params AS (SELECT CAST(p AS DOUBLE) AS p
+                   FROM (VALUES (0.5), (0.9)) t(p)),
+        k AS (
+            SELECT grp, p,
+                   CAST(floor((c - 1) * p) AS BIGINT) + 1 AS klo,
+                   LEAST(CAST(floor((c - 1) * p) AS BIGINT) + 2, c) AS khi,
+                   (c - 1) * p - floor((c - 1) * p) AS f
+            FROM params, n
+        ),
+        o AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS rn
+              FROM orders),
+        sel AS (
+            SELECT k.grp, k.p, k.f,
+                   MAX(CASE WHEN o.rn = k.klo THEN o.v END) AS lo,
+                   MAX(CASE WHEN o.rn = k.khi THEN o.v END) AS hi
+            FROM k JOIN o ON o.grp = k.grp AND o.rn IN (k.klo, k.khi)
+            GROUP BY k.grp, k.p, k.f
+        )
+        SELECT grp AS o_orderpriority, p, lo + (hi - lo) * f AS quantile
+        FROM sel
+    """,
+)
+def grouped_hybrid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.quantiles import exact_quantiles
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, "o_totalprice", [0.5, 0.9], group_col="o_orderpriority"
+    )

@@ -162,3 +162,72 @@ class TestLengthBucketPadding:
         assert out[2048].n_docs == 1
         assert out[4].pad_tokens == 1  # 3->4 pads 1, 4->4 pads 0
         assert out[1].pad_fraction == 0.0
+
+
+class TestCusum:
+    def test_closed_form_equals_recursion(self, spark):
+        xs = [5, -3, -3, 10, 1, -20, 4, 4]
+        k = 1
+        rows = [(i, x, k) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "t long, x long, k long")
+        from nhl_data_warehouse_spark.operators.timeseries import cusum_positive
+
+        got = {
+            r.t: r.cusum
+            for r in cusum_positive(df, "t", "x", k_col="k").collect()
+        }
+        s = 0
+        for i, x in enumerate(xs):
+            s = max(0, s + x - k)
+            assert got[i] == s, (i, got[i], s)
+
+
+class TestGroupedQuantiles:
+    def test_matches_per_group_sorted(self, spark):
+        import math
+
+        rows = []
+        data = {
+            "a": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+            "b": [10.0, 20.0],  # tiny group -> full-band path
+            "c": [7.5] * 5 + [1.25],
+        }
+        for grp, vals in data.items():
+            rows += [(grp, v) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            (r.g, r.p): r.quantile
+            for r in exact_quantiles(
+                df, "v", [0.5, 0.9], group_col="g"
+            ).collect()
+        }
+        for grp, vals in data.items():
+            s = sorted(vals)
+            n = len(s)
+            for p in (0.5, 0.9):
+                kf = (n - 1) * p
+                lo = s[math.floor(kf)]
+                hi = s[min(math.floor(kf) + 1, n - 1)]
+                want = lo + (hi - lo) * (kf - math.floor(kf))
+                assert got[(grp, p)] == want, (grp, p, got[(grp, p)], want)
+
+    def test_exact_mode_grid_mismatch_regression(self, spark):
+        # n just below accuracy: percentile_approx runs in exact mode
+        # whose rank grid (ceil(p*n)) sits up to 2 ranks off
+        # percentile_cont's floor((n-1)p)+1 — the 2/a-guard bug that
+        # NULLed p=0.9 per-priority quantiles at sf0.01
+        import math
+
+        n = 3003
+        vals = [float(i * 7 % n) for i in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r.p: r.quantile
+            for r in exact_quantiles(df, "v", [0.9], accuracy=10_000).collect()
+        }
+        s = sorted(vals)
+        kf = (n - 1) * 0.9
+        want = s[math.floor(kf)] + (
+            s[math.floor(kf) + 1] - s[math.floor(kf)]
+        ) * (kf - math.floor(kf))
+        assert got[0.9] == want
