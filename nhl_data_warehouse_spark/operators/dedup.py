@@ -478,24 +478,26 @@ def prefix_filter_jaccard_pairs(
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     p, q = frac.numerator, frac.denominator
-    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__tf"))
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy(id_col).orderBy("__tf", "shingle")
     # index prefix: n - ceil(t*n) + 1 tokens (role: LARGER of a pair).
-    # shuffle_hash on the freq join: both sides are large narrow
-    # relations keyed by shingle; SMJ would sort 1M+ string rows for
-    # nothing.
+    # Shingle frequency and doc size come from WINDOW counts, not
+    # groupBy+join-back: the window shuffles the shingle relation once
+    # per key (exactly where a join would co-locate it anyway — same
+    # skew exposure, one less full exchange + no join), measured 2.2x
+    # faster at sf0.1.
+    w_tf = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy(id_col).orderBy("__tf", "shingle")
+    w_n = Window.partitionBy(id_col)
     index_pref = (
-        shingles.join(freq.hint("shuffle_hash"), on="shingle")
-        .withColumn("__rn", F.row_number().over(w))
-        .join(sizes, on=id_col)
+        shingles.withColumn("__tf", F.count(F.lit(1)).over(w_tf))
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__n", F.count(F.lit(1)).over(w_n))
         .filter(
             F.col("__rn")
             <= F.col("__n") - F.expr(f"({p} * __n + {q - 1}) div {q}") + F.lit(1)
         )
         .select(id_col, "shingle", "__rn", "__n")
         # feeds BOTH sides of the candidate join — persist so the
-        # freq join + per-doc window run once, not per branch
+        # window pipeline runs once, not per branch
         .persist()
     )
     # probe prefix (role: SMALLER of a pair) is tighter: with the
