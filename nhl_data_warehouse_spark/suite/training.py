@@ -4118,7 +4118,12 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, n_hashes=N_HASHES, band_size=BAND_SIZE
     )
     cand = cand.persist()  # counted AND joined against truth
-    truth = dedup.jaccard_pairs(sh, threshold=0.5).select("a_id", "b_id")
+    # ground truth via the PPJoin exact set-similarity join — provably
+    # the same pair set as the all-pairs join (zero recall loss, the
+    # oracle IS all-pairs SQL) at subquadratic cost
+    truth = dedup.prefix_filter_jaccard_pairs(sh, threshold=0.5).select(
+        "a_id", "b_id"
+    )
     truth = truth.persist()
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
