@@ -750,3 +750,133 @@ def test_kfold_matches_naive_rank(spark, rows, k):
         order = sorted(ids, key=lambda i: (_md5(f"kfold-v1|{i}"), i))
         for rank, i in enumerate(order):
             assert got[i] == rank % k
+
+
+# --- round-5 operators ------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    ps=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_exact_quantiles_matches_sorted_reference(spark, vals, ps):
+    import math
+
+    from nhl_data_warehouse_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r.p: r.quantile for r in exact_quantiles(df, "v", ps).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for p in ps:
+        kf = (n - 1) * p
+        lo = s[math.floor(kf)]
+        hi = s[min(math.floor(kf) + 1, n - 1)]
+        want = lo + (hi - lo) * (kf - math.floor(kf))
+        assert got[p] == want, (p, got[p], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=10, unique=True),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.55, 0.7]),
+)
+def test_prefix_filter_jaccard_matches_brute_force(spark, docs, t):
+    from nhl_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, f"s{tok}") for i, toks in enumerate(docs) for tok in toks]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in prefix_filter_jaccard_pairs(sh, threshold=t).collect()
+    }
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = set(docs[a]), set(docs[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want[(a, b)] = j
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    k=st.integers(-5, 5),
+)
+def test_cusum_closed_form_matches_recursion(spark, xs, k):
+    from nhl_data_warehouse_spark.operators.timeseries import cusum_positive
+
+    df = spark.createDataFrame(
+        [(i, x, k) for i, x in enumerate(xs)], "t long, x long, k long"
+    )
+    got = {
+        r.t: r.cusum for r in cusum_positive(df, "t", "x", k_col="k").collect()
+    }
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + x - k)
+        assert got[i] == s
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pts=st.lists(st.integers(0, 100), min_size=0, max_size=20),
+    ranges=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 40)),
+        min_size=0,
+        max_size=6,
+    ),
+    w=st.sampled_from([1.0, 7.0, 64.0]),
+)
+def test_interval_lookup_matches_brute_force(spark, pts, ranges, w):
+    from nhl_data_warehouse_spark.operators.rangejoin import interval_lookup_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)] or [(0, -1.0)],
+        "pid long, v double",
+    )
+    rdf = spark.createDataFrame(
+        [(str(i), float(lo), float(lo + width)) for i, (lo, width) in enumerate(ranges)]
+        or [("x", -10.0, -5.0)],
+        "label string, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.label)
+        for r in interval_lookup_join(pdf, rdf, value_col="v", cell_width=w).collect()
+    }
+    want = set()
+    use_pts = list(enumerate(pts)) or [(0, -1.0)]
+    use_rng = (
+        [(str(i), lo, lo + width) for i, (lo, width) in enumerate(ranges)]
+        or [("x", -10.0, -5.0)]
+    )
+    for pid, v in use_pts:
+        for label, lo, hi in use_rng:
+            if lo <= v < hi:
+                want.add((pid, label))
+    assert got == want
