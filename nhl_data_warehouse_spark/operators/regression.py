@@ -284,8 +284,9 @@ def welch_ab_stats(
     v_b = F.col("_s2b").cast("double") / F.col("n_b") - m_b * m_b
     fd = float(f)
     return agg.select(
-        F.col("n_a"),
-        F.col("n_b"),
+        # SUM over an empty frame is NULL; the counts' contract is 0
+        F.coalesce(F.col("n_a"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
         (m_a / fd).alias("mean_a"),
         (m_b / fd).alias("mean_b"),
         ((m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))).alias(

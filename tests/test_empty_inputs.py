@@ -64,3 +64,44 @@ def test_timeseries_and_media_ops_accept_empty(spark):
     assert [f.name for f in out.schema] == [
         "media_id", "n_bytes", "n_ascii", "n_spaces", "ascii_ratio",
     ]
+
+
+def test_round5_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from nhl_data_warehouse_spark.operators.packing import (
+        length_bucket_padding_stats,
+    )
+    from nhl_data_warehouse_spark.operators.quantiles import exact_quantiles
+    from nhl_data_warehouse_spark.operators.rangejoin import interval_lookup_join
+    from nhl_data_warehouse_spark.operators.regression import welch_ab_stats
+    from nhl_data_warehouse_spark.operators.text import fim_split
+    from nhl_data_warehouse_spark.operators.timeseries import cusum_positive
+
+    vals = _empty(spark, "v double")
+    assert exact_quantiles(vals, "v", [0.5, 0.9]).count() == 0
+    assert (
+        exact_quantiles(
+            _empty(spark, "g string, v double"), "v", [0.5], group_col="g"
+        ).count()
+        == 0
+    )
+    sh = _empty(spark, "doc_id long, shingle string")
+    assert prefix_filter_jaccard_pairs(sh, threshold=0.5).count() == 0
+    pts = _empty(spark, "pid long, v double")
+    rng = _empty(spark, "label string, lo double, hi double")
+    assert interval_lookup_join(pts, rng, value_col="v", cell_width=10.0).count() == 0
+    assert cusum_positive(
+        _empty(spark, "t long, x long, k long"), "t", "x", k_col="k"
+    ).count() == 0
+    assert fim_split(_empty(spark, "doc_id long, text string")).count() == 0
+    assert length_bucket_padding_stats(
+        _empty(spark, "n_tokens long"), weight_col="n_tokens"
+    ).count() == 0
+    # welch on empty: the single global-agg row survives with NULL
+    # stats (counts 0) — the SQL aggregate convention, documented here
+    r = welch_ab_stats(
+        _empty(spark, "variant string, value double"), "variant", "value"
+    ).collect()[0]
+    assert r.n_a == 0 and r.n_b == 0 and r.z_score is None
