@@ -105,6 +105,8 @@ _PRIORITY += [
     "length_bucket_padding",
     "cusum_revenue_drift",
     "grouped_hybrid_quantiles",
+    "sql_udf_price_tiers",
+    "collated_segment_counts",
 ]
 _PRIORITY += [
     n

@@ -752,3 +752,85 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bb = b.select(F.col("k").alias("_bk"), "revenue")
     return a.join(bb, a["k"].eqNullSafe(bb["_bk"])).select("k", "n_a", "revenue")
+
+
+@register(
+    "sql_udf_price_tiers",
+    op_ids="§2.8 extension: Spark 4 SQL-language UDFs (CREATE FUNCTION "
+    "... RETURN, SPARK-46248) — a scalar SQL UDF classifying order "
+    "value into tiers, resolved and INLINED by the analyzer so the "
+    "query keeps whole-stage codegen (unlike a Python UDF, the "
+    "function body is catalyst expressions; the reference's Snowflake "
+    "would use a SQL UDF here identically)",
+    description="order counts and exact revenue per price tier "
+    "computed through a SQL-language UDF",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    """,
+)
+def sql_udf_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__sqludf_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'low'
+                    WHEN p < 200000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_tier(o_totalprice) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM __sqludf_orders GROUP BY 1
+        """
+    )
+
+
+@register(
+    "collated_segment_counts",
+    op_ids="§2.5 extension: Spark 4 string collations (SPARK-46830) — "
+    "grouping under a case-insensitive UTF8_LCASE collation, declared "
+    "on the comparison rather than rewritten through lower() (the "
+    "engine's collation-aware hash/equality does the work; the oracle "
+    "mirrors the semantics with lower())",
+    description="customer counts per market segment with "
+    "deterministically mixed-case values, grouped case-insensitively "
+    "via a collated key",
+    oracle="""
+        WITH m AS (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg_mixed
+            FROM customer
+        )
+        SELECT lower(seg_mixed) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM m GROUP BY lower(seg_mixed)
+    """,
+)
+def collated_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    customer.select(mixed.alias("seg_mixed")).createOrReplaceTempView(
+        "__collate_cust"
+    )
+    return spark.sql(
+        """
+        SELECT lower(k) AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (SELECT seg_mixed COLLATE UTF8_LCASE AS k FROM __collate_cust)
+        GROUP BY lower(k)
+        """
+    )
