@@ -107,6 +107,7 @@ _PRIORITY += [
     "grouped_hybrid_quantiles",
     "sql_udf_price_tiers",
     "collated_segment_counts",
+    "schema_evolution_read",
 ]
 _PRIORITY += [
     n

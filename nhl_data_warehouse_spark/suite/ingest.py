@@ -1501,3 +1501,65 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(q)
     # drop the sentinel's own (unmatched) output row
     return spark.table(name).filter(F.col("a_id") >= 0)
+
+
+@register(
+    "schema_evolution_read",
+    op_ids="beyond-reference schema drift handling (S-family "
+    "extension): two parquet batches with DIFFERENT schemas — the "
+    "second adds a column — read together with mergeSchema=true; the "
+    "union-compatible frame null-fills the missing column, and the "
+    "aggregate proves columns absent in old batches behave as NULL "
+    "(COUNT skips them) rather than failing the read. The "
+    "add-a-column-without-backfill migration every long-lived "
+    "warehouse lands on",
+    description="per-priority counts over two schema-divergent "
+    "parquet batches merged at read time; the late-added flag column "
+    "counts only rows from the new batch",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderpriority, o_totalprice, NULL AS priority_flag
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice,
+                   CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END
+                       AS priority_flag
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(priority_flag) AS BIGINT) AS n_flagged_rows,
+               CAST(SUM(priority_flag) AS BIGINT) AS n_high_value,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM unioned GROUP BY o_orderpriority
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _fresh_dir("suite_schevo_")
+    old = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_totalprice") >= 200000).cast("int").alias("priority_flag"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "batch=old"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "batch=new"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=old"), os.path.join(out, "batch=new")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("priority_flag").cast("long").alias("n_flagged_rows"),
+        F.sum("priority_flag").cast("long").alias("n_high_value"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
