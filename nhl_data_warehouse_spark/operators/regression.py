@@ -289,7 +289,10 @@ def welch_ab_stats(
         F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
         (m_a / fd).alias("mean_a"),
         (m_b / fd).alias("mean_b"),
-        ((m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))).alias(
-            "z_score"
-        ),
+        # z undefined when both samples are constant (zero pooled
+        # variance) — NULL, not an ANSI divide-by-zero
+        F.when(
+            v_a / F.col("n_a") + v_b / F.col("n_b") > 0,
+            (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b")),
+        ).alias("z_score"),
     )

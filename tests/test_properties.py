@@ -880,3 +880,71 @@ def test_interval_lookup_matches_brute_force(spark, pts, ranges, w):
             if lo <= v < hi:
                 want.add((pid, label))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_fim_split_reassembles_any_unicode(spark, texts):
+    from nhl_data_warehouse_spark.operators.text import fim_split
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in fim_split(df, min_len=10).collect()}
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert r.prefix + r.middle + r.suffix == t
+        assert r.mode == ("fim" if len(t) >= 10 else "plain")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(
+        st.decimals(
+            min_value=-1000, max_value=1000, places=2, allow_nan=False
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    b=st.lists(
+        st.decimals(
+            min_value=-1000, max_value=1000, places=2, allow_nan=False
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_welch_matches_closed_form(spark, a, b):
+    import math
+
+    from nhl_data_warehouse_spark.operators.regression import welch_ab_stats
+
+    a = [float(x) for x in a]
+    b = [float(x) for x in b]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "variant string, value double")
+    r = welch_ab_stats(df, "variant", "value").collect()[0]
+    na, nb = len(a), len(b)
+    # closed form in the exact cents domain, same op order
+    ca = [round(v * 100) for v in a]
+    cb = [round(v * 100) for v in b]
+    ma, mb = sum(ca) / na, sum(cb) / nb
+    va = sum(c * c for c in ca) / na - ma * ma
+    vb = sum(c * c for c in cb) / nb - mb * mb
+    assert r.n_a == na and r.n_b == nb
+    assert r.mean_a == ma / 100.0 and r.mean_b == mb / 100.0
+    denom = va / na + vb / nb
+    if denom > 0:
+        assert r.z_score == (ma - mb) / math.sqrt(denom)
