@@ -108,6 +108,7 @@ _PRIORITY += [
     "sql_udf_price_tiers",
     "collated_segment_counts",
     "schema_evolution_read",
+    "lateral_topk_orders",
 ]
 _PRIORITY += [
     n

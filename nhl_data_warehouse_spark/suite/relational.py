@@ -834,3 +834,40 @@ def collated_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lower(k)
         """
     )
+
+
+@register(
+    "lateral_topk_orders",
+    op_ids="§2.3 extension: correlated LATERAL subquery join "
+    "(SPARK-34382) — per-customer top-2 orders expressed as the SQL "
+    "LATERAL form; Catalyst decorrelates it into the same "
+    "rank-then-filter plan a window would produce, so the declarative "
+    "per-row-subquery shape costs no BNLJ (the reference's Snowflake "
+    "uses LATERAL identically)",
+    description="each customer's two most expensive orders via a "
+    "correlated LATERAL subquery, restricted to the BUILDING segment",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("__lat_customer")
+    orders.createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
