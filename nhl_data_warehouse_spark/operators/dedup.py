@@ -95,9 +95,20 @@ def scale_out(df: DataFrame) -> DataFrame:
     under-partitioned (e.g. one small parquet file): CPU-heavy
     per-row work (hashing, shingling) must not serialize onto a
     handful of tasks. No-op when the source already has enough
-    partitions — at real scale the file layout provides them."""
+    partitions — at real scale the file layout provides them.
+
+    The under-partitioned check counts the scan's input files
+    (``df.inputFiles()`` — pure plan/catalog metadata) instead of
+    ``df.rdd.getNumPartitions()``: touching ``.rdd`` forces full plan
+    analysis and an RDD conversion on every call path just to decide
+    a repartition (VERDICT r5 item 4). One file can still split into
+    several scan partitions (``maxPartitionBytes``), so file count is
+    a lower bound — erring toward a repartition only when the source
+    is genuinely a handful of files, exactly the case the shuffle is
+    worth it. Non-file sources (in-memory test frames) report zero
+    files and take the repartition, which is always safe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

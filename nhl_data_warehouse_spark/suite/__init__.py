@@ -32,75 +32,17 @@ from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 
-# Round-5 rotation (VERDICT r4 item 1): cumulative driver-green is
-# 173/222 after rounds 1-4. This list is ALL 47 registered queries
-# without a driver CORRECTNESS row yet (the round-4 spillover from
-# positions 51+ plus the 26 round-4 additions and the unconditional
-# late registrations), so one ~50-query window closes the backlog
-# and every registry query has a driver-green row. Queries added in
-# round 5 itself append right after, filling the remaining window
-# slots; previously-green families follow for re-verification.
+# Round-6 rotation (VERDICT r5 items 1-2): cumulative driver-green is
+# 222/233 after rounds 1-5. Slots 1-8 are the round-5 additions that
+# spilled past round 5's window (locally 8/8 oracle-green, never
+# driver-checked); slots 9-11 are the three sketch queries, reshaped
+# this round to emit engine-independent error-bound booleans so they
+# can hash-match for the first time; round-6 additions follow, then
+# previously-green families for re-verification.
 # In-place reorder: REGISTRY is imported by reference elsewhere, so
 # the dict object keeps its id.
 _PRIORITY = [
-    # -- round-4 spillover (never driver-checked) --
-    "cross_split_contamination",
-    "orc_roundtrip_agg",
-    "time_weighted_avg_value",
-    "psi_value_drift",
-    "zorder_skipping_stats",
-    "recursive_cte_reachability",
-    "customer_price_trend",
-    "rfm_customer_segments",
-    "km_order_gap_survival",
-    "association_rules_lift",
-    "trimmed_mean_revenue",
-    "window_funnel_levels",
-    "bucketed_join_roundtrip",
-    "event_transition_matrix",
-    "scd2_segment_versions",
-    "pit_scd2_enrichment",
-    # -- round-4 additions (never driver-checked) --
-    "stratified_kfold_assign",
-    "token_budget_selection",
-    "leakage_safe_split",
-    "duplicate_span_removal",
-    "dsir_importance_weights",
-    "ewma_monthly_spend",
-    "lsh_candidate_quality",
-    "media_byte_class_stats",
-    "value_mad_by_type",
-    "cluster_best_representative",
-    "observed_quality_metrics",
-    "streaming_left_outer_join",
-    "partition_pruned_read",
-    "dynamic_partition_pruned_join",
-    "sql_api_parameterized",
-    "paginated_orders",
-    "mixture_epoch_plan",
-    "classifier_calibration_bins",
-    "compaction_roundtrip",
-    "text_nfc_normalization",
-    "null_safe_join",
-    "order_value_moments",
-    "weighted_median_price",
-    "monthly_revenue_growth",
-    "cumulative_new_users",
-    "prefix_jaccard_near_dups",
-    # -- late unconditional registrations (never driver-checked) --
-    "hll_sketch_merge_rollup",
-    "dedup_against_history",
-    "pythonsink_commit_roundtrip",
-    "xml_roundtrip_extract",
-    "listagg_region_nations",
-]
-# round-5 additions fill the remaining window slots (and any
-# spillover leads round 6 automatically)
-_PRIORITY += [
-    "hybrid_exact_quantiles",
-    "price_band_lookup_join",
-    "ab_value_ztest",
-    # positions 51+: spill over to lead round 6's window
+    # -- round-5 spillover (never driver-checked; locally 8/8 green) --
     "fim_split_documents",
     "length_bucket_padding",
     "cusum_revenue_drift",
@@ -109,16 +51,34 @@ _PRIORITY += [
     "collated_segment_counts",
     "schema_evolution_read",
     "lateral_topk_orders",
+    # -- sketches, reshaped to tolerance-band oracles (VERDICT r5 #2) --
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    "hll_sketch_merge_rollup",
 ]
+# round-6 additions fill the remaining window slots (and any
+# spillover leads round 7 automatically)
 _PRIORITY += [
-    n
-    for n in (
-        # environment-gated: streaming_user_totals_tws registers only
-        # when the google.protobuf runtime is present
-        "streaming_user_totals_tws",
-    )
-    if n in REGISTRY
+    "qualify_top_parts",
+    "group_by_all_revenue",
+    "tablesample_hash_bucket",
+    "merge_into_sql_statement",
+    "session_window_stats",
+    "mann_whitney_order_values",
+    "ks_test_value_drift",
+    "bitmap_retention_rollup",
+    "linear_interp_gapfill",
+    "locf_forward_fill",
+    "regr_price_vs_quantity",
+    "max_by_min_by_extremes",
+    "bool_count_if_gates",
+    "try_arithmetic_guards",
+    "pareto_frontier_orders",
+    "convert_timezone_hourly",
+    "values_inline_enrich",
+    "levenshtein_builtin_typos",
 ]
+_PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
 _ordered = {
     n: REGISTRY[n]
     for n in (*_PRIORITY, *[q for q in REGISTRY if q not in _PRIORITY])

@@ -1225,15 +1225,41 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_users",
     op_ids="beyond-reference HLL sketch (approx_count_distinct — the 100TB "
-    "distinct path; no SQL oracle: sketch estimates are engine-specific)",
-    description="approximate distinct users per event type (HyperLogLog++)",
-    oracle=None,
+    "distinct path), hash-verifiable via a tolerance-band oracle "
+    "(VERDICT r5 item 2): the sketch estimate itself is engine-specific, "
+    "but |est − exact| ≤ 5σ·exact is an engine-INDEPENDENT boolean both "
+    "engines can state — Spark computes it from the real sketch, DuckDB "
+    "asserts it from the published HLL++ error bound",
+    description="HyperLogLog++ distinct users per event type, emitted as "
+    "an accuracy check: exact count plus a 5-sigma error-band boolean "
+    "(rsd=0.02 -> band 10% + 3 absolute slack for tiny cardinalities)",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_within_5sigma
+        FROM events GROUP BY event_type
+    """,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form is sketch-only (never scans for the exact
+    count); this registered twin ALSO computes the exact distinct so
+    the error-band boolean is checkable — same pattern as
+    ``ann_recall_eval``: the eval pays for ground truth, the pipeline
+    doesn't. Integer-only band arithmetic (|est−exact|·10 ≤ exact+30
+    ⇔ |est−exact| ≤ 0.10·exact+3) keeps the boolean bit-stable."""
     (events,) = load(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            * 10
+            <= F.count_distinct("user_id") + 30
+        ).alias("hll_within_5sigma"),
     )
 
 
@@ -1247,43 +1273,112 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "estimates are engine-specific)",
     description="distinct users per event type via per-day HLL "
     "sketches merged at query time (plus how many daily partials "
-    "merged)",
-    oracle=None,
+    "merged), emitted as an accuracy check: exact distinct plus a "
+    "6-sigma error-band boolean (lgK=12 -> rse 1.04/sqrt(4096) ~ "
+    "1.63%, band 10% + 3 absolute slack)",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_partials,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS merged_within_6sigma
+        FROM events GROUP BY event_type
+    """,
 )
 def hll_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-band twin (VERDICT r5 item 2): the merged-sketch
+    estimate is engine-specific, so the registered form checks it
+    against an exact distinct computed alongside — the materialized
+    daily partials + union-at-query-time machinery is untouched
+    (``operators/sketches.py:hll_partitioned_rollup``); only the final
+    projection trades the raw estimate for the checkable boolean."""
     from nhl_data_warehouse_spark.operators.sketches import hll_partitioned_rollup
 
     (events,) = load(spark, sf_dir, "events")
-    return hll_partitioned_rollup(
+    rollup = hll_partitioned_rollup(
         events,
         group_col="event_type",
         partition_col=F.to_date("ts"),
         id_col="user_id",
     )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return rollup.join(exact, "event_type").select(
+        "event_type",
+        "n_partials",
+        "exact_users",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_users")) * 10
+            <= F.col("exact_users") + 30
+        ).alias("merged_within_6sigma"),
+    )
 
 
 @register(
     "approx_value_percentiles",
-    op_ids="beyond-reference t-digest percentile sketch (single-pass, mergeable; "
-    "no SQL oracle: approximation is engine-specific)",
-    description="approximate p50/p95 of event value per type",
-    oracle=None,
+    op_ids="beyond-reference percentile sketch (approx_percentile, "
+    "single-pass, mergeable), hash-verifiable via a rank-error-band "
+    "oracle (VERDICT r5 item 2): the estimate is engine-specific, but "
+    "'the estimate's exact rank is within the published 4n/accuracy "
+    "guard of ceil(p*n)' is an engine-independent boolean",
+    description="approximate p50/p95 of event value per type, emitted "
+    "as a rank-accuracy check against the exact rank bracket",
+    oracle="""
+        SELECT event_type,
+               COUNT(value) AS n_values,
+               TRUE AS p50_in_bounds,
+               TRUE AS p95_in_bounds
+        FROM events GROUP BY event_type
+    """,
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-band check: for estimate e at percentile p over n values,
+    rank_lt(e) = |{v < e}| and rank_le(e) = |{v <= e}| must bracket
+    the target rank r0 = ceil(p*n) within err = floor(4n/a)+1 (the
+    4/a guard from operators/quantiles.py, valid down to tiny groups;
+    in exact mode — n < accuracy — the estimate IS the value at rank
+    r0, so rank_le >= r0 and rank_lt < r0 hold with err margin to
+    spare, ties included). All arithmetic is integer, so the booleans
+    are bit-stable. The sketch runs once; the check joins the 5-row
+    sketch result back (broadcast) and re-aggregates the rank counts."""
     (events,) = load(spark, sf_dir, "events")
+    vals = events.select("event_type", "value").where(F.col("value").isNotNull())
     # Scalar p50/p95 columns, not one array<double>: the driver's pandas
-    # canonicalizer cannot hash list cells, so a top-level array column
-    # crashes even the rows-only check (CORRECTNESS_r03 err). The sketch
-    # is computed once; the two quantiles project out of its result.
-    sketch = events.groupBy("event_type").agg(
-        F.approx_percentile("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias(
-            "p50_p95"
+    # canonicalizer cannot hash list cells (CORRECTNESS_r03 err).
+    sketch = vals.groupBy("event_type").agg(
+        F.approx_percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("p50_p95")
+    )
+    est = sketch.select(
+        "event_type",
+        F.col("p50_p95")[0].alias("_e50"),
+        F.col("p50_p95")[1].alias("_e95"),
+    )
+    ranks = (
+        vals.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum((F.col("value") < F.col("_e50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("value") <= F.col("_e50")).cast("long")).alias("_le50"),
+            F.sum((F.col("value") < F.col("_e95")).cast("long")).alias("_lt95"),
+            F.sum((F.col("value") <= F.col("_e95")).cast("long")).alias("_le95"),
         )
     )
-    return sketch.select(
+    # integer DIV throughout — no double rounding anywhere in the bands
+    err = F.expr("n_values * 4 DIV 10000") + 1
+    r50 = F.expr("(n_values + 1) DIV 2")  # ceil(n/2)
+    r95 = F.expr("(n_values * 19 + 19) DIV 20")  # ceil(0.95*n)
+    return ranks.select(
         "event_type",
-        F.col("p50_p95")[0].alias("p50"),
-        F.col("p50_p95")[1].alias("p95"),
+        "n_values",
+        (
+            (F.col("_le50") >= r50 - err) & (F.col("_lt50") < r50 + err)
+        ).alias("p50_in_bounds"),
+        (
+            (F.col("_le95") >= r95 - err) & (F.col("_lt95") < r95 + err)
+        ).alias("p95_in_bounds"),
     )
 
 
@@ -4068,11 +4163,13 @@ _BANDS_SQL = " UNION ALL ".join(
     "dedup pipeline (complements minhash_jaccard_error, which "
     "evaluates the estimator, not the bucketing)",
     description="LSH band candidates vs exact shingle-Jaccard >= 0.5 "
-    "pairs: candidate count, true-pair count, overlap, precision and "
-    "recall — the exact arm is the declared small-data oracle "
-    "baseline (its scale twin verifies candidates only)",
+    "pairs over the deterministic doc_id%2==0 half-sample: candidate "
+    "count, true-pair count, overlap, precision and recall — the "
+    "eval universe is sampled (both arms identically restricted, the "
+    "ann_recall_eval pattern) because ground truth is the expensive "
+    "arm by construction; grow the sample modulus with the corpus",
     oracle=f"""
-        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        WITH {_SHINGLES_CTE.replace("FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")}, {_SIG_CTE},
         bands AS ({_BANDS_SQL}),
         cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -4111,6 +4208,12 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
+    # Deterministic half-sample of the eval universe (VERDICT r5 item
+    # 3): the exact ground-truth arm is quadratic-ish in sample size,
+    # so the eval — not the production candidate generator — runs on
+    # doc_id%2==0, the same restriction applied to BOTH arms and the
+    # oracle. ~4x cheaper, still 6-12 true pairs at the check scales.
+    documents = documents.where(F.col("doc_id") % 2 == 0)
     sh = dedup.char_shingles(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)

@@ -71,12 +71,15 @@ def test_every_registered_query_builds_a_plan(spark):
 
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries;
-    round 5's priority list is ALL queries without a green driver
-    CORRECTNESS row in rounds 1-4, so no already-green query may
-    occupy a priority slot ahead of one still waiting for its
-    verdict — an accidental import reorder silently forfeits driver
-    verdicts. Derived from CORRECTNESS_r0{1..4}.json exactly like
-    COVERAGE.md's driver-verdict history."""
+    round 6's priority list is (a) every query without a HASH-green
+    driver CORRECTNESS row in rounds 1-5 — the 8 round-5 spillovers
+    plus the 3 sketch queries whose earlier rows were the weaker
+    rows-only kind before their round-6 tolerance-band reshape — and
+    (b) the round-6 additions, so no already-green query may occupy a
+    priority slot ahead of one still waiting for its verdict — an
+    accidental import reorder silently forfeits driver verdicts.
+    Derived from CORRECTNESS_r0{1..5}.json exactly like COVERAGE.md's
+    driver-verdict history."""
     import json
     from pathlib import Path
 
@@ -84,13 +87,8 @@ def test_driver_window_composition():
 
     repo = Path(__file__).resolve().parents[1]
     green = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        p = repo / fname
+    for n in range(1, 6):
+        p = repo / f"CORRECTNESS_r0{n}.json"
         if not p.exists():
             continue
         for name, row in json.loads(p.read_text()).items():
@@ -100,38 +98,30 @@ def test_driver_window_composition():
                 and row.get("schema_match")
             ):
                 green.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                green.add(name)  # declared rows-only sketch, ran clean
     not_green = [n for n in REGISTRY if n not in green]
     assert sorted(_PRIORITY) == sorted(not_green), (
-        "priority list must be exactly the not-yet-driver-green set; "
+        "priority list must be exactly the not-yet-hash-green set; "
         f"missing={sorted(set(not_green) - set(_PRIORITY))} "
         f"extra={sorted(set(_PRIORITY) - set(not_green))}"
     )
     assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
-    # the ~50-query window must cover the whole never-checked backlog
-    # (47 unconditional queries in round 5 — one window closes it)
-    window = list(REGISTRY)[:50]
-    for must in (
-        # round-4 spillover heads
-        "cross_split_contamination",
-        "orc_roundtrip_agg",
-        "pit_scd2_enrichment",
-        # round-4 additions
-        "stratified_kfold_assign",
-        "mixture_epoch_plan",
-        "weighted_median_price",
-        "monthly_revenue_growth",
-        "cumulative_new_users",
-        "prefix_jaccard_near_dups",
-        # late unconditional registrations
+    # the window must lead with the round-5 spillover + reshaped
+    # sketches, in slots 1-11 exactly
+    assert list(REGISTRY)[:11] == [
+        "fim_split_documents",
+        "length_bucket_padding",
+        "cusum_revenue_drift",
+        "grouped_hybrid_quantiles",
+        "sql_udf_price_tiers",
+        "collated_segment_counts",
+        "schema_evolution_read",
+        "lateral_topk_orders",
+        "approx_distinct_users",
+        "approx_value_percentiles",
         "hll_sketch_merge_rollup",
-        "dedup_against_history",
-        "pythonsink_commit_roundtrip",
-        "xml_roundtrip_extract",
-        "listagg_region_nations",
-    ):
-        assert must in window, must
+    ]
+    # and the whole backlog must fit the ~50-query window
+    assert len(_PRIORITY) <= 50, len(_PRIORITY)
 
 
 def test_no_toplevel_array_or_map_in_oracle_less_schemas(spark):
