@@ -67,30 +67,63 @@ def main() -> None:
     )
     spark.range(10).toPandas()  # spins up Arrow/Python workers
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    t_total = time.time()
-    for name, spec in REGISTRY.items():
-        t0 = time.time()
-        # Per-query fault isolation: one broken query must never cost
-        # the timings of the other ~120 (r1's bench died at query 30).
-        try:
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            df = None
-            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
-        # queries persist reused intermediates (LSH bands, capped
-        # shingles); drop them so measurements stay independent and
-        # localCheckpoint blocks don't accumulate heap pressure
-        # across the 100+ queries (the release_cached caller contract)
-        from nhl_data_warehouse_spark.session import release_cached
+    def run_suite() -> tuple[dict[str, float], dict[str, str], float]:
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        t_total = time.time()
+        for name, spec in REGISTRY.items():
+            t0 = time.time()
+            # Per-query fault isolation: one broken query must never
+            # cost the timings of the rest (r1's bench died at #30).
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                df = None
+                errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            # queries persist reused intermediates (LSH bands, capped
+            # shingles); drop them so measurements stay independent
+            # and localCheckpoint blocks don't accumulate heap
+            # pressure across the 200+ queries (the release_cached
+            # caller contract)
+            from nhl_data_warehouse_spark.session import release_cached
 
-        release_cached(spark)
-        del df
-        gc.collect()
-    total = round(time.time() - t_total, 3)
+            release_cached(spark)
+            del df
+            gc.collect()
+        return timings, errors, round(time.time() - t_total, 3)
+
+    if "--record-floor" in sys.argv:
+        # idle-box mode: two passes, keep the per-query MIN — the
+        # uncontended floor normal runs attach as value_uncontended
+        t1, e1, _ = run_suite()
+        t2, e2, _ = run_suite()
+        floor_q = {
+            n: min(t1.get(n, float("inf")), t2.get(n, float("inf")))
+            for n in {*t1, *t2}
+        }
+        floor = {
+            "metric": "suite_wall_clock_floor",
+            "value": round(sum(floor_q.values()), 3),
+            "unit": "sec",
+            "queries": {n: floor_q[n] for n in t1 if n in floor_q},
+            "sf": sf,
+        }
+        if e1 or e2:
+            floor["errors"] = {**e1, **e2}
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(floor, f)
+            f.write("\n")
+        print(json.dumps({**floor, "queries": "BENCH_FLOOR.json"}))
+        return
+
+    timings, errors, total = run_suite()
 
     payload = {
         "metric": "suite_wall_clock",
@@ -101,6 +134,28 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+
+    # Bench hygiene (VERDICT r5 item 8): rows on this box swing up to
+    # 4x under ambient load, so the artifact carries the UNCONTENDED
+    # floor alongside the measured total. The floor comes from
+    # BENCH_FLOOR.json, written by an idle-box `python bench.py
+    # --record-floor` run (two passes, per-query min); it is attached
+    # only when it covers the exact same query set at the same sf, so
+    # a stale floor can never masquerade as current.
+    floor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
+    )
+    try:
+        with open(floor_path) as f:
+            floor = json.load(f)
+        if (
+            floor.get("sf") == sf
+            and set(floor.get("queries", {})) == set(timings)
+        ):
+            payload["value_uncontended"] = floor["value"]
+            payload["uncontended_source"] = "BENCH_FLOOR.json"
+    except (OSError, ValueError):
+        pass
 
     # The consumer keeps only the last ~2 KB of stdout, and the full
     # per-query dict (~139 entries) is ~4 KB — so emit three forms,

@@ -313,3 +313,125 @@ def cusum_positive(
     return out.withColumn(out_col, F.col("__c") - F.col("__trough")).drop(
         "__c", "__trough"
     )
+
+
+def day_bitmask_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    n_days: int = 29,
+) -> DataFrame:
+    """Day-over-day retention from per-user activity BITMASKS.
+
+    One ``bit_or(1 << (day-1))`` aggregate folds a user's whole month
+    of activity into a single bigint; every retention question
+    (active on d? also on d+1? any 7-day streak?) then reads straight
+    off the masks with shift/AND — no self-join of day pairs, no
+    distinct-explosion. This is the bitmap-index idiom: the shuffled
+    state is ONE integer per user regardless of event volume, and the
+    day expansion (a ``sequence`` literal x masks) is a map-side
+    cross of a 29-element array, not a join.
+
+    Output: (day_of_month, n_active, n_retained, retention) for days
+    1..n_days, retention = retained/active as one raw division.
+    """
+    masks = df.groupBy(user_col).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), day({ts_col}) - 1))"
+        ).alias("mask")
+    )
+    flags = masks.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_days))).alias("d"), "mask"
+    ).select(
+        "d",
+        F.expr(
+            "CASE WHEN (shiftright(mask, d - 1) & 1) = 1 THEN 1 ELSE 0 END"
+        ).alias("active"),
+        F.expr(
+            "CASE WHEN (shiftright(mask, d - 1) & 3) = 3 THEN 1 ELSE 0 END"
+        ).alias("retained"),
+    )
+    return (
+        flags.groupBy("d")
+        .agg(
+            F.sum("active").cast("long").alias("n_active"),
+            F.sum("retained").cast("long").alias("n_retained"),
+            F.expr(
+                "CASE WHEN SUM(active) = 0 THEN 0.0 "
+                "ELSE CAST(SUM(retained) AS DOUBLE)"
+                " / CAST(SUM(active) AS DOUBLE) END"
+            ).alias("retention"),
+        )
+        .select(
+            F.col("d").cast("long").alias("day_of_month"),
+            "n_active",
+            "n_retained",
+            "retention",
+        )
+    )
+
+
+def linear_interpolate(
+    grid: DataFrame,
+    partition_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation over a dense date grid: gap rows (NULL
+    ``value_col``) get the straight line between the bracketing
+    observations of their partition; rows outside the first/last
+    observation stay NULL. The LOCF/zero-fill sibling is
+    ``gap_fill``; this is the interpolating form.
+
+    Two ignore-nulls windows carry (value, day) of the previous and
+    next observation to every row; the interpolation itself is one
+    fixed-order double expression — pv + (nv - pv) * (dd1 / dd2) —
+    so results are bit-stable across engines when ``value_col``
+    enters exact. Windows partition by ``partition_col``; the frame
+    length is the spine, not the corpus.
+
+    Output: grid columns plus ``value_interp`` and ``is_gap``.
+    """
+    j = grid.withColumn(
+        "is_gap", F.when(F.col(value_col).isNull(), 1).otherwise(0)
+    )
+    wb = (
+        Window.partitionBy(partition_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(partition_col)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col(value_col).isNotNull(), F.col(day_col))
+    br = j.select(
+        partition_col,
+        day_col,
+        value_col,
+        "is_gap",
+        F.last(value_col, ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("_pd"),
+        F.first(value_col, ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("_nd"),
+    )
+    interp = (
+        F.when(F.col("is_gap") == 0, F.col(value_col))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (
+                F.datediff(day_col, "_pd").cast("double")
+                / F.datediff("_nd", "_pd").cast("double")
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return br.select(
+        partition_col,
+        day_col,
+        interp.alias("value_interp"),
+        "is_gap",
+    )

@@ -31,6 +31,7 @@ from nhl_data_warehouse_spark.suite import ingest  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import analytics  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
+from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 
 # Round-6 rotation (VERDICT r5 items 1-2): cumulative driver-green is
 # 222/233 after rounds 1-5. Slots 1-8 are the round-5 additions that
@@ -62,13 +63,11 @@ _PRIORITY += [
     "qualify_top_parts",
     "group_by_all_revenue",
     "tablesample_hash_bucket",
-    "merge_into_sql_statement",
     "session_window_stats",
     "mann_whitney_order_values",
     "ks_test_value_drift",
     "bitmap_retention_rollup",
     "linear_interp_gapfill",
-    "locf_forward_fill",
     "regr_price_vs_quantity",
     "max_by_min_by_extremes",
     "bool_count_if_gates",
@@ -76,7 +75,6 @@ _PRIORITY += [
     "pareto_frontier_orders",
     "convert_timezone_hourly",
     "values_inline_enrich",
-    "levenshtein_builtin_typos",
 ]
 _PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
 _ordered = {

@@ -1,0 +1,824 @@
+"""Round-6 SQL-surface + statistics suite.
+
+Two families (VERDICT r5 items 6 and the beyond-reference widening):
+
+- **Dialect surfaces** the reference's Snowflake SQL implies but no
+  registered query exercised yet: QUALIFY (window-filter sugar — OSS
+  Spark has no QUALIFY keyword, so the Spark side is the canonical
+  window+filter expansion while the DuckDB oracle runs the literal
+  QUALIFY), GROUP BY ALL, literal TABLESAMPLE, inline VALUES tables,
+  try_* guarded arithmetic, count_if/bool_and/bool_or, max_by/min_by.
+  (MERGE INTO as a literal SQL statement is verified UNSUPPORTED on
+  the bundled catalogs — v1 tables raise
+  UNSUPPORTED_FEATURE.TABLE_OPERATION; the DataFrame merge family
+  `merge_upsert_roundtrip` covers the semantics and is driver-green.)
+- **Distribution statistics** a training-data pipeline runs on its
+  metrics: Mann-Whitney U (nonparametric A/B), two-sample
+  Kolmogorov-Smirnov drift, exact-sufficient-statistics OLS with a
+  built-in `regr_*` cross-check, day-bitmask retention, linear
+  interpolation gap fill, a 2-D Pareto frontier, and the native batch
+  `session_window`.
+
+Cross-engine determinism doctrine (suite/__init__ docstring) applies:
+integer/decimal sufficient statistics, one fixed-order double
+expression at the edge, identical aliases both sides. Rank-based
+statistics aggregate to the bounded CENTS grain (value is priced in
+cents: ~49k distinct cells at any corpus size) before any
+unpartitioned window, so the ordering step never sees row-scale data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nhl_data_warehouse_spark.suite.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Dialect surfaces
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qualify_top_parts",
+    op_ids="Snowflake-dialect QUALIFY surface (reference warehouse "
+    "idiom): window-filter sugar. OSS Spark has no QUALIFY keyword — "
+    "the Spark side is its exact definitional expansion (window in a "
+    "subquery, filter above); the oracle runs DuckDB's literal "
+    "QUALIFY so the sugar's semantics are what is being checked",
+    description="top-3 parts by retail price per brand via "
+    "QUALIFY-equivalent window filtering (row_number, full tie-break)",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+        FROM part
+        QUALIFY rk <= 3
+    """,
+)
+def qualify_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "group_by_all_revenue",
+    op_ids="GROUP BY ALL dialect surface (Spark 3.4+/Snowflake/DuckDB "
+    "shared sugar): grouping keys inferred as every non-aggregate "
+    "select item — the SAME SQL text runs on both engines",
+    description="orders per (priority, year) via literal GROUP BY ALL "
+    "through spark.sql",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+    """,
+)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_gba_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM v_gba_orders
+        GROUP BY ALL
+    """)
+
+
+@register(
+    "tablesample_hash_bucket",
+    op_ids="literal TABLESAMPLE surface (BUCKET x OUT OF y, "
+    "REPEATABLE seed) — the engine's own page/row sampler, checked "
+    "the tolerance-band way: membership is engine-specific, but the "
+    "sample-size concentration bound and without-replacement "
+    "uniqueness are engine-independent booleans",
+    description="TABLESAMPLE (BUCKET 1 OUT OF 4) REPEATABLE(42) over "
+    "orders: exact total, 6-sigma Chernoff band on the sample "
+    "fraction, and key-uniqueness of the sample",
+    oracle="""
+        SELECT COUNT(*) AS n_total,
+               TRUE AS sample_within_6sigma,
+               TRUE AS sample_keys_unique
+        FROM orders
+    """,
+)
+def tablesample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p=1/4 Bernoulli row sampling: |n_s − np| ≤ 6·sqrt(np(1−p))+1
+    fails with probability < 2e-9 per run — a deliberate-bug detector
+    (wrong bucket arithmetic, double sampling), not a flake source.
+    The seed pins Spark-side reproducibility; the oracle never needs
+    the membership, only the table's exact count and the booleans."""
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_ts_orders")
+    sample = spark.sql(
+        "SELECT o_orderkey FROM v_ts_orders"
+        " TABLESAMPLE (BUCKET 1 OUT OF 4) REPEATABLE (42)"
+    )
+    samp = sample.agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    return total.crossJoin(F.broadcast(samp)).select(
+        "n_total",
+        (
+            F.abs(
+                F.col("n_sample").cast("double")
+                - F.col("n_total").cast("double") / 4.0
+            )
+            <= F.sqrt(F.col("n_total").cast("double") * 3.0 / 16.0) * 6.0 + 1.0
+        ).alias("sample_within_6sigma"),
+        (F.col("n_keys") == F.col("n_sample")).alias("sample_keys_unique"),
+    )
+
+
+@register(
+    "values_inline_enrich",
+    op_ids="inline VALUES table surface: a literal constant relation "
+    "joined (broadcast by construction) to catalog data — the "
+    "hand-maintained mapping-table idiom warehouses embed in SQL",
+    description="nations per market segment, the segment coming from "
+    "an inline VALUES mapping of region names",
+    oracle="""
+        SELECT m.market, COUNT(*) AS n_nations,
+               MIN(n.n_name) AS first_nation
+        FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN (VALUES ('AFRICA', 'EMEA'), ('EUROPE', 'EMEA'),
+                     ('MIDDLE EAST', 'EMEA'), ('AMERICA', 'AMER'),
+                     ('ASIA', 'APAC')) AS m(r_name, market)
+          ON r.r_name = m.r_name
+        GROUP BY m.market
+    """,
+)
+def values_inline_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region = load(spark, sf_dir, "nation", "region")
+    nation.createOrReplaceTempView("v_vi_nation")
+    region.createOrReplaceTempView("v_vi_region")
+    return spark.sql("""
+        SELECT m.market, COUNT(*) AS n_nations,
+               MIN(n.n_name) AS first_nation
+        FROM v_vi_nation n
+        JOIN v_vi_region r ON n.n_regionkey = r.r_regionkey
+        JOIN (VALUES ('AFRICA', 'EMEA'), ('EUROPE', 'EMEA'),
+                     ('MIDDLE EAST', 'EMEA'), ('AMERICA', 'AMER'),
+                     ('ASIA', 'APAC')) AS m(r_name, market)
+          ON r.r_name = m.r_name
+        GROUP BY m.market
+    """)
+
+
+@register(
+    "try_arithmetic_guards",
+    op_ids="ANSI-mode guarded arithmetic surface (try_divide / "
+    "try_cast): Spark 4 runs ANSI SQL where bad casts and x/0 THROW — "
+    "the try_* family is the permissive path ingest code must use; "
+    "the oracle states the same semantics with CASE/TRY_CAST",
+    description="per order-status: rows whose priority tag fails an "
+    "integer cast (all of them — tags are '1-URGENT' style) and rows "
+    "where a guarded division nulls out on a zero denominator, plus "
+    "the exact sum of the surviving divisions",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER)
+                          IS NULL THEN 1 END) AS n_bad_int,
+               COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_null_div,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        / (o_orderkey % 2) AS DECIMAL(28,2))
+                   END) AS DOUBLE) AS sum_guarded_div
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def try_arithmetic_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide(x, k%2) is NULL exactly on even keys; the surviving
+    odd-key divisions are by 1, so the values are exactly 2-decimal
+    and the scale-2 sum is exact. Scale 2, not the division's natural
+    scale 8: a scale-s decimal is double-safe only while value*10^s
+    fits 2^53 (DuckDB converts via int128 -> double -> /10^s — TWO
+    roundings once the integer form overflows the mantissa), and the
+    sf0.1 sum already breaks scale 8."""
+    (orders,) = load(spark, sf_dir, "orders")
+    guarded = F.try_divide(
+        F.col("o_totalprice").cast("decimal(18,2)"), F.col("o_orderkey") % 2
+    ).cast("decimal(28,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("o_orderpriority").try_cast("integer").isNull(), 1)
+        ).alias("n_bad_int"),
+        F.count(F.when(F.col("o_orderkey") % 2 == 0, 1)).alias("n_null_div"),
+        F.sum(guarded).cast("double").alias("sum_guarded_div"),
+    )
+
+
+@register(
+    "bool_count_if_gates",
+    op_ids="boolean-aggregate surface (count_if / bool_and / bool_or) "
+    "— the quality-gate aggregates shared verbatim by Spark and "
+    "DuckDB; the SAME SQL text runs on both engines",
+    description="per order-status: big-order count and all/any price "
+    "predicates as one pass of boolean aggregates",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_huge
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bool_count_if_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_bg_orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 400000) AS any_huge
+        FROM v_bg_orders GROUP BY o_orderstatus
+    """)
+
+
+@register(
+    "max_by_min_by_extremes",
+    op_ids="max_by/min_by aggregate surface: the argmax idiom as one "
+    "keyed partial aggregate (no window, no join-back) — with a "
+    "composite (value, key) ordering struct so ties can never make "
+    "the answer engine-dependent",
+    description="per order priority: the key and price of the most "
+    "and least expensive order (key-tie-broken), plus the extremes",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk_hi,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk_lo
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rk_hi = 1 THEN o_orderkey END) AS top_orderkey,
+               MIN(CASE WHEN rk_hi = 1 THEN o_totalprice END) AS top_price,
+               MIN(CASE WHEN rk_lo = 1 THEN o_orderkey END) AS bottom_orderkey,
+               MIN(CASE WHEN rk_lo = 1 THEN o_totalprice END) AS bottom_price
+        FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def max_by_min_by_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a struct ordering key: Spark compares
+    structs lexicographically, so (price, key) makes the winner
+    unique even when prices tie. The oracle can't spell arg_max over
+    a composite (DuckDB arg_max takes scalar vals), so it states the
+    same answer via ROW_NUMBER — the values, not the idiom, are what
+    must match."""
+    (orders,) = load(spark, sf_dir, "orders")
+    hi = F.struct("o_totalprice", "o_orderkey")
+    # min_by tie-break must mirror ORDER BY price ASC, key ASC — for
+    # the struct ordering that is the plain (price, key) minimum
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", hi).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", hi).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@register(
+    "session_window_stats",
+    op_ids="native batch session_window operator (the merging-window "
+    "aggregate; streaming twin already green as streaming_sessionize, "
+    "hand-rolled batch twin as sessionize_events — this pins the "
+    "BUILT-IN batch form on the same islands oracle)",
+    description="4-hour-gap sessions per user via F.session_window in "
+    "a plain batch aggregation: start, end (= last event + gap), "
+    "event count and exact value sum per session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                             > 14400000000
+                        THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(is_break) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 4 HOUR AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "4 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics over the bounded cents grain
+# ---------------------------------------------------------------------------
+
+# Mann-Whitney / KS reduce event values to integer CENTS first: the
+# grain every rank statistic actually needs is the distinct-value
+# histogram, and prices live on a finite cent grid (~49k cells here,
+# bounded by the price range — not by corpus size), so the one
+# unpartitioned ordering window runs over the histogram, never the
+# rows. The final statistics are single fixed-order double expressions
+# over all-integer sufficient statistics — the regression.py doctrine.
+
+# the z-statistic's operation sequence is shared VERBATIM with the
+# Spark operator (operators/stats.py) so both engines run the same
+# IEEE op order
+from nhl_data_warehouse_spark.operators.stats import (  # noqa: E402
+    MW_MEAN_DIFF as _MW_FINAL,
+    MW_SIGMA as _MW_SIGMA,
+)
+
+
+@register(
+    "mann_whitney_order_values",
+    op_ids="beyond-reference nonparametric two-sample test: "
+    "Mann-Whitney U with midranks and the tie-corrected normal "
+    "approximation, computed from ALL-INTEGER sufficient statistics "
+    "(2R1 and sum(t^3 - t) over the cents histogram) so both engines "
+    "state bit-identical U and z",
+    description="click-vs-view event values: exact U statistic and "
+    "tie-corrected z — the distribution-free A/B gate when value "
+    "distributions are skewed (complements the parametric "
+    "ab_value_ztest)",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT c, SUM(is1) AS n1v, COUNT(*) AS nv
+            FROM vals GROUP BY c
+        ),
+        cum AS (
+            SELECT n1v, nv,
+                   COALESCE(SUM(nv) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumn
+            FROM hist
+        ),
+        stats AS (
+            SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+                   CAST(SUM(nv) AS BIGINT) AS n,
+                   CAST(SUM(n1v * (2 * cumn + nv + 1)) AS BIGINT) AS r2,
+                   CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tsum
+            FROM cum
+        ),
+        u AS (
+            SELECT n1, n - n1 AS n2, n, tsum,
+                   r2 - n1 * (n1 + 1) AS u2
+            FROM stats
+        )
+        SELECT n1 AS n_click, n2 AS n_view,
+               CAST(u2 AS DOUBLE) / 2.0 AS u_statistic,
+               ({_MW_FINAL}) / ({_MW_SIGMA}) AS z_value
+        FROM u
+    """,
+)
+def mann_whitney_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import mann_whitney_u
+
+    (events,) = load(spark, sf_dir, "events")
+    two = events.where(F.col("event_type").isin("click", "view"))
+    return mann_whitney_u(
+        two, "value", F.col("event_type") == "click"
+    ).select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_view"),
+        "u_statistic",
+        "z_value",
+    )
+
+
+@register(
+    "ks_test_value_drift",
+    op_ids="beyond-reference two-sample Kolmogorov-Smirnov drift "
+    "test: sup-norm ECDF distance with the max taken over INTEGER "
+    "cross-products (|cum1*n2 - cum2*n1|) so D is one final division "
+    "— the drift gate run between corpus snapshots before retraining",
+    description="click-vs-view event value distributions: exact KS D "
+    "statistic over the cents histogram",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT c, SUM(is1) AS n1v, COUNT(*) - SUM(is1) AS n2v
+            FROM vals GROUP BY c
+        ),
+        cum AS (
+            SELECT SUM(n1v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum1,
+                   SUM(n2v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum2
+            FROM hist
+        ),
+        tot AS (
+            SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2,
+                   CAST(MAX(ABS(cum1 * (SELECT MAX(cum2) FROM cum)
+                              - cum2 * (SELECT MAX(cum1) FROM cum)))
+                        AS BIGINT) AS dnum
+            FROM cum
+        )
+        SELECT n1 AS n_click, n2 AS n_view,
+               CAST(dnum AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat
+        FROM tot
+    """,
+)
+def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import ks_two_sample
+
+    (events,) = load(spark, sf_dir, "events")
+    two = events.where(F.col("event_type").isin("click", "view"))
+    return ks_two_sample(
+        two, "value", F.col("event_type") == "click"
+    ).select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_view"), "d_stat"
+    )
+
+
+@register(
+    "bitmap_retention_rollup",
+    op_ids="beyond-reference bitmap rollup: per-user day-of-month "
+    "activity BITMASK built with bit_or(1 << day), retention read "
+    "straight off the masks with shift/AND — the bitmap-index idiom "
+    "that turns N-day retention into integer ops on one bigint per "
+    "user (no self-join of day pairs)",
+    description="day-over-day retention for January: per day d, users "
+    "active on d, users also active on d+1, and the retention ratio — "
+    "all derived from one per-user month bitmask",
+    oracle="""
+        WITH masks AS (
+            SELECT user_id,
+                   bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS mask
+            FROM events GROUP BY user_id
+        ),
+        days AS (SELECT unnest(generate_series(1, 29)) AS d),
+        flags AS (
+            SELECT d.d,
+                   CASE WHEN ((m.mask >> (d.d - 1)) & 1) = 1
+                        THEN 1 ELSE 0 END AS active,
+                   CASE WHEN ((m.mask >> (d.d - 1)) & 3) = 3
+                        THEN 1 ELSE 0 END AS retained
+            FROM days d CROSS JOIN masks m
+        )
+        SELECT CAST(d AS BIGINT) AS day_of_month,
+               CAST(SUM(active) AS BIGINT) AS n_active,
+               CAST(SUM(retained) AS BIGINT) AS n_retained,
+               CASE WHEN SUM(active) = 0 THEN 0.0
+                    ELSE CAST(SUM(retained) AS DOUBLE)
+                         / CAST(SUM(active) AS DOUBLE)
+               END AS retention
+        FROM flags GROUP BY d
+    """,
+)
+def bitmap_retention_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        day_bitmask_retention,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return day_bitmask_retention(events, "user_id", "ts", n_days=29)
+
+
+@register(
+    "linear_interp_gapfill",
+    op_ids="beyond-reference time-series densification, interpolating "
+    "form: date spine + LINEAR interpolation between the bracketing "
+    "observations (gapfill_priority_revenue is the LOCF/zero-fill "
+    "twin) — two ignore-nulls windows carry (value, day) of the "
+    "previous and next observation to every gap row",
+    description="per-priority daily revenue for 1995Q1 on a complete "
+    "daily spine; gap days get the linear interpolation between the "
+    "bracketing observed days (NULL outside the first/last "
+    "observation), is_gap marks synthesized rows",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-04-01'
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                                               DATE '1995-03-31',
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS order_day
+        ),
+        grid AS (
+            SELECT k.o_orderpriority, s.order_day
+            FROM (SELECT DISTINCT o_orderpriority FROM daily) k
+            CROSS JOIN spine s
+        ),
+        j AS (
+            SELECT g.o_orderpriority, g.order_day, d.revenue,
+                   CASE WHEN d.revenue IS NULL THEN 1 ELSE 0 END AS is_gap
+            FROM grid g LEFT JOIN daily d USING (o_orderpriority, order_day)
+        ),
+        br AS (
+            SELECT *,
+                   LAST_VALUE(revenue IGNORE NULLS) OVER wb AS pv,
+                   LAST_VALUE(CASE WHEN revenue IS NOT NULL
+                                   THEN order_day END IGNORE NULLS)
+                       OVER wb AS pd,
+                   FIRST_VALUE(revenue IGNORE NULLS) OVER wf AS nv,
+                   FIRST_VALUE(CASE WHEN revenue IS NOT NULL
+                                    THEN order_day END IGNORE NULLS)
+                       OVER wf AS nd
+            FROM j
+            WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY order_day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY o_orderpriority ORDER BY order_day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_orderpriority, order_day,
+               CASE WHEN is_gap = 0 THEN revenue
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv)
+                           * (CAST(datediff('day', pd, order_day) AS DOUBLE)
+                              / CAST(datediff('day', pd, nd) AS DOUBLE))
+                    ELSE NULL END AS revenue_interp,
+               is_gap
+        FROM br
+    """,
+)
+def linear_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed rows keep their exact value (pd = nd = own day for
+    them, so the formula would divide 0/0 — the CASE short-circuits
+    first). The interpolation itself is one fixed-order double
+    expression: pv + (nv - pv) * (dd1 / dd2), identical in both
+    engines; revenue enters as the exact decimal day-sum cast once to
+    double. Windows partition by priority — the spine length (one
+    quarter) bounds the frame, not corpus size."""
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+            )
+        ).alias("order_day")
+    )
+    grid = (
+        daily.select("o_orderpriority").distinct().crossJoin(F.broadcast(spine))
+    )
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        linear_interpolate,
+    )
+
+    grid = grid.join(daily, ["o_orderpriority", "order_day"], "left")
+    return linear_interpolate(
+        grid, "o_orderpriority", "order_day", "revenue"
+    ).select(
+        "o_orderpriority",
+        "order_day",
+        F.col("value_interp").alias("revenue_interp"),
+        "is_gap",
+    )
+
+
+@register(
+    "regr_price_vs_quantity",
+    op_ids="beyond-reference OLS surface: slope/intercept/R^2 from "
+    "EXACT decimal sufficient statistics (the regression.py "
+    "doctrine — built-in regr_* aggregates accumulate doubles in "
+    "partition order and cannot hash-match cross-engine), plus a "
+    "tolerance boolean pinning Spark's native regr_slope to the "
+    "exact value, so the built-in aggregate is exercised too",
+    description="per return-flag OLS of extended price on quantity: "
+    "exact-stats slope, intercept, r2, n, and agreement of the "
+    "built-in regr_slope within 1e-9 relative",
+    oracle="""
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100) AS DECIMAL(20,0)) AS xc,
+                   CAST(round(l_extendedprice * 100) AS DECIMAL(20,0)) AS yc
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(xc) AS DOUBLE) AS sx,
+                   CAST(SUM(yc) AS DOUBLE) AS sy,
+                   CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+                   CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+                   CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+                   COUNT(*) AS n_items
+            FROM c GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n_items,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               ((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                   / 100.0 AS intercept,
+               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+               TRUE AS regr_builtin_agrees
+        FROM s
+    """,
+)
+def regr_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics are SCALE-0 decimals (integer cents):
+    a scale-k decimal reaches double through value/10^k, and DuckDB
+    performs that division in floating point (int128 -> double ->
+    /10^k: TWO roundings) while Spark's BigDecimal cast rounds once —
+    a 1-ulp divergence observed on the scale-4 r2 at sf0.001. An
+    integer-valued decimal converts in a single correctly-rounded
+    step in both engines. Cents scaling leaves slope and r2 invariant
+    (x,y both x100); intercept comes back via one final /100.0."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_quantity") * 100).cast("decimal(20,0)")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("decimal(20,0)")
+    s = lineitem.select(
+        "l_returnflag",
+        xc.alias("xc"),
+        yc.alias("yc"),
+        "l_quantity",
+        "l_extendedprice",
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "_builtin_slope"
+        ),
+    )
+    slope = F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)")
+    return s.select(
+        "l_returnflag",
+        "n_items",
+        slope.alias("slope"),
+        F.expr(
+            "((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)"
+            " / 100.0"
+        ).alias("intercept"),
+        F.expr(
+            "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        ).alias("r2"),
+        (
+            F.abs(F.col("_builtin_slope") - slope)
+            <= F.greatest(F.lit(1.0), F.abs(slope)) * 1e-9
+        ).alias("regr_builtin_agrees"),
+    )
+
+
+@register(
+    "pareto_frontier_orders",
+    op_ids="beyond-reference skyline / Pareto-frontier operator "
+    "(2-D dominance: cheaper-or-equal AND bigger-or-equal, one "
+    "strict): O(n log n) sweep — per-price best size, then a strict "
+    "running max over the price-sorted grid — where the oracle "
+    "states the same set as the quadratic NOT EXISTS definition",
+    description="parts on the (min retail price, max size) Pareto "
+    "frontier: the undominated (price, size) points and how many "
+    "parts sit on each",
+    oracle="""
+        WITH best AS (
+            SELECT p_retailprice AS price, MAX(p_size) AS best_size
+            FROM part GROUP BY 1
+        ),
+        frontier AS (
+            SELECT * FROM best b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM best c
+                WHERE c.price < b.price AND c.best_size >= b.best_size)
+        )
+        SELECT f.price, CAST(f.best_size AS BIGINT) AS best_size,
+               COUNT(*) AS n_parts
+        FROM frontier f
+        JOIN part p
+          ON p.p_retailprice = f.price AND p.p_size = f.best_size
+        GROUP BY 1, 2
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep form: a (price, size) point survives iff its per-price
+    best size strictly exceeds every strictly-cheaper price's best
+    size (equal size at lower price dominates; equal price folds into
+    the per-price max). The one unpartitioned window runs on the
+    distinct-PRICE grain — a price grid bounded by the catalog's
+    pricing scheme, not by row count; at 100 TB the same sweep also
+    shards by price range with per-shard maxima merged on the driver
+    (a 2-pass associative max), so the frontier never needs a global
+    sort of raw rows."""
+    from nhl_data_warehouse_spark.operators.skyline import pareto_frontier_2d
+
+    (part,) = load(spark, sf_dir, "part")
+    return pareto_frontier_2d(part, "p_retailprice", "p_size").select(
+        F.col("cost").alias("price"),
+        F.col("best_gain").alias("best_size"),
+        F.col("n_rows").alias("n_parts"),
+    )
+
+
+@register(
+    "convert_timezone_hourly",
+    op_ids="IANA timezone conversion surface (convert_timezone): "
+    "UTC event times to America/Denver wall-clock before the "
+    "hour-of-day rollup — the localize-before-bucketing step every "
+    "user-behavior aggregation needs",
+    description="events per Denver local hour-of-day: the data spans "
+    "January only (one fixed UTC-7 regime, no DST crossing), so the "
+    "oracle states the conversion as a constant offset while Spark "
+    "runs the real IANA conversion — if the data ever grew across a "
+    "DST boundary the two would loudly diverge",
+    oracle="""
+        SELECT CAST(hour(ts - INTERVAL 7 HOUR) AS BIGINT) AS local_hour,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+)
+def convert_timezone_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    local = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/Denver"), F.col("ts")
+    )
+    return events.groupBy(
+        F.hour(local).cast("long").alias("local_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
