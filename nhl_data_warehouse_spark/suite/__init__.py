@@ -75,6 +75,8 @@ _PRIORITY += [
     "pareto_frontier_orders",
     "convert_timezone_hourly",
     "values_inline_enrich",
+    "except_all_multiset",
+    "arrow_grouped_median",
 ]
 _PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
 _ordered = {

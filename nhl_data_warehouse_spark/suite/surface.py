@@ -822,3 +822,142 @@ def convert_timezone_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "except_all_multiset",
+    op_ids="bag-semantics set operations (EXCEPT ALL / INTERSECT ALL, "
+    "DataFrame exceptAll/intersectAll): multiset difference keeps "
+    "max(0, cntA-cntB) copies and intersection keeps min(cntA, cntB) "
+    "— the multiplicity-aware forms the DISTINCT set ops "
+    "(intersect_custkeys / except_custkeys) deliberately are not",
+    description="per quantity value: how many 'A'-flag lineitems "
+    "survive EXCEPT ALL against the 'N'-flag bag, and the "
+    "INTERSECT ALL overlap count, zero-filled over all quantities",
+    oracle="""
+        WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                   FROM lineitem WHERE l_returnflag = 'A'),
+             b AS (SELECT CAST(l_quantity AS BIGINT) AS q
+                   FROM lineitem WHERE l_returnflag = 'N'),
+             ex AS (SELECT q, COUNT(*) AS n FROM
+                        (SELECT q FROM a EXCEPT ALL SELECT q FROM b)
+                    GROUP BY q),
+             ix AS (SELECT q, COUNT(*) AS n FROM
+                        (SELECT q FROM a INTERSECT ALL SELECT q FROM b)
+                    GROUP BY q),
+             keys AS (SELECT DISTINCT q FROM a
+                      UNION SELECT DISTINCT q FROM b)
+        SELECT k.q AS quantity,
+               COALESCE(ex.n, 0) AS n_except_all,
+               COALESCE(ix.n, 0) AS n_intersect_all
+        FROM keys k
+        LEFT JOIN ex ON ex.q = k.q
+        LEFT JOIN ix ON ix.q = k.q
+    """,
+)
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll/intersectAll lower to Catalyst's count-and-replicate
+    plan (a keyed count join + generate), not a row-by-row loop — the
+    same shape the oracle's bag operators use. Scale: both are one
+    shuffle on the value key."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    a = lineitem.where(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("long").alias("q")
+    )
+    b = lineitem.where(F.col("l_returnflag") == "N").select(
+        F.col("l_quantity").cast("long").alias("q")
+    )
+    ex = a.exceptAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n_ex"))
+    ix = a.intersectAll(b).groupBy("q").agg(F.count(F.lit(1)).alias("n_ix"))
+    keys = a.distinct().union(b.distinct()).distinct()
+    return (
+        keys.join(ex, "q", "left")
+        .join(ix, "q", "left")
+        .select(
+            F.col("q").alias("quantity"),
+            F.coalesce("n_ex", F.lit(0)).alias("n_except_all"),
+            F.coalesce("n_ix", F.lit(0)).alias("n_intersect_all"),
+        )
+    )
+
+
+@register(
+    "arrow_grouped_median",
+    op_ids="grouped applyInArrow surface (pyarrow Table in/out per "
+    "group) — completes the Python-execution API matrix alongside "
+    "pandas_udf / applyInPandas(WithState) / mapInPandas / mapInArrow "
+    "/ UDTF / Python DataSource; the group payload is the bounded "
+    "CENTS HISTOGRAM, not raw rows, so per-group Arrow state stays "
+    "~50k cells at any corpus size",
+    description="exact per-event-type median value via a weighted "
+    "median over the cents histogram computed in a grouped Arrow "
+    "kernel (numpy cumsum + searchsorted), with explicit rank picks "
+    "so even-count interpolation is bit-identical to the oracle",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM c
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+               (CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+                     AS DOUBLE)
+                + CAST(MIN(CASE WHEN rk = n // 2 + 1 THEN cents END)
+                       AS DOUBLE)) / 2.0 / 100.0 AS median_value
+        FROM r GROUP BY event_type
+    """,
+)
+def arrow_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow kernel receives (cents, n) histogram rows per group:
+    cumulative counts locate the lower/upper median ranks
+    ((n+1)//2 and n//2+1, 1-based) without expanding the bag. The
+    final value is (lo + hi) / 2.0 / 100.0 in that exact op order on
+    both engines. NOTE the function takes a plain (unannotated)
+    pyarrow.Table argument — under `from __future__ import
+    annotations` a type hint would arrive as an unresolvable string
+    (the pandas_udf gotcha, same runner)."""
+    import pyarrow as pa
+
+    (events,) = load(spark, sf_dir, "events")
+    hist = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def weighted_median(t):
+        import numpy as np
+
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        counts = np.asarray(t.column("n"), dtype=np.int64)
+        order = np.argsort(cents, kind="stable")
+        cents, counts = cents[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        lo = cents[int(np.searchsorted(cum, (n + 1) // 2, side="left"))]
+        hi = cents[int(np.searchsorted(cum, n // 2 + 1, side="left"))]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [t.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n_values": pa.array([n], pa.int64()),
+                "median_value": pa.array(
+                    [(float(lo) + float(hi)) / 2.0 / 100.0], pa.float64()
+                ),
+            }
+        )
+
+    return hist.groupBy("event_type").applyInArrow(
+        weighted_median,
+        schema="event_type string, n_values long, median_value double",
+    )

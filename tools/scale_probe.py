@@ -57,12 +57,25 @@ PROBES = [
     "duplicate_span_removal",
     "dsir_importance_weights",
     # round-5 additions: the 3-scan sketch-bracketed exact quantile
-    # (linear, no global sort) and the cell-bucketed interval lookup
-    # join (linear in points + matches). The PPJoin exact
+    # (linear, no global sort), the cell-bucketed interval lookup
+    # join (linear in points + matches), and CUSUM — whose recursion
+    # is closed-form over the bounded DAY grain, so the expectation is
+    # a linear scan + a constant-size window stage. The PPJoin exact
     # set-similarity join is probed separately at capped factors —
     # see the dedicated loop below.
     "hybrid_exact_quantiles",
     "price_band_lookup_join",
+    "cusum_revenue_drift",
+    # round-6 additions, all bounded-grain reductions: rank statistics
+    # over the cents histogram (Mann-Whitney / KS), the per-user
+    # bitmask retention (shuffle state = one bigint per user), the
+    # native batch session_window (state ∝ users), and the skyline
+    # sweep over the distinct-price grid
+    "mann_whitney_order_values",
+    "ks_test_value_drift",
+    "bitmap_retention_rollup",
+    "session_window_stats",
+    "pareto_frontier_orders",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
