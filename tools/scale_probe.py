@@ -346,6 +346,22 @@ def main() -> None:
         "production path is the star-capped LSH family; the exact SSJoin",
         "row documents the x1->x4 growth of the zero-recall-loss arm.",
         "",
+        "Round-5/6 rows, growth verdicts: `cusum_revenue_drift` is ~flat",
+        "(exponent ~0 — the day-grain reduction caps the window stage at",
+        "the calendar's size; only the pre-aggregation scan grows).",
+        "`hybrid_exact_quantiles` grows sublinearly (3 linear scans, no",
+        "global sort). `price_band_lookup_join` is flat (cell replication",
+        "-> hash join; probe cost ∝ matches). `mann_whitney` / `ks_test` /",
+        "`pareto_frontier` are flat BY DESIGN: each reduces to a bounded",
+        "grain (cents histogram / distinct prices) before its one ordered",
+        "stage, so x10 input changes only the scan. `bitmap_retention`",
+        "shuffles one bigint per user (exponent ~0 until user count",
+        "grows). `session_window_stats` grows mildly (state ∝ users x",
+        "sessions; the merging-window operator's cost tracks keys, not",
+        "events). PPJoin's probe-prefix selectivity is measured by the",
+        "x1->x4 row above: the deliberate-quadratic pair output inside",
+        "k-times-replicated dup clusters, not a plan property.",
+        "",
         "Round-4 rows: `duplicate_span_removal` stays ~flat (fixed overhead",
         "dominates; chunk hashes are 40-byte shuffle rows however long the",
         "documents get — removal COUNTS grow with the planted dup clusters,",
