@@ -77,6 +77,9 @@ _PRIORITY += [
     "values_inline_enrich",
     "except_all_multiset",
     "arrow_grouped_median",
+    "pipe_syntax_rollup",
+    "transpose_wide_metrics",
+    "identifier_clause_read",
 ]
 _PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
 _ordered = {

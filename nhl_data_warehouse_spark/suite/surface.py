@@ -961,3 +961,137 @@ def arrow_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_median,
         schema="event_type string, n_values long, median_value double",
     )
+
+
+@register(
+    "pipe_syntax_rollup",
+    op_ids="Spark 4 SQL pipe syntax surface (FROM ... |> WHERE |> "
+    "AGGREGATE ... GROUP BY |> WHERE): the linear query-flow dialect "
+    "lowered to the same Catalyst plan as its nested-SQL equivalent — "
+    "the oracle IS that equivalent in plain ANSI form",
+    description="1996 orders per priority through pipe operators: "
+    "filter, aggregate with exact decimal revenue, then a post-"
+    "aggregation filter — each stage one |> hop",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) > 10
+    """,
+)
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_pipe_orders")
+    return spark.sql("""
+        FROM v_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, revenue
+    """)
+
+
+@register(
+    "transpose_wide_metrics",
+    op_ids="DataFrame.transpose surface (Spark 4): flip a wide "
+    "per-group metrics relation so metrics become rows and groups "
+    "become columns — the report-orientation pivot (distinct from "
+    "PIVOT/UNPIVOT, which reshape around value columns; transpose "
+    "reshapes the whole frame about its first/index column)",
+    description="order metrics per status transposed: one row per "
+    "metric (n_orders, revenue, max_price) with one column per "
+    "status (F/O/P); all cells pre-cast to double, the one-type "
+    "contract transpose requires",
+    oracle="""
+        WITH w AS (
+            SELECT o_orderstatus AS s,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue,
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT 'max_price' AS key,
+               (SELECT max_price FROM w WHERE s = 'F') AS F,
+               (SELECT max_price FROM w WHERE s = 'O') AS O,
+               (SELECT max_price FROM w WHERE s = 'P') AS P
+        UNION ALL
+        SELECT 'n_orders',
+               (SELECT n_orders FROM w WHERE s = 'F'),
+               (SELECT n_orders FROM w WHERE s = 'O'),
+               (SELECT n_orders FROM w WHERE s = 'P')
+        UNION ALL
+        SELECT 'revenue',
+               (SELECT revenue FROM w WHERE s = 'F'),
+               (SELECT revenue FROM w WHERE s = 'O'),
+               (SELECT revenue FROM w WHERE s = 'P')
+    """,
+)
+def transpose_wide_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose() collects the index column to the driver to name
+    the output columns — by construction a bounded-cardinality
+    operation (column count = distinct index values), so the scale
+    contract is the same as any pivot: the GROUPS axis must be small;
+    the metrics axis can be arbitrarily wide upstream."""
+    (orders,) = load(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.transpose("status")
+
+
+@register(
+    "identifier_clause_read",
+    op_ids="parameterized IDENTIFIER() clause + lateral column alias "
+    "surface (Spark 3.4+): table names as bind parameters (SQL-"
+    "injection-safe dynamic references) and select-list aliases "
+    "consumed by later expressions in the SAME select",
+    description="revenue bands per order year read through "
+    "IDENTIFIER(:tab), with the band derived from a lateral alias "
+    "chain (year -> decade) instead of repeated expressions",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               (CAST(year(o_orderdate) AS BIGINT) // 10) * 10
+                   AS order_decade,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def identifier_clause_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer division dialects: Spark spells it `DIV`, DuckDB `//`
+    — and DuckDB's CAST(float AS BIGINT) ROUNDS (1996/10 = 199.6 ->
+    200), so a cast-based floor is wrong there; both engines' true
+    integer division floors positive years identically. The lateral
+    alias (order_year referenced by order_decade in the same select)
+    is resolved by the analyzer, not re-evaluated."""
+    (orders,) = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_id_orders")
+    # the alias chain lives in the inner select: referencing a lateral
+    # alias from GROUP BY is not supported yet
+    # (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY)
+    return spark.sql(
+        """
+        SELECT order_year, order_decade, COUNT(*) AS n_orders
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   order_year DIV 10 * 10 AS order_decade
+            FROM IDENTIFIER(:tab)
+        )
+        GROUP BY order_year, order_decade
+        """,
+        args={"tab": "v_id_orders"},
+    )

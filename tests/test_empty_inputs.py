@@ -105,3 +105,38 @@ def test_round5_ops_accept_empty(spark):
         _empty(spark, "variant string, value double"), "variant", "value"
     ).collect()[0]
     assert r.n_a == 0 and r.n_b == 0 and r.z_score is None
+
+
+def test_round6_ops_accept_empty(spark):
+    from pyspark.sql import functions as F
+
+    from nhl_data_warehouse_spark.operators.skyline import pareto_frontier_2d
+    from nhl_data_warehouse_spark.operators.stats import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        day_bitmask_retention,
+        linear_interpolate,
+    )
+
+    two = _empty(spark, "v double, g string")
+    # degenerate statistics come back as one row of NULL/zero counts
+    # or empty — either way they must not raise
+    mw = mann_whitney_u(two, "v", F.col("g") == "a").collect()
+    assert len(mw) <= 1
+    ks = ks_two_sample(two, "v", F.col("g") == "a").collect()
+    assert len(ks) <= 1
+
+    pts = _empty(spark, "id long, cost double, gain long")
+    assert pareto_frontier_2d(pts, "cost", "gain").count() == 0
+
+    ev = _empty(spark, "user_id long, ts timestamp")
+    ret = day_bitmask_retention(ev, "user_id", "ts", n_days=5).collect()
+    # no users -> the day spine itself is empty (explode over no rows)
+    assert ret == []
+
+    grid = _empty(spark, "k string, day date, v double")
+    out = linear_interpolate(grid, "k", "day", "v")
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["k", "day", "value_interp", "is_gap"]
