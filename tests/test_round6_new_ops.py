@@ -194,3 +194,51 @@ class TestLinearInterpolate:
             for r in linear_interpolate(grid, "k", "day", "v").collect()
         }
         assert got[1] is None and got[2] is None and got[3] == 9.0
+
+
+class TestRankStatisticProperties:
+    """Rank statistics must be invariant under strictly increasing
+    transforms of the measurement (they see only the order), and the
+    skyline must be idempotent — properties, not point checks."""
+
+    def _df(self, spark):
+        # exact quarter values so cents rounding is exact before and
+        # after the affine map (no half-ulp flips)
+        vals = [(i % 13) / 4.0 for i in range(40)]
+        rows = [(v, "a" if i % 3 == 0 else "b") for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "v double, g string")
+
+    def test_mann_whitney_monotone_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        base = mann_whitney_u(df, "v", F.col("g") == "a").collect()[0]
+        mapped = df.withColumn("v", F.col("v") * 3 + 0.25)
+        got = mann_whitney_u(mapped, "v", F.col("g") == "a").collect()[0]
+        assert (got.u_statistic, got.z_value) == (
+            base.u_statistic,
+            base.z_value,
+        )
+
+    def test_ks_monotone_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        base = ks_two_sample(df, "v", F.col("g") == "a").collect()[0]
+        mapped = df.withColumn("v", F.col("v") * 3 + 0.25)
+        got = ks_two_sample(mapped, "v", F.col("g") == "a").collect()[0]
+        assert got.d_stat == base.d_stat
+
+    def test_skyline_idempotent(self, spark):
+        pts = [((i * 41) % 97 / 2.0, (i * 29) % 83) for i in range(150)]
+        df = spark.createDataFrame(
+            [(i, c, g) for i, (c, g) in enumerate(pts)],
+            "id long, cost double, gain long",
+        )
+        f1 = pareto_frontier_2d(df, "cost", "gain")
+        f2 = pareto_frontier_2d(
+            f1.selectExpr("cost", "best_gain as gain"), "cost", "gain"
+        )
+        a = sorted((r.cost, r.best_gain) for r in f1.collect())
+        b = sorted((r.cost, r.best_gain) for r in f2.collect())
+        assert a == b
