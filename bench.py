@@ -112,15 +112,18 @@ def main() -> None:
         }
         if e1 or e2:
             floor["errors"] = {**e1, **e2}
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOOR.json"
-            ),
-            "w",
-        ) as f:
-            json.dump(floor, f)
-            f.write("\n")
-        print(json.dumps({**floor, "queries": "BENCH_FLOOR.json"}))
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(repo_dir)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ]
+        frozen = f"BENCH_FLOOR_r{(max(rounds, default=0) + 1):02d}.json"
+        for fn in ("BENCH_FLOOR.json", frozen):
+            with open(os.path.join(repo_dir, fn), "w") as f:
+                json.dump(floor, f)
+                f.write("\n")
+        print(json.dumps({**floor, "queries": frozen}))
         return
 
     timings, errors, total = run_suite()
@@ -164,15 +167,30 @@ def main() -> None:
     # 2. the full payload on stdout (complete-capture consumers);
     # 3. a compact one-line summary (total + slowest-10 + error count)
     #    printed last, itself a valid single-JSON-line artifact.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    try:
-        with open(full_path, "w") as f:
-            json.dump(payload, f)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout forms still carry the data
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
+    # Per-round FROZEN artifact (VERDICT r6 item 2): BENCH_r05's
+    # queries_full pointed at mutable BENCH_FULL.json and round 6's
+    # run destroyed round-5 per-query history. Each run now ALSO
+    # writes BENCH_FULL_r{N}.json where N = current round, inferred
+    # as 1 + the highest driver-written BENCH_r{K}.json present
+    # (the driver records round K's artifact at the END of round K,
+    # so during round N exactly rounds 1..N-1 exist). Re-runs within
+    # a round overwrite that round's own file only; past rounds'
+    # frozen files are never touched.
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    ]
+    frozen_name = f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json"
+    for path in (full_path, os.path.join(repo_dir, frozen_name)):
+        try:
+            with open(path, "w") as f:
+                json.dump(payload, f)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout forms still carry the data
     print(json.dumps(payload))
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
@@ -185,7 +203,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "queries_full": "BENCH_FULL.json",
+        "queries_full": frozen_name,
     }
     print(json.dumps(compact))
 

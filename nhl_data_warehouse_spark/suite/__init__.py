@@ -33,53 +33,77 @@ from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 
-# Round-6 rotation (VERDICT r5 items 1-2): cumulative driver-green is
-# 222/233 after rounds 1-5. Slots 1-8 are the round-5 additions that
-# spilled past round 5's window (locally 8/8 oracle-green, never
-# driver-checked); slots 9-11 are the three sketch queries, reshaped
-# this round to emit engine-independent error-bound booleans so they
-# can hash-match for the first time; round-6 additions follow, then
-# previously-green families for re-verification.
+# Round-7 rotation (VERDICT r6 item 1): all 253 queries have been
+# driver-green at least once, so this round's window re-verifies the
+# STALEST — the 26 queries whose latest green is round 1 and the 31
+# whose latest green is round 2. Five rounds of suite/session/operator
+# refactors have shipped since those verdicts; re-verification under
+# the current code is the only open correctness risk. Any slots past
+# the driver's ~50-query window spill into round 8 automatically.
+# New round-7 queries append to the BACK of the registry (the
+# rotation queue), never into this window.
 # In-place reorder: REGISTRY is imported by reference elsewhere, so
 # the dict object keeps its id.
 _PRIORITY = [
-    # -- round-5 spillover (never driver-checked; locally 8/8 green) --
-    "fim_split_documents",
-    "length_bucket_padding",
-    "cusum_revenue_drift",
-    "grouped_hybrid_quantiles",
-    "sql_udf_price_tiers",
-    "collated_segment_counts",
-    "schema_evolution_read",
-    "lateral_topk_orders",
-    # -- sketches, reshaped to tolerance-band oracles (VERDICT r5 #2) --
-    "approx_distinct_users",
-    "approx_value_percentiles",
-    "hll_sketch_merge_rollup",
-]
-# round-6 additions fill the remaining window slots (and any
-# spillover leads round 7 automatically)
-_PRIORITY += [
-    "qualify_top_parts",
-    "group_by_all_revenue",
-    "tablesample_hash_bucket",
-    "session_window_stats",
-    "mann_whitney_order_values",
-    "ks_test_value_drift",
-    "bitmap_retention_rollup",
-    "linear_interp_gapfill",
-    "regr_price_vs_quantity",
-    "max_by_min_by_extremes",
-    "bool_count_if_gates",
-    "try_arithmetic_guards",
-    "pareto_frontier_orders",
-    "convert_timezone_hourly",
-    "values_inline_enrich",
-    "except_all_multiset",
-    "arrow_grouped_median",
-    "pipe_syntax_rollup",
-    "transpose_wide_metrics",
-    "identifier_clause_read",
+    # -- latest green round 1 (26) --
+    "anti_join_incremental",
+    "asof_join_orders",
+    "bfs_trade_hops",
+    "cohort_retention",
+    "copurchase_pairs",
+    "countmin_token_freq",
+    "distinct_agg",
+    "equi_depth_bins",
+    "exact_percentiles",
+    "except_custkeys",
+    "explode_tokens",
+    "funnel_conversion",
+    "intersect_custkeys",
+    "join_broadcast_dim",
+    "md5_lineage_key",
+    "pivot_status_by_year",
+    "salted_skew_join",
+    "scalar_subquery_filter",
+    "semi_join_exists",
+    "triangle_cosupply",
+    "union_distinct_branches",
+    "window_lag_gap",
+    "window_rank_family",
+    "window_rank_topn",
+    "zorder_file_assignment",
+    "zscore_outliers",
+    # -- latest green round 2 (31) --
+    "ann_bucketed_topk",
+    "ann_ivf_cells",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_multiprobe_topk",
+    "binary_media_meta",
+    "catalog_context_read",
+    "corpus_curation_pipeline",
+    "cosine_topk_bruteforce",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "doc_fingerprints",
+    "embedding_near_dups",
+    "jaccard_near_dups",
+    "lang_id_predictions",
+    "lsh_verified_near_dups",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "near_dup_clusters",
+    "quality_scores",
+    "range_join_pairs",
+    "rest_json_ingest_roundtrip",
+    "scrape_ingest_roundtrip",
+    "sessionize_events",
+    "simhash_sketch",
+    "streaming_hourly_stats",
+    "streaming_user_totals",
+    "token_stats",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_inventory_suppliers",
+    "view_materialization_sql",
 ]
 _PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
 _ordered = {

@@ -6,12 +6,14 @@ an order-insensitive value hash (columns sorted by name, rows sorted
 by their stringified tuple). Exits non-zero on any mismatch.
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+       python tools/check_oracle.py --both-scales --json-out ORACLE_SWEEP_rNN.json
 """
 
 from __future__ import annotations
 
 import argparse
 import hashlib
+import json
 import math
 import os
 import sys
@@ -73,87 +75,154 @@ def risky_duck_cols(con, sql: str) -> list[str]:
     return [c for c, t, *_ in desc if any(t.startswith(r) for r in RISKY_DUCK_TYPES)]
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
-    ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
+def check_one(spark, con, name: str, spec, sf_dir: str) -> dict:
+    """Run one query on both engines at one scale; return a result row
+    shaped like the external driver's CORRECTNESS entries."""
+    res = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+        "detail": None,
+    }
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_risky = risky_spark_cols(sdf)
+        s_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        res["err"] = f"spark {type(e).__name__}: {str(e)[:300]}"
+        return res
+    res["spark_rows"] = len(s_rows)
+    if s_risky:
+        # driver-unsafe regardless of values — Spark Decimals keep
+        # their trailing zeros while the driver floats the oracle's
+        res["err"] = f"spark output has DECIMAL columns {s_risky}"
+        return res
+    if spec.oracle is None:
+        res["err"] = "no oracle (rows-only)"
+        return res
+    try:
+        d_risky = risky_duck_cols(con, spec.oracle)
+        rel = con.execute(spec.oracle)
+        d_cols = [d[0] for d in rel.description]
+        d_rows = rel.fetchall()
+    except Exception as e:
+        res["err"] = f"duckdb {type(e).__name__}: {str(e)[:300]}"
+        return res
+    res["oracle_rows"] = len(d_rows)
+    if d_risky:
+        res["err"] = f"oracle output has DECIMAL/HUGEINT columns {d_risky}"
+        return res
+    sn, sc, sh = frame_signature(s_cols, s_rows)
+    dn, dc, dh = frame_signature(d_cols, d_rows)
+    res["rows_match"] = sn == dn
+    res["schema_match"] = sc == dc
+    res["hash_match"] = (sn, sc, sh) == (dn, dc, dh)
+    if not res["hash_match"]:
+        if sc != dc:
+            res["detail"] = f"cols spark={sc} duckdb={dc}"
+        elif sn != dn:
+            res["detail"] = f"row counts differ: {sn} vs {dn}"
+        else:
+            s_set = set(norm_rows(s_cols, s_rows))
+            d_set = set(norm_rows(d_cols, d_rows))
+            res["detail"] = (
+                f"only-spark sample: {list(s_set - d_set)[:3]}; "
+                f"only-duckdb sample: {list(d_set - s_set)[:3]}"
+            )
+    return res
 
+
+def duck_connect(sf_dir: str):
     import duckdb
 
-    from nhl_data_warehouse_spark.session import get_spark
-    from nhl_data_warehouse_spark.suite import REGISTRY
-
-    spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
 
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--both-scales",
+        action="store_true",
+        help="sweep every name at sf0.01 AND sf0.001 (VERDICT r6 item 6); "
+        "--sf is ignored",
+    )
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write the full per-query result map to this JSON file "
+        "(e.g. ORACLE_SWEEP_r07.json)",
+    )
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from nhl_data_warehouse_spark.session import get_spark, release_cached
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    spark = get_spark(app_name="check_oracle")
+    sf_dirs = (
+        ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+        if args.both_scales
+        else [args.sf]
+    )
     names = args.names or list(REGISTRY)
+    sweep: dict[str, dict] = {}
     failures = []
-    for name in names:
-        # reclaim the previous query's persisted intermediates and
-        # localCheckpoint blocks (LSH bands, capped shingles, oriented
-        # edges, ...) — without this the 130+ collect()s accumulate
-        # heap state and late queries slow down several-fold, the
-        # exact long-running-driver failure bench.py guards against
-        from nhl_data_warehouse_spark.session import release_cached
-
-        release_cached(spark)
-        spec = REGISTRY[name]
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, args.sf)
-            s_cols = sdf.columns
-            s_risky = risky_spark_cols(sdf)
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: spark raised {type(e).__name__}: {str(e)[:300]}")
-            continue
-        if s_risky:
-            # driver-unsafe regardless of values — Spark Decimals keep
-            # their trailing zeros while the driver floats the oracle's
-            failures.append(name)
-            print(f"FAIL  {name}: spark output has DECIMAL columns {s_risky}")
-            continue
-        if spec.oracle is None:
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
-            continue
-        try:
-            d_risky = risky_duck_cols(con, spec.oracle)
-            rel = con.execute(spec.oracle)
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {str(e)[:300]}")
-            continue
-        if d_risky:
-            failures.append(name)
-            print(f"FAIL  {name}: oracle output has DECIMAL/HUGEINT columns {d_risky}")
-            continue
-        sn, sc, sh = frame_signature(s_cols, s_rows)
-        dn, dc, dh = frame_signature(d_cols, d_rows)
-        status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
-        dt = time.time() - t0
-        print(f"{status:5s} {name}: spark {sn} rows, duckdb {dn} rows  [{dt:.1f}s]")
-        if status == "FAIL":
-            failures.append(name)
-            if sc != dc:
-                print(f"      cols spark={sc} duckdb={dc}")
-            elif sn != dn:
-                print(f"      row counts differ: {sn} vs {dn}")
-            else:
-                s_set = set(norm_rows(s_cols, s_rows))
-                d_set = set(norm_rows(d_cols, d_rows))
-                only_s = list(s_set - d_set)[:3]
-                only_d = list(d_set - s_set)[:3]
-                print(f"      only-spark sample: {only_s}")
-                print(f"      only-duckdb sample: {only_d}")
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    for sf_dir in sf_dirs:
+        con = duck_connect(sf_dir)
+        sf_key = os.path.basename(sf_dir.rstrip("/"))
+        for name in names:
+            # reclaim the previous query's persisted intermediates and
+            # localCheckpoint blocks (LSH bands, capped shingles,
+            # oriented edges, ...) — without this the 200+ collect()s
+            # accumulate heap state and late queries slow down
+            # several-fold, the exact long-running-driver failure
+            # bench.py guards against
+            release_cached(spark)
+            t0 = time.time()
+            res = check_one(spark, con, name, REGISTRY[name], sf_dir)
+            dt = time.time() - t0
+            sweep.setdefault(name, {})[sf_key] = res
+            if res["err"] == "no oracle (rows-only)":
+                print(f"rows  {name} @{sf_key}: {res['spark_rows']} rows (no oracle)")
+                continue
+            ok = res["hash_match"] and not res["err"]
+            status = "ok" if ok else "FAIL"
+            print(
+                f"{status:5s} {name} @{sf_key}: spark {res['spark_rows']} rows, "
+                f"duckdb {res['oracle_rows']} rows  [{dt:.1f}s]"
+            )
+            if not ok:
+                failures.append(f"{name}@{sf_key}")
+                print(f"      {res['err'] or res['detail']}")
+        con.close()
+    n_checks = len(names) * len(sf_dirs)
+    print(f"\n{n_checks - len(failures)}/{n_checks} checks match")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "scales": [os.path.basename(d.rstrip("/")) for d in sf_dirs],
+                    "n_queries": len(names),
+                    "n_checks": n_checks,
+                    "n_failures": len(failures),
+                    "failures": failures,
+                    "results": sweep,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        print(f"wrote {args.json_out}")
     return 1 if failures else 0
 
 
