@@ -271,7 +271,13 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
+    # dual-use relation (prefix candidate generation + exact verify):
+    # materialize before fan-out so the two consumers provably share
+    # one shingle computation (VERDICT r6 item 4; the r6 floor drift
+    # itself root-caused to first-execution codegen + ambient noise —
+    # see BASELINE.md "prefix_jaccard_near_dups floor drift")
     sh = dedup.char_shingles(documents, k=SHINGLE_K).persist()
+    sh.count()
     return dedup.prefix_filter_jaccard_pairs(sh, threshold=0.5)
 
 
@@ -4215,7 +4221,13 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle. ~4x cheaper, still 6-12 true pairs at the check scales.
     documents = documents.where(F.col("doc_id") % 2 == 0)
     sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    # materialize the shared shingle relation BEFORE the two arms fan
+    # out (VERDICT r6 item 3): a lazily-persisted frame referenced by
+    # both the LSH arm and the exact-PPJoin truth arm inside ONE final
+    # job lets parallel subtrees race to populate the cache and
+    # recompute the explode; one count() pins it
     sh = sh.persist()
+    sh.count()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(
         sig, n_hashes=N_HASHES, band_size=BAND_SIZE
