@@ -11,7 +11,14 @@ Two families (VERDICT r5 items 6 and the beyond-reference widening):
   (MERGE INTO as a literal SQL statement is verified UNSUPPORTED on
   the bundled catalogs — v1 tables raise
   UNSUPPORTED_FEATURE.TABLE_OPERATION; the DataFrame merge family
-  `merge_upsert_roundtrip` covers the semantics and is driver-green.)
+  `merge_upsert_roundtrip` covers the semantics and is driver-green.
+  Round-7 re-attempt per VERDICT r6 item 7: installing a v2 catalog
+  is impossible in this environment — `import delta` raises
+  ModuleNotFoundError and ivy resolution of
+  `io.delta:delta-spark_2.13:4.0.0` fails offline with
+  `unresolved dependency: io.delta#delta-spark_2.13;4.0.0: not
+  found`; `write.py:merge_upsert_delta` remains the pytest-gated
+  Delta form, terminal state documented.)
 - **Distribution statistics** a training-data pipeline runs on its
   metrics: Mann-Whitney U (nonparametric A/B), two-sample
   Kolmogorov-Smirnov drift, exact-sufficient-statistics OLS with a
