@@ -1102,3 +1102,108 @@ def identifier_clause_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tab": "v_id_orders"},
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: deterministic mode, schema-evolution union
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_mode_values",
+    op_ids="beyond-reference deterministic MODE aggregate: Spark 4's "
+    "built-in mode() picks an arbitrary member of a tie class, so the "
+    "registered form is the determinized idiom — max over "
+    "(count, -value, value) structs on the bounded cents grain — that "
+    "any engine can state exactly (most-frequent value, smallest "
+    "value wins ties); the DuckDB oracle is the equivalent "
+    "ROW_NUMBER pick (arg_max there cannot take a struct either)",
+    description="per event type: the most frequent value (cents "
+    "grain, smallest-value tie-break), its occurrence count, and the "
+    "distinct-value count — one map-side-combined (type, cents) "
+    "count then a 49k-cell max, no window over row-scale data",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+            SELECT event_type, cents, COUNT(*) AS cnt
+            FROM c GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, cents, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY cnt DESC, cents ASC) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+            FROM g
+        )
+        SELECT event_type,
+               CAST(cents AS DOUBLE) / 100.0 AS mode_value,
+               CAST(cnt AS BIGINT) AS mode_count,
+               CAST(n_distinct AS BIGINT) AS n_distinct_values
+        FROM r WHERE rk = 1
+    """,
+)
+def deterministic_mode_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    counts = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("cnt").alias("cnt"),
+            (-F.col("cents")).alias("neg_cents"),
+            F.col("cents").alias("cents"),
+        )
+    )
+    return counts.groupBy("event_type").agg(
+        (best.getField("cents").cast("double") / 100.0).alias("mode_value"),
+        best.getField("cnt").alias("mode_count"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+
+
+@register(
+    "union_by_name_evolution",
+    op_ids="beyond-reference schema-evolution union: "
+    "unionByName(allowMissingColumns=True) aligns two batches whose "
+    "projections drifted (a column added, another dropped, order "
+    "shuffled) by NAME with NULL fill — the ingestion-compat append "
+    "path; DuckDB oracle is the literal UNION ALL BY NAME",
+    description="1994 orders (with price) unioned by name with 1995 "
+    "orders (with date instead) — missing columns NULL-filled, "
+    "alignment by name not position; keys thinned with %50 for a "
+    "bounded result",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1995-01-01'
+          AND o_orderkey % 50 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderkey % 50 = 0
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    thinned = orders.where(F.col("o_orderkey") % 50 == 0)
+    a = thinned.where(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    b = thinned.where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)

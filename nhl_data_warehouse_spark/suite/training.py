@@ -4660,3 +4660,163 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = load(spark, sf_dir, "documents")
     return length_bucket_padding_stats(documents, weight_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: membership pre-filter + cheap-LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_membership_prefilter",
+    op_ids="beyond-reference approximate-membership pre-filter: a "
+    "deterministic Bloom filter materialized as a (word, bits) bitmap "
+    "RELATION (bit_or aggregate; md5-window hashing, no RNG) probed "
+    "by the incoming batch before the exact batch-vs-history "
+    "anti-join — the lakehouse short-circuit that lets "
+    "definitely-new rows skip the full-history shuffle. OSS Spark's "
+    "internal bloom_filter_agg/might_contain pair is not "
+    "SQL-registrable in 4.1 and its bit layout is engine-private; "
+    "this relation form is engine-portable, so the oracle reproduces "
+    "the filter bit for bit — including its false positives",
+    description="history docs (doc_id%3!=0) build a 4096-bit k=3 "
+    "Bloom bitmap over md5(text); the probe batch (doc_id%3==0) is "
+    "classified maybe-seen/definitely-new; exact fingerprint truth "
+    "yields the false-positive count and pins the zero-false-negative "
+    "contract — every number exact cross-engine because the hash "
+    "positions are md5-derived, not RNG-derived",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, md5(text) AS fp, doc_id % 3 = 0 AS is_probe
+            FROM documents
+        ),
+        hist AS (SELECT DISTINCT fp FROM fp WHERE NOT is_probe),
+        hpos AS (
+            SELECT {_hex_int_sql("substring(fp, 1 + 8*i, 8)", 8)} % 4096 AS pos
+            FROM hist, (SELECT unnest(generate_series(0, 2)) AS i)
+        ),
+        bloom AS (
+            SELECT pos // 64 AS word,
+                   bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INTEGER))
+                       AS bits
+            FROM hpos GROUP BY 1
+        ),
+        ppos AS (
+            SELECT doc_id,
+                   {_hex_int_sql("substring(fp, 1 + 8*i, 8)", 8)} % 4096 AS pos
+            FROM fp, (SELECT unnest(generate_series(0, 2)) AS i)
+            WHERE is_probe
+        ),
+        verdict AS (
+            SELECT doc_id,
+                   bool_and(bits IS NOT NULL AND (bits &
+                       (CAST(1 AS UBIGINT) << CAST(pos % 64 AS INTEGER))) <> 0)
+                       AS bloom_member
+            FROM ppos LEFT JOIN bloom ON bloom.word = ppos.pos // 64
+            GROUP BY doc_id
+        ),
+        truth AS (
+            SELECT doc_id, fp IN (SELECT fp FROM hist) AS is_dup
+            FROM fp WHERE is_probe
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_member,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_dups,
+               CAST(SUM(CASE WHEN bloom_member AND NOT is_dup THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_false_positives,
+               bool_and(NOT is_dup OR bloom_member) AS no_false_negatives
+        FROM verdict JOIN truth USING (doc_id)
+    """,
+)
+def bloom_membership_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4096-bit filter is deliberately small so the check scales
+    exercise the false-positive path (a right-sized production filter
+    uses m ~ 16n bits for ~3% FPR at k=3 and stays a relation —
+    operators/membership.py docstring has the 2^33-bit sizing). The
+    no_false_negatives boolean is structural (recorded keys always
+    hit), so a True here plus an exact n_false_positives match means
+    the oracle rebuilt the identical bitmap."""
+    from nhl_data_warehouse_spark.operators import membership
+
+    m_bits, k = 4096, 3
+    (documents,) = load(spark, sf_dir, "documents")
+    history = documents.where(F.col("doc_id") % 3 != 0)
+    probe = documents.where(F.col("doc_id") % 3 == 0)
+    bloom = membership.bloom_build(
+        history.select("text"), "text", m_bits=m_bits, k=k
+    )
+    verdicts = membership.bloom_probe(
+        probe, bloom, key_col="text", id_col="doc_id", m_bits=m_bits, k=k
+    )
+    hist_fp = history.select(F.md5("text").alias("fp")).distinct()
+    truth = (
+        probe.select("doc_id", F.md5("text").alias("fp"))
+        .join(hist_fp.withColumn("__seen", F.lit(True)), on="fp", how="left")
+        .select(
+            "doc_id", F.coalesce("__seen", F.lit(False)).alias("is_dup")
+        )
+    )
+    return verdicts.join(truth, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.col("bloom_member").cast("long")).alias("n_bloom_member"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_true_dups"),
+        F.sum((F.col("bloom_member") & ~F.col("is_dup")).cast("long")).alias(
+            "n_false_positives"
+        ),
+        F.bool_and(~F.col("is_dup") | F.col("bloom_member")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+@register(
+    "bigram_lm_quality",
+    op_ids="beyond-reference cheap-LM quality scoring (CCNet-style: "
+    "an add-one-smoothed corpus bigram LM scores every document; the "
+    "lowest average log-probability documents are the gibberish/"
+    "boilerplate/wrong-language candidates a KenLM perplexity filter "
+    "would flag). Integer micro-nat sufficient statistics make the "
+    "per-doc mean bit-stable cross-engine",
+    description="bottom-20 documents by average bigram log-probability "
+    "under the corpus bigram LM (add-1 smoothing; lp rounded to "
+    "integer micro-nats so per-doc sums are exact BIGINTs; mean is "
+    "one final double division)",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        bi AS (
+            SELECT doc_id,
+                   list_slice(arr, i, i + 1)[1] AS w1,
+                   array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+        ),
+        c_bi AS (SELECT gram, COUNT(*) AS c_ab FROM bi GROUP BY 1),
+        uni AS (SELECT unnest(arr) AS w FROM docs),
+        c_uni AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        vocab AS (SELECT COUNT(*) AS v FROM c_uni),
+        scored AS (
+            SELECT doc_id,
+                   CAST(round(ln(CAST(c_ab + 1 AS DOUBLE)
+                                 / CAST(c_w + v AS DOUBLE)) * 1000000.0, 0)
+                        AS BIGINT) AS lp_micro
+            FROM bi
+            JOIN c_bi USING (gram)
+            JOIN c_uni ON c_uni.w = bi.w1
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp_micro) AS DOUBLE)
+                   / CAST(COUNT(*) * 1000000 AS DOUBLE) AS avg_logprob
+        FROM scored GROUP BY doc_id
+        ORDER BY avg_logprob ASC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    scores = text.bigram_lm_doc_scores(documents)
+    return scores.orderBy(
+        F.col("avg_logprob").asc(), F.col("doc_id").asc()
+    ).limit(20)
