@@ -70,58 +70,55 @@ def test_every_registered_query_builds_a_plan(spark):
 
 
 def test_driver_window_composition():
-    """The external driver checks the first ~50 registered queries;
-    round 6's priority list is (a) every query without a HASH-green
-    driver CORRECTNESS row in rounds 1-5 — the 8 round-5 spillovers
-    plus the 3 sketch queries whose earlier rows were the weaker
-    rows-only kind before their round-6 tolerance-band reshape — and
-    (b) the round-6 additions, so no already-green query may occupy a
-    priority slot ahead of one still waiting for its verdict — an
-    accidental import reorder silently forfeits driver verdicts.
-    Derived from CORRECTNESS_r0{1..5}.json exactly like COVERAGE.md's
-    driver-verdict history."""
+    """The external driver checks the first ~50 registered queries.
+    From round 7 on, every query has been driver-green at least once
+    (VERDICT r6), so the window's job switches to STALEST-FIRST
+    re-verification: the priority list must be exactly the queries
+    whose most recent hash-green driver verdict is oldest (rounds 1-2
+    as of round 7), ordered stalest round first — and queries added
+    AFTER the last driver round (no CORRECTNESS row yet) must sit
+    BEHIND the window, never inside it, so they wait their turn at the
+    back of the rotation queue. Derived from CORRECTNESS_r0*.json
+    exactly like COVERAGE.md's driver-verdict history."""
     import json
+    import re
     from pathlib import Path
 
     from nhl_data_warehouse_spark.suite import _PRIORITY, REGISTRY
 
     repo = Path(__file__).resolve().parents[1]
-    green = set()
-    for n in range(1, 6):
-        p = repo / f"CORRECTNESS_r0{n}.json"
-        if not p.exists():
-            continue
+    last_green: dict[str, int] = {}
+    for p in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
         for name, row in json.loads(p.read_text()).items():
             if (
                 row.get("hash_match")
                 and row.get("rows_match")
                 and row.get("schema_match")
             ):
-                green.add(name)
-    not_green = [n for n in REGISTRY if n not in green]
-    assert sorted(_PRIORITY) == sorted(not_green), (
-        "priority list must be exactly the not-yet-hash-green set; "
-        f"missing={sorted(set(not_green) - set(_PRIORITY))} "
-        f"extra={sorted(set(_PRIORITY) - set(not_green))}"
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    assert last_green, "no driver CORRECTNESS artifacts found"
+    checked = [n for n in REGISTRY if n in last_green]
+    stalest_cut = sorted({last_green[n] for n in checked})[:2]
+    expected = [n for n in checked if last_green[n] in stalest_cut]
+    assert sorted(_PRIORITY) == sorted(expected), (
+        "priority list must be exactly the two stalest last-green "
+        f"cohorts {stalest_cut}; "
+        f"missing={sorted(set(expected) - set(_PRIORITY))} "
+        f"extra={sorted(set(_PRIORITY) - set(expected))}"
     )
     assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
-    # the window must lead with the round-5 spillover + reshaped
-    # sketches, in slots 1-11 exactly
-    assert list(REGISTRY)[:11] == [
-        "fim_split_documents",
-        "length_bucket_padding",
-        "cusum_revenue_drift",
-        "grouped_hybrid_quantiles",
-        "sql_udf_price_tiers",
-        "collated_segment_counts",
-        "schema_evolution_read",
-        "lateral_topk_orders",
-        "approx_distinct_users",
-        "approx_value_percentiles",
-        "hll_sketch_merge_rollup",
-    ]
-    # and the whole backlog must fit the ~50-query window
-    assert len(_PRIORITY) <= 50, len(_PRIORITY)
+    # stalest cohort strictly first inside the window
+    rounds_in_order = [last_green[n] for n in _PRIORITY]
+    assert rounds_in_order == sorted(rounds_in_order), (
+        "window must be ordered stalest-first"
+    )
+    # never-driver-checked queries (added this round) stay behind
+    window = set(list(REGISTRY)[:50])
+    new_queries = [n for n in REGISTRY if n not in last_green]
+    assert not (window & set(new_queries)), (
+        f"new queries must queue at the back: {window & set(new_queries)}"
+    )
 
 
 def test_no_toplevel_array_or_map_in_oracle_less_schemas(spark):
