@@ -599,67 +599,6 @@ def pmi_bigrams(
     )
 
 
-def bigram_lm_doc_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-document average bigram log-probability under an add-one
-    smoothed corpus bigram language model — the CCNet-style "train a
-    cheap LM on the corpus, flag the documents the LM finds
-    improbable" quality signal (Wenzek et al. 2020 score with a
-    KenLM stand-in the engine can compute exactly): for each bigram
-    (a, b), lp = ln((c(ab) + 1) / (c(a) + V)) with V the unigram
-    vocabulary size; a document's score is the mean lp over its
-    bigram slots. Low scores = rare transitions = gibberish,
-    boilerplate, or wrong-language text.
-
-    Determinism contract (cross-engine bit-stability): lp is ONE
-    fixed-order expression — integer counts cast to double, one
-    division, one ln — rounded to integer MICRO-nats
-    (round(lp * 1e6)), so the per-doc reduction is an exact BIGINT
-    sum (no double accumulation order, no decimal-scale cast
-    divergence); the mean divides the micro-sum by (n_bigrams * 1e6)
-    as the final single double op.
-
-    Scale: two map-side-combined gram aggregates (bigram, unigram)
-    plus a 1-row V broadcast; the per-doc join fans each bigram slot
-    to exactly one count row each — everything shuffles on hashed
-    gram keys or the doc id, never raw text. The model is O(distinct
-    bigrams) and reusable: materialize ``c_bi``/``c_uni`` once per
-    corpus snapshot and score incoming batches against them.
-    """
-    slots = df.select(
-        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("gram")
-    )
-    slots = slots.persist()  # feeds the model counts AND the scoring join
-    c_bi = slots.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = df.select(F.explode(_ws_tokens(text_col)).alias("w"))
-    uni = uni.persist()  # per-term counts + vocabulary size
-    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    vocab = c_uni.agg(F.count(F.lit(1)).alias("v"))
-    lp_micro = F.round(
-        F.log(
-            (F.col("c_ab") + 1).cast("double")
-            / (F.col("c_w") + F.col("v")).cast("double")
-        )
-        * 1000000.0,
-        0,
-    ).cast("long")
-    scored = (
-        slots.withColumn("w1", F.split("gram", " ").getItem(0))
-        .join(c_bi, on="gram")
-        .join(c_uni.withColumnRenamed("w", "w1"), on="w1")
-        .join(F.broadcast(vocab))
-        .select(id_col, lp_micro.alias("lp_micro"))
-    )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (
-            F.sum("lp_micro").cast("double")
-            / (F.count(F.lit(1)) * 1000000).cast("double")
-        ).alias("avg_logprob"),
-    )
-
-
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:

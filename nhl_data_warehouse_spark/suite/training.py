@@ -4769,54 +4769,3 @@ def bloom_membership_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
     )
-
-
-@register(
-    "bigram_lm_quality",
-    op_ids="beyond-reference cheap-LM quality scoring (CCNet-style: "
-    "an add-one-smoothed corpus bigram LM scores every document; the "
-    "lowest average log-probability documents are the gibberish/"
-    "boilerplate/wrong-language candidates a KenLM perplexity filter "
-    "would flag). Integer micro-nat sufficient statistics make the "
-    "per-doc mean bit-stable cross-engine",
-    description="bottom-20 documents by average bigram log-probability "
-    "under the corpus bigram LM (add-1 smoothing; lp rounded to "
-    "integer micro-nats so per-doc sums are exact BIGINTs; mean is "
-    "one final double division)",
-    oracle=f"""
-        WITH {_DOCS_ARR_CTE},
-        bi AS (
-            SELECT doc_id,
-                   list_slice(arr, i, i + 1)[1] AS w1,
-                   array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
-            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
-        ),
-        c_bi AS (SELECT gram, COUNT(*) AS c_ab FROM bi GROUP BY 1),
-        uni AS (SELECT unnest(arr) AS w FROM docs),
-        c_uni AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
-        vocab AS (SELECT COUNT(*) AS v FROM c_uni),
-        scored AS (
-            SELECT doc_id,
-                   CAST(round(ln(CAST(c_ab + 1 AS DOUBLE)
-                                 / CAST(c_w + v AS DOUBLE)) * 1000000.0, 0)
-                        AS BIGINT) AS lp_micro
-            FROM bi
-            JOIN c_bi USING (gram)
-            JOIN c_uni ON c_uni.w = bi.w1
-            CROSS JOIN vocab
-        )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(lp_micro) AS DOUBLE)
-                   / CAST(COUNT(*) * 1000000 AS DOUBLE) AS avg_logprob
-        FROM scored GROUP BY doc_id
-        ORDER BY avg_logprob ASC, doc_id ASC
-        LIMIT 20
-    """,
-)
-def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = load(spark, sf_dir, "documents")
-    scores = text.bigram_lm_doc_scores(documents)
-    return scores.orderBy(
-        F.col("avg_logprob").asc(), F.col("doc_id").asc()
-    ).limit(20)

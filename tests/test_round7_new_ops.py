@@ -1,12 +1,8 @@
-"""Round-7 operators: deterministic Bloom membership relation and the
-add-1-smoothed corpus bigram LM document scorer."""
-
-import math
+"""Round-7 operators: deterministic Bloom membership relation."""
 
 from pyspark.sql import functions as F
 
 from nhl_data_warehouse_spark.operators.membership import bloom_build, bloom_probe
-from nhl_data_warehouse_spark.operators.text import bigram_lm_doc_scores
 
 
 class TestBloomMembership:
@@ -47,42 +43,3 @@ class TestBloomMembership:
         assert b1 == b2
         # word ids stay inside the bitmap
         assert all(0 <= w < 256 // 64 for w, _ in b1)
-
-
-class TestBigramLM:
-    def test_matches_naive_reference(self, spark):
-        docs = [
-            (1, "the cat sat on the mat"),
-            (2, "the cat sat"),
-            (3, "dog dog dog dog"),
-            (4, "one"),  # no bigram slots -> excluded
-        ]
-        df = spark.createDataFrame(docs, "doc_id long, text string")
-        out = {r.doc_id: r for r in bigram_lm_doc_scores(df).collect()}
-
-        # naive single-node model
-        toks = {d: t.split() for d, t in docs}
-        bigrams = {
-            d: list(zip(ts, ts[1:])) for d, ts in toks.items() if len(ts) > 1
-        }
-        from collections import Counter
-
-        c_bi = Counter(b for bs in bigrams.values() for b in bs)
-        c_uni = Counter(t for ts in toks.values() for t in ts)
-        v = len(c_uni)
-
-        assert set(out) == set(bigrams)
-        for d, bs in bigrams.items():
-            micros = [
-                round(math.log((c_bi[b] + 1) / (c_uni[b[0]] + v)) * 1e6)
-                for b in bs
-            ]
-            assert out[d].n_bigrams == len(bs)
-            assert out[d].avg_logprob == sum(micros) / (len(bs) * 1e6)
-
-    def test_rare_transitions_score_lower(self, spark):
-        rows = [(i, "a b a b a b") for i in range(20)]
-        rows.append((99, "zz qq xx yy"))  # all-novel transitions
-        df = spark.createDataFrame(rows, "doc_id long, text string")
-        out = {r.doc_id: r.avg_logprob for r in bigram_lm_doc_scores(df).collect()}
-        assert out[99] < min(v for d, v in out.items() if d != 99)
