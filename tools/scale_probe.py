@@ -76,6 +76,14 @@ PROBES = [
     "bitmap_retention_rollup",
     "session_window_stats",
     "pareto_frontier_orders",
+    # round-7 additions: the Bloom membership pre-filter (build is
+    # linear in history keys into a FIXED-size bitmap relation; probe
+    # is linear in batch keys — expectation ~linear overall, with the
+    # constant-size bitmap join staying broadcast at every factor) and
+    # the deterministic mode (bounded cents-grain reduction — expected
+    # ~flat like the other 49k-cell statistics)
+    "bloom_membership_prefilter",
+    "deterministic_mode_values",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
