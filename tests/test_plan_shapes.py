@@ -436,3 +436,45 @@ def test_interval_lookup_join_is_equi(spark, registry):
     plan = plan_of(registry["price_band_lookup_join"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_membership_plan_shape(spark, registry):
+    """The membership pre-filter's scale invariants: the bitmap build
+    is a partial-aggregated bit_or (map-side combine before its one
+    shuffle), the probe joins the bitmap by hash (broadcast while the
+    filter is small — never nested-loop: a theta-join here would scan
+    the bitmap per key), and no stage is cartesian."""
+    plan = plan_of(registry["bloom_membership_prefilter"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "bitmap probe must hash-join"
+    # bit_or must partial-aggregate: a partial_bitor before the word
+    # exchange means set bits combine map-side, so the build shuffle
+    # carries at most m/64 rows per mapper regardless of key count
+    assert "partial_bitor" in plan.replace("_", "").replace(
+        "partialbitor", "partial_bitor"
+    ) or "partial_bit_or" in plan or "partial_bitor" in plan, plan[:400]
+
+
+def test_deterministic_mode_stays_on_bounded_grain(spark, registry):
+    """Mode reduces (type, cents) -> struct-max: two keyed aggregates,
+    both map-side combined; no window (a row_number over row-scale
+    data is the regression this pins against) and no sort exchange."""
+    plan = plan_of(registry["deterministic_mode_values"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    # struct-max is not hash-aggregable, so the final reduction plans
+    # as SortAggregate — what matters is that BOTH aggregates combine
+    # map-side (partial_* before their exchange) and the sort runs
+    # over the bounded grain, not the raw rows
+    assert "partial_max" in plan and "partial_count" in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_union_by_name_is_metadata_only(spark, registry):
+    """Schema-evolution union must not shuffle: alignment by name is
+    a projection over each branch, then a Union node."""
+    plan = plan_of(registry["union_by_name_evolution"].fn(spark, SF))
+    assert "Union" in plan
+    assert "Exchange" not in plan, "unionByName must stay shuffle-free"
