@@ -4769,3 +4769,95 @@ def bloom_membership_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
     )
+
+
+@register(
+    "approx_topk_heavy_hitters",
+    op_ids="beyond-reference heavy-hitters sketch (Spark 4 "
+    "approx_top_k — Space-Saving family), completing the sketch "
+    "matrix alongside Count-Min, HLL and the KLL-style percentile "
+    "sketch. Checked the tolerance-band way with an EXACTNESS-REGIME "
+    "claim: Space-Saving with tracking capacity >= the distinct-item "
+    "count is provably exact, so with maxItemsTracked=10000 over a "
+    "sub-1000-bigram vocabulary every sketched count must equal the "
+    "exact count and no strictly-dominant item may be missing — both "
+    "engine-independent booleans; the exact scalars (distinct grams, "
+    "max count, k-th count) hash-match directly",
+    description="top-10 word-bigram heavy hitters via approx_top_k, "
+    "emitted as exact corpus scalars plus two exactness-regime "
+    "booleans (sketch counts == exact counts; every bigram strictly "
+    "above the k-th count is in the sketch set)",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        bi AS (
+            SELECT array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+        ),
+        c AS (SELECT gram, COUNT(*) AS c FROM bi GROUP BY 1),
+        k AS (SELECT MIN(c) AS kth FROM (SELECT c FROM c ORDER BY c DESC LIMIT 10))
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_distinct_grams,
+               (SELECT CAST(MAX(c) AS BIGINT) FROM c) AS max_count,
+               (SELECT CAST(kth AS BIGINT) FROM k) AS kth_count,
+               TRUE AS topk_counts_exact,
+               TRUE AS topk_dominates
+    """,
+)
+def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both arms share the persisted exact-count relation; the sketch
+    runs once over the exploded grams. At corpus scale the production
+    form keeps ONLY the sketch arm (one partial-aggregated pass, state
+    = maxItemsTracked entries per partition merged once); the exact
+    arm here is the eval's ground truth, same pattern as
+    ``lsh_candidate_quality``."""
+    from nhl_data_warehouse_spark.operators.text import _word_bigrams
+
+    k_top = 10
+    (documents,) = load(spark, sf_dir, "documents")
+    grams = documents.select(F.explode(_word_bigrams("text")).alias("gram"))
+    grams = grams.persist()
+    grams.count()  # materialize before the sketch/exact fan-out
+    sketch = (
+        grams.agg(F.expr(f"approx_top_k(gram, {k_top}, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("gram"), F.col("e.count").alias("sk_count")
+        )
+    )
+    exact = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    exact = exact.persist()
+    kth = (
+        exact.orderBy(F.col("c").desc(), F.col("gram"))
+        .limit(k_top)
+        .agg(F.min("c").alias("kth"))
+    )
+    scalars = exact.agg(
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("c").alias("max_count"),
+    ).crossJoin(kth.select(F.col("kth").alias("kth_count")))
+    counts_exact = (
+        sketch.join(exact, on="gram", how="left")
+        .agg(
+            F.bool_and(
+                F.col("c").isNotNull() & (F.col("sk_count") == F.col("c"))
+            ).alias("ok"),
+            F.count(F.lit(1)).alias("n_sk"),
+        )
+        .select((F.col("ok") & (F.col("n_sk") == k_top)).alias("topk_counts_exact"))
+    )
+    dominates = (
+        exact.crossJoin(F.broadcast(kth))
+        .where(F.col("c") > F.col("kth"))
+        .join(sketch.select("gram", F.lit(True).alias("__in_sk")), "gram", "left")
+        .agg(F.bool_and(F.col("__in_sk").isNotNull()).alias("topk_dominates"))
+    )
+    return (
+        scalars.crossJoin(F.broadcast(counts_exact))
+        .crossJoin(F.broadcast(dominates))
+        .select(
+            "n_distinct_grams",
+            "max_count",
+            "kth_count",
+            "topk_counts_exact",
+            "topk_dominates",
+        )
+    )
