@@ -4824,7 +4824,10 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    # four consumer subtrees (kth, scalars, counts_exact, dominates)
+    # share one final job — materialize so they can't race the cache
     exact = exact.persist()
+    exact.count()
     kth = (
         exact.orderBy(F.col("c").desc(), F.col("gram"))
         .limit(k_top)
