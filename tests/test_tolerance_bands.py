@@ -133,3 +133,51 @@ class TestPercentileRankBands:
         ).collect()
         assert rows
         assert all(not r.p50_in_bounds and not r.p95_in_bounds for r in rows)
+
+
+class TestHeavyHitterExactnessRegime:
+    def test_real_sketch_exact_in_regime(self, spark):
+        from nhl_data_warehouse_spark.suite import REGISTRY
+
+        (row,) = REGISTRY["approx_topk_heavy_hitters"].fn(spark, SF_DIR).collect()
+        assert row.topk_counts_exact and row.topk_dominates
+        # the regime precondition itself: capacity >= distinct items
+        assert row.n_distinct_grams <= 10000
+
+    def test_corrupt_counts_flip_the_boolean(self, spark):
+        # a sketch that under-counts (count - 1) must fail the
+        # counts-exact check; one that drops the top item must fail
+        # the dominance check
+        from nhl_data_warehouse_spark.operators.text import _word_bigrams
+        from nhl_data_warehouse_spark.suite.core import load
+
+        (documents,) = load(spark, SF_DIR, "documents")
+        grams = documents.select(F.explode(_word_bigrams("text")).alias("gram"))
+        exact = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).persist()
+        exact.count()
+        top = exact.orderBy(F.col("c").desc(), F.col("gram")).limit(10)
+        kth = top.agg(F.min("c").alias("kth"))
+
+        corrupt_counts = top.select("gram", (F.col("c") - 1).alias("sk_count"))
+        bad_exact = (
+            corrupt_counts.join(exact, "gram", "left")
+            .agg(F.bool_and(F.col("sk_count") == F.col("c")).alias("ok"))
+            .first()
+            .ok
+        )
+        assert bad_exact is False
+
+        # drop the single most frequent gram from the sketch set
+        first = top.orderBy(F.col("c").desc(), F.col("gram")).first().gram
+        dropped = top.where(F.col("gram") != first).select(
+            "gram", F.lit(True).alias("__in_sk")
+        )
+        dominates = (
+            exact.crossJoin(F.broadcast(kth))
+            .where(F.col("c") > F.col("kth"))
+            .join(dropped, "gram", "left")
+            .agg(F.bool_and(F.col("__in_sk").isNotNull()).alias("ok"))
+            .first()
+            .ok
+        )
+        assert dominates is False
