@@ -140,3 +140,24 @@ def test_round6_ops_accept_empty(spark):
     out = linear_interpolate(grid, "k", "day", "v")
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["k", "day", "value_interp", "is_gap"]
+
+
+def test_round7_ops_accept_empty(spark):
+    from nhl_data_warehouse_spark.operators import membership
+
+    keys = _empty(spark, "k string")
+    bloom = membership.bloom_build(keys, "k", m_bits=256, k=2)
+    assert bloom.count() == 0  # empty history -> empty bitmap relation
+    probe = _empty(spark, "pid long, k string")
+    assert (
+        membership.bloom_probe(
+            probe, bloom, key_col="k", id_col="pid", m_bits=256, k=2
+        ).count()
+        == 0
+    )
+    # non-empty probe against an EMPTY bitmap: everything definitely-new
+    probe2 = spark.createDataFrame([(1, "x"), (2, "y")], "pid long, k string")
+    rows = membership.bloom_probe(
+        probe2, bloom, key_col="k", id_col="pid", m_bits=256, k=2
+    ).collect()
+    assert len(rows) == 2 and all(not r.bloom_member for r in rows)
