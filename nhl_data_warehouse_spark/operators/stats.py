@@ -135,3 +135,46 @@ def ks_two_sample(
             "CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
         ).alias("d_stat"),
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney identity: AUC =
+    P(score_pos > score_neg) + P(tie)/2 = U1 / (n_pos * n_neg), with
+    midranks handling ties — the standard rank form (no trapezoid
+    sweep, no threshold grid; they coincide exactly for step ROCs).
+
+    Same sufficient-statistic discipline as ``mann_whitney_u``: scores
+    collapse to the fixed-point grain (``round(score * scale)``), twice
+    the positive rank sum is the integer 2*R1 = sum(n1(c) * (2*cum(c)
+    + n(c) + 1)), and AUC is ONE double division of exact integers:
+    (2*R1 - n_pos*(n_pos+1)) / (2*n_pos*n_neg). The grain is part of
+    the metric's definition here (1e-6 on sigmoid scores loses nothing
+    — 6-dp-rounded scores map to distinct cells exactly), which is what
+    makes the value bit-reproducible on any engine or partitioning.
+
+    Scale: the histogram is one map-side-combined aggregate; the
+    cumulative window orders score CELLS (<= scale+1 of them for
+    scores in [0, 1]), never rows. One row out:
+    (n_pos, n_neg, auc).
+    """
+    hist = _cents_histogram(df, score_col, is_positive, scale)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("cumn", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    stats = cum.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        (F.sum("nv") - F.sum("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cumn") + F.col("nv") + 1))
+        .cast("long")
+        .alias("r2"),
+    )
+    return stats.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        F.expr("CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)")
+        .alias("auc"),
+    )

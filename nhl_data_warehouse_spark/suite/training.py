@@ -4449,18 +4449,11 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "classifier_calibration_bins",
-    op_ids="beyond-reference model evaluation: calibration/reliability "
-    "bins of the quality classifier against the heuristic gate "
-    "(predicted-score deciles vs empirical positive rate — the "
-    "is-the-score-a-probability check before thresholding a corpus "
-    "on it); two keyed aggregates, decimal-exact mean score",
-    description="10 equal-width score bins: row count, decimal-exact "
-    "mean predicted quality score, and the empirical rate of "
-    "heuristically-good documents (quality_decile >= 6) per bin",
-    oracle=f"""
-        WITH toks AS (
+# shared oracle CTE chain: the hashed-linear classifier's predicted
+# quality_score (pred) and the heuristic-gate label (labels) — used
+# verbatim by classifier_calibration_bins AND classifier_auc_eval so
+# the two evals provably score the same model against the same labels
+_HLQ_EVAL_CTES = f"""toks AS (
             SELECT doc_id,
                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
             FROM documents
@@ -4511,7 +4504,21 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND sum_tok_len <= 10 * n_tokens
                            THEN 2 ELSE 0 END) >= 6 AS is_good
             FROM feats
-        )
+        )"""
+
+
+@register(
+    "classifier_calibration_bins",
+    op_ids="beyond-reference model evaluation: calibration/reliability "
+    "bins of the quality classifier against the heuristic gate "
+    "(predicted-score deciles vs empirical positive rate — the "
+    "is-the-score-a-probability check before thresholding a corpus "
+    "on it); two keyed aggregates, decimal-exact mean score",
+    description="10 equal-width score bins: row count, decimal-exact "
+    "mean predicted quality score, and the empirical rate of "
+    "heuristically-good documents (quality_decile >= 6) per bin",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES}
         SELECT CAST(LEAST(CAST(floor(quality_score * 10) AS BIGINT), 9)
                     AS INT) AS score_bin,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4864,3 +4871,60 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topk_dominates",
         )
     )
+
+
+@register(
+    "classifier_auc_eval",
+    op_ids="beyond-reference model evaluation: exact ROC AUC of the "
+    "quality classifier against the heuristic gate via the "
+    "Mann-Whitney identity (AUC = U1/(n_pos*n_neg), midrank ties) — "
+    "the threshold-free companion to classifier_calibration_bins, "
+    "sharing its pred/labels relations verbatim; all-integer rank "
+    "sufficient statistics on the micro-score grain, AUC is one "
+    "double division so the value is bit-stable cross-engine",
+    description="ROC AUC (exact, tie-aware) of the hashed-linear "
+    "quality score against the heuristic-quality label, plus the "
+    "class sizes",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        scored AS (
+            SELECT CAST(round(quality_score * 1000000) AS BIGINT) AS c,
+                   is_good
+            FROM pred JOIN labels USING (doc_id)
+        ),
+        hist AS (
+            SELECT c, COUNT(*) AS nv,
+                   SUM(CASE WHEN is_good THEN 1 ELSE 0 END) AS n1v
+            FROM scored GROUP BY c
+        ),
+        cum AS (
+            SELECT nv, n1v,
+                   COALESCE(SUM(nv) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumn
+            FROM hist
+        ),
+        st AS (
+            SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+                   CAST(SUM(nv) - SUM(n1v) AS BIGINT) AS n2,
+                   CAST(SUM(n1v * (2 * cumn + nv + 1)) AS BIGINT) AS r2
+            FROM cum
+        )
+        SELECT n1 AS n_pos, n2 AS n_neg,
+               CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                   / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+        FROM st
+    """,
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import rank_auc
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return rank_auc(joined, "quality_score", F.col("is_good"), scale=1_000_000)

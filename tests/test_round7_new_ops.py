@@ -43,3 +43,42 @@ class TestBloomMembership:
         assert b1 == b2
         # word ids stay inside the bitmap
         assert all(0 <= w < 256 // 64 for w, _ in b1)
+
+
+class TestRankAuc:
+    def test_matches_naive_pairwise(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import rank_auc
+
+        rows = [
+            (0.9, True), (0.8, True), (0.8, False), (0.7, True),
+            (0.5, False), (0.5, False), (0.5, True), (0.2, False),
+            (0.1, False), (0.9, False),
+        ]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        (out,) = rank_auc(df, "s", F.col("y"), scale=100).collect()
+
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos
+            for n in neg
+        )
+        assert out.n_pos == len(pos) and out.n_neg == len(neg)
+        assert out.auc == wins / (len(pos) * len(neg))
+
+    def test_degenerate_and_perfect(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import rank_auc
+
+        perfect = spark.createDataFrame(
+            [(0.9, True), (0.8, True), (0.2, False)], "s double, y boolean"
+        )
+        assert rank_auc(perfect, "s", F.col("y")).first().auc == 1.0
+        inverted = spark.createDataFrame(
+            [(0.1, True), (0.9, False)], "s double, y boolean"
+        )
+        assert rank_auc(inverted, "s", F.col("y")).first().auc == 0.0
+        all_tied = spark.createDataFrame(
+            [(0.5, True), (0.5, False), (0.5, True)], "s double, y boolean"
+        )
+        assert all_tied and rank_auc(all_tied, "s", F.col("y")).first().auc == 0.5
