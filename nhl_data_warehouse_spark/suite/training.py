@@ -4928,3 +4928,88 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = pred.join(labels, on="doc_id")
     return rank_auc(joined, "quality_score", F.col("is_good"), scale=1_000_000)
+
+
+@register(
+    "lang_id_cohens_kappa",
+    op_ids="beyond-reference model evaluation: Cohen's kappa of the "
+    "language-ID heuristic vs the gold lang column — chance-corrected "
+    "agreement from the same confusion relation lang_id_confusion "
+    "reports, reduced to ALL-INTEGER sufficient statistics: kappa = "
+    "(n*diag - sum_k row_k*col_k) / (n^2 - sum_k row_k*col_k), one "
+    "double division at the edge (bit-stable cross-engine); the "
+    "label-marginal join carries one row per language",
+    description="Cohen's kappa, raw agreement count, and doc total "
+    "for lang-ID vs gold labels — the label-quality QA number that "
+    "discounts agreement expected by chance",
+    oracle=f"""
+        WITH preds AS ({_lang_id_oracle()}),
+        joined AS (
+            SELECT d.lang AS true_lang, p.pred_lang
+            FROM documents d JOIN preds p USING (doc_id)
+        ),
+        cells AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM joined GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM cells
+        ),
+        rows_ AS (SELECT true_lang AS k, SUM(n) AS row_n FROM cells GROUP BY 1),
+        cols_ AS (SELECT pred_lang AS k, SUM(n) AS col_n FROM cells GROUP BY 1),
+        rc AS (
+            SELECT CAST(COALESCE(SUM(row_n * col_n), 0) AS BIGINT) AS rc_sum
+            FROM rows_ JOIN cols_ USING (k)
+        )
+        SELECT n_docs, n_agree,
+               CAST(n_docs * n_agree - rc_sum AS DOUBLE)
+                   / CAST(n_docs * n_docs - rc_sum AS DOUBLE) AS kappa
+        FROM st CROSS JOIN rc
+    """,
+)
+def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    preds = text.lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, on="doc_id"
+    )
+    cells = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = cells.persist()
+    cells.count()  # three consumer subtrees share one final job
+    st = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows_ = cells.groupBy(F.col("true_lang").alias("k")).agg(
+        F.sum("n").alias("row_n")
+    )
+    cols_ = cells.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.sum("n").alias("col_n")
+    )
+    rc = (
+        rows_.join(cols_, on="k")
+        .agg(
+            F.coalesce(F.sum(F.col("row_n") * F.col("col_n")), F.lit(0))
+            .cast("long")
+            .alias("rc_sum")
+        )
+    )
+    return st.crossJoin(F.broadcast(rc)).select(
+        "n_docs",
+        "n_agree",
+        F.expr(
+            "CAST(n_docs * n_agree - rc_sum AS DOUBLE)"
+            " / CAST(n_docs * n_docs - rc_sum AS DOUBLE)"
+        ).alias("kappa"),
+    )
