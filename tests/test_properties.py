@@ -948,3 +948,53 @@ def test_welch_matches_closed_form(spark, a, b):
     denom = va / na + vb / nb
     if denom > 0:
         assert r.z_score == (ma - mb) / math.sqrt(denom)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()), min_size=2, max_size=24
+    ).filter(lambda r: any(y for _, y in r) and any(not y for _, y in r))
+)
+def test_rank_auc_matches_naive_pairwise(spark, rows):
+    """Tie-heavy random inputs: the midrank-histogram AUC must equal
+    the O(n^2) pairwise definition exactly (scores are integers/10 so
+    the fixed-point grain is lossless)."""
+    from nhl_data_warehouse_spark.operators.stats import rank_auc
+
+    df = spark.createDataFrame(
+        [(s / 10.0, y) for s, y in rows], "s double, y boolean"
+    )
+    (out,) = rank_auc(df, "s", F.col("y"), scale=10).collect()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert out.auc == wins / (len(pos) * len(neg))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seen=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=20),
+    m_exp=st.integers(7, 10),
+    k=st.integers(1, 4),
+)
+def test_bloom_never_false_negative(spark, seen, m_exp, k):
+    """Structural Bloom guarantee on arbitrary key sets and filter
+    geometries: every recorded key probes as a member."""
+    from nhl_data_warehouse_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits = 1 << m_exp
+    keys = spark.createDataFrame([(s,) for s in seen], "k string")
+    bloom = bloom_build(keys, "k", m_bits=m_bits, k=k)
+    probe = keys.withColumn("pid", F.monotonically_increasing_id())
+    rows = bloom_probe(
+        probe, bloom, key_col="k", id_col="pid", m_bits=m_bits, k=k
+    ).collect()
+    assert len(rows) == len(seen)
+    assert all(r.bloom_member for r in rows)
