@@ -115,3 +115,41 @@ def bloom_probe(
             ).alias("bloom_member")
         )
     )
+
+
+def bloom_prefiltered_new_rows(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    id_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """The composition the bitmap exists for: batch-vs-history dedup
+    where only the Bloom *maybe-seen* slice pays the exact anti-join.
+
+    Returns exactly the rows of ``batch`` whose key is absent from
+    ``history`` — provably the same set as the plain left-anti join,
+    because the filter has no false negatives (a key present in
+    history always probes as a member, so nothing real can leak
+    through the definitely-new shortcut; false positives merely take
+    the slow path and are then rejected exactly).
+
+    Scale shape: the full batch pays one narrow probe (k hashed
+    positions + a bitmap hash-join on ``word``); only the maybe-seen
+    slice — true dups plus the filter's FPR — shuffles against the
+    full history keys. At a 1% dup rate and 3% FPR, ~96% of a 100 TB
+    batch never enters the expensive keyed shuffle, which is the
+    entire cost of ``write.incremental_insert`` at that scale.
+    """
+    bloom = bloom_build(history.select(key_col), key_col, m_bits=m_bits, k=k)
+    verdicts = bloom_probe(
+        batch, bloom, key_col=key_col, id_col=id_col, m_bits=m_bits, k=k
+    )
+    flagged = batch.join(verdicts, on=id_col)
+    definite_new = flagged.where(~F.col("bloom_member")).drop("bloom_member")
+    maybe_seen = flagged.where(F.col("bloom_member")).drop("bloom_member")
+    survivors = maybe_seen.join(
+        history.select(key_col).distinct(), on=key_col, how="left_anti"
+    )
+    return definite_new.unionByName(survivors.select(*definite_new.columns))

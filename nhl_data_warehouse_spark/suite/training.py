@@ -5013,3 +5013,40 @@ def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n_docs * n_docs - rc_sum AS DOUBLE)"
         ).alias("kappa"),
     )
+
+
+@register(
+    "bloom_prefiltered_incremental",
+    op_ids="beyond-reference Bloom-ACCELERATED incremental dedup: the "
+    "composition bloom_membership_prefilter exists for — the batch "
+    "probes the history bitmap, only the maybe-seen slice (true dups "
+    "+ FPR) pays the exact anti-join against the full history, and "
+    "the result is PROVABLY identical to the plain anti-join because "
+    "the filter has no false negatives. The oracle IS the plain "
+    "anti-join, so a green hash is an exact-equivalence proof, not a "
+    "band",
+    description="batch docs (doc_id%3==0) not present in history "
+    "(doc_id%3!=0) by exact text key, computed via the Bloom "
+    "shortcut; output equals the plain NOT EXISTS anti-join row for "
+    "row",
+    oracle="""
+        SELECT p.doc_id
+        FROM documents p
+        WHERE p.doc_id % 3 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents h
+              WHERE h.doc_id % 3 <> 0 AND h.text = p.text
+          )
+    """,
+)
+def bloom_prefiltered_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.membership import (
+        bloom_prefiltered_new_rows,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    history = documents.where(F.col("doc_id") % 3 != 0)
+    batch = documents.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    return bloom_prefiltered_new_rows(
+        batch, history, key_col="text", id_col="doc_id", m_bits=4096, k=3
+    ).select("doc_id")

@@ -82,3 +82,28 @@ class TestRankAuc:
             [(0.5, True), (0.5, False), (0.5, True)], "s double, y boolean"
         )
         assert all_tied and rank_auc(all_tied, "s", F.col("y")).first().auc == 0.5
+
+
+class TestBloomPrefilteredDedup:
+    def test_equals_plain_anti_join_with_planted_dups(self, spark):
+        from nhl_data_warehouse_spark.operators.membership import (
+            bloom_prefiltered_new_rows,
+        )
+
+        history = spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(50)], "hid long, k string"
+        ).select("k")
+        # batch: 10 true dups + 30 new keys
+        batch = spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(10)]
+            + [(100 + i, f"new-{i}") for i in range(30)],
+            "pid long, k string",
+        )
+        # tiny filter (128 bits, 50*2 set) to force real false positives
+        out = bloom_prefiltered_new_rows(
+            batch, history, key_col="k", id_col="pid", m_bits=128, k=2
+        )
+        expected = batch.join(history, on="k", how="left_anti")
+        got = sorted(r.pid for r in out.collect())
+        want = sorted(r.pid for r in expected.collect())
+        assert got == want and len(want) == 30
