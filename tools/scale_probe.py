@@ -84,6 +84,14 @@ PROBES = [
     # ~flat like the other 49k-cell statistics)
     "bloom_membership_prefilter",
     "deterministic_mode_values",
+    # second r7 batch: the Bloom-accelerated anti-join (expect
+    # ~linear — probe is linear in batch keys, the exact join sees
+    # only the maybe-seen slice), the heavy-hitters eval (sketch arm
+    # linear, exact arm bounded by the sub-1000-gram vocabulary), and
+    # the AUC rank statistic (bounded micro-score grain — ~flat)
+    "bloom_prefiltered_incremental",
+    "approx_topk_heavy_hitters",
+    "classifier_auc_eval",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
