@@ -141,7 +141,16 @@ def bloom_prefiltered_new_rows(
     full history keys. At a 1% dup rate and 3% FPR, ~96% of a 100 TB
     batch never enters the expensive keyed shuffle, which is the
     entire cost of ``write.incremental_insert`` at that scale.
+
+    Precondition: ``id_col`` must be UNIQUE within ``batch`` for the
+    fast path — ``bloom_probe`` reduces per id, so duplicate ids
+    would conflate their verdicts. Rows with a NULL ``id_col`` cannot
+    ride the verdict join at all; they bypass the filter and pay the
+    exact anti-join directly, so the equivalence claim holds for any
+    input.
     """
+    null_ids = batch.where(F.col(id_col).isNull())
+    batch = batch.where(F.col(id_col).isNotNull())
     bloom = bloom_build(history.select(key_col), key_col, m_bits=m_bits, k=k)
     verdicts = bloom_probe(
         batch, bloom, key_col=key_col, id_col=id_col, m_bits=m_bits, k=k
@@ -149,7 +158,7 @@ def bloom_prefiltered_new_rows(
     flagged = batch.join(verdicts, on=id_col)
     definite_new = flagged.where(~F.col("bloom_member")).drop("bloom_member")
     maybe_seen = flagged.where(F.col("bloom_member")).drop("bloom_member")
-    survivors = maybe_seen.join(
+    survivors = maybe_seen.unionByName(null_ids).join(
         history.select(key_col).distinct(), on=key_col, how="left_anti"
     )
     return definite_new.unionByName(survivors.select(*definite_new.columns))

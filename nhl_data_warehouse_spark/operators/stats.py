@@ -172,9 +172,16 @@ def rank_auc(
         .cast("long")
         .alias("r2"),
     )
+    # Degenerate-class guard (ADVICE r7): with a single class the
+    # metric is undefined — Spark's non-ANSI divide yields NULL but
+    # DuckDB's double division gives inf/NaN, so make NULL explicit
+    # on both engines (the oracle carries the same CASE WHEN).
     return stats.select(
         F.col("n1").alias("n_pos"),
         F.col("n2").alias("n_neg"),
-        F.expr("CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)")
-        .alias("auc"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE) "
+            "/ CAST(2 * n1 * n2 AS DOUBLE) END"
+        ).alias("auc"),
     )

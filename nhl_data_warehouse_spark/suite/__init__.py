@@ -33,79 +33,55 @@ from nhl_data_warehouse_spark.suite import core  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import relational  # noqa: E402,F401
 from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 
-# Round-7 rotation (VERDICT r6 item 1): all 253 queries have been
-# driver-green at least once, so this round's window re-verifies the
-# STALEST — the 26 queries whose latest green is round 1 and the 31
-# whose latest green is round 2. Five rounds of suite/session/operator
-# refactors have shipped since those verdicts; re-verification under
-# the current code is the only open correctness risk. Any slots past
-# the driver's ~50-query window spill into round 8 automatically.
-# New round-7 queries append to the BACK of the registry (the
-# rotation queue), never into this window.
-# In-place reorder: REGISTRY is imported by reference elsewhere, so
-# the dict object keeps its id.
-_PRIORITY = [
-    # -- latest green round 1 (26) --
-    "anti_join_incremental",
-    "asof_join_orders",
-    "bfs_trade_hops",
-    "cohort_retention",
-    "copurchase_pairs",
-    "countmin_token_freq",
-    "distinct_agg",
-    "equi_depth_bins",
-    "exact_percentiles",
-    "except_custkeys",
-    "explode_tokens",
-    "funnel_conversion",
-    "intersect_custkeys",
-    "join_broadcast_dim",
-    "md5_lineage_key",
-    "pivot_status_by_year",
-    "salted_skew_join",
-    "scalar_subquery_filter",
-    "semi_join_exists",
-    "triangle_cosupply",
-    "union_distinct_branches",
-    "window_lag_gap",
-    "window_rank_family",
-    "window_rank_topn",
-    "zorder_file_assignment",
-    "zscore_outliers",
-    # -- latest green round 2 (31) --
-    "ann_bucketed_topk",
-    "ann_ivf_cells",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
-    "ann_multiprobe_topk",
-    "binary_media_meta",
-    "catalog_context_read",
-    "corpus_curation_pipeline",
-    "cosine_topk_bruteforce",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "doc_fingerprints",
-    "embedding_near_dups",
-    "jaccard_near_dups",
-    "lang_id_predictions",
-    "lsh_verified_near_dups",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "near_dup_clusters",
-    "quality_scores",
-    "range_join_pairs",
-    "rest_json_ingest_roundtrip",
-    "scrape_ingest_roundtrip",
-    "sessionize_events",
-    "simhash_sketch",
-    "streaming_hourly_stats",
-    "streaming_user_totals",
-    "token_stats",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_inventory_suppliers",
-    "view_materialization_sql",
-]
-_PRIORITY = [n for n in _PRIORITY if n in REGISTRY]
+# Stalest-first rotation (VERDICT r6 item 1, r7 items 1-2): every
+# query has been driver-green at least once, so the ~50-query window
+# the driver checks per round re-verifies the STALEST verdicts. The
+# priority list is DERIVED from the on-disk CORRECTNESS_r0*.json
+# artifacts at import time — the two oldest last-green cohorts,
+# ordered stalest round first, alphabetical within a cohort — so a
+# driver artifact landing after the round's final commit rotates the
+# window automatically instead of tripping a hand-pinned list
+# (round-7's only pytest red). Queries with no driver verdict yet
+# (added since the last artifact) keep their registration order at
+# the BACK of the registry: the rotation queue reaches them after the
+# stale cohorts drain.
+
+
+def _derive_priority(artifact_dir, registry_names) -> list[str]:
+    """Two stalest last-green cohorts from CORRECTNESS_r0*.json.
+
+    Pure function of (artifact directory, registered names) so tests
+    can replay it against a tmpdir with a simulated next-round
+    artifact (VERDICT r7 item 2).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    last_green: dict[str, int] = {}
+    for p in sorted(Path(artifact_dir).glob("CORRECTNESS_r0*.json")):
+        rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):  # torn mid-write by the driver
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    checked = [n for n in registry_names if n in last_green]
+    stalest_cut = set(sorted({last_green[n] for n in checked})[:2])
+    return sorted(
+        (n for n in checked if last_green[n] in stalest_cut),
+        key=lambda n: (last_green[n], n),
+    )
+
+
+_REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[2]
+_PRIORITY = _derive_priority(_REPO_ROOT, list(REGISTRY))
 _ordered = {
     n: REGISTRY[n]
     for n in (*_PRIORITY, *[q for q in REGISTRY if q not in _PRIORITY])

@@ -4844,21 +4844,29 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_grams"),
         F.max("c").alias("max_count"),
     ).crossJoin(kth.select(F.col("kth").alias("kth_count")))
-    counts_exact = (
-        sketch.join(exact, on="gram", how="left")
-        .agg(
+    counts_exact = sketch.join(exact, on="gram", how="left").agg(
+        # vacuously exact on an empty sketch (coalesce TRUE); the size
+        # check compares against min(k_top, vocabulary) below, so an
+        # undersized vocabulary doesn't flip the boolean (ADVICE r7)
+        F.coalesce(
             F.bool_and(
                 F.col("c").isNotNull() & (F.col("sk_count") == F.col("c"))
-            ).alias("ok"),
-            F.count(F.lit(1)).alias("n_sk"),
-        )
-        .select((F.col("ok") & (F.col("n_sk") == k_top)).alias("topk_counts_exact"))
+            ),
+            F.lit(True),
+        ).alias("ok"),
+        F.count(F.lit(1)).alias("n_sk"),
     )
     dominates = (
         exact.crossJoin(F.broadcast(kth))
         .where(F.col("c") > F.col("kth"))
         .join(sketch.select("gram", F.lit(True).alias("__in_sk")), "gram", "left")
-        .agg(F.bool_and(F.col("__in_sk").isNotNull()).alias("topk_dominates"))
+        .agg(
+            # no gram strictly above the k-th count -> vacuously true
+            # (bool_and over the empty set is NULL, not TRUE)
+            F.coalesce(
+                F.bool_and(F.col("__in_sk").isNotNull()), F.lit(True)
+            ).alias("topk_dominates")
+        )
     )
     return (
         scalars.crossJoin(F.broadcast(counts_exact))
@@ -4867,7 +4875,10 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_grams",
             "max_count",
             "kth_count",
-            "topk_counts_exact",
+            (
+                F.col("ok")
+                & (F.col("n_sk") == F.least(F.lit(k_top), F.col("n_distinct_grams")))
+            ).alias("topk_counts_exact"),
             "topk_dominates",
         )
     )
@@ -4911,8 +4922,9 @@ def approx_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum
         )
         SELECT n1 AS n_pos, n2 AS n_neg,
-               CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
-                   / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+               CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                         / CAST(2 * n1 * n2 AS DOUBLE) END AS auc
         FROM st
     """,
 )
@@ -4965,8 +4977,9 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rows_ JOIN cols_ USING (k)
         )
         SELECT n_docs, n_agree,
-               CAST(n_docs * n_agree - rc_sum AS DOUBLE)
-                   / CAST(n_docs * n_docs - rc_sum AS DOUBLE) AS kappa
+               CASE WHEN n_docs * n_docs = rc_sum THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(n_docs * n_agree - rc_sum AS DOUBLE)
+                         / CAST(n_docs * n_docs - rc_sum AS DOUBLE) END AS kappa
         FROM st CROSS JOIN rc
     """,
 )
@@ -5005,12 +5018,16 @@ def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rc_sum")
         )
     )
+    # Degenerate guard (ADVICE r7): rc_sum == n^2 (all mass in one
+    # marginal cell) makes kappa undefined — explicit NULL on both
+    # engines instead of Spark-NULL-vs-DuckDB-inf divergence.
     return st.crossJoin(F.broadcast(rc)).select(
         "n_docs",
         "n_agree",
         F.expr(
-            "CAST(n_docs * n_agree - rc_sum AS DOUBLE)"
-            " / CAST(n_docs * n_docs - rc_sum AS DOUBLE)"
+            "CASE WHEN n_docs * n_docs = rc_sum THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(n_docs * n_agree - rc_sum AS DOUBLE)"
+            " / CAST(n_docs * n_docs - rc_sum AS DOUBLE) END"
         ).alias("kappa"),
     )
 

@@ -83,6 +83,22 @@ class TestRankAuc:
         )
         assert all_tied and rank_auc(all_tied, "s", F.col("y")).first().auc == 0.5
 
+    def test_single_class_input_is_explicit_null(self, spark):
+        """ADVICE r7: with one class the metric is undefined — the
+        guard must emit NULL (not inf/NaN, not an ANSI divide error)
+        so Spark and the DuckDB oracle agree on degenerate inputs."""
+        from nhl_data_warehouse_spark.operators.stats import rank_auc
+
+        all_pos = spark.createDataFrame(
+            [(0.9, True), (0.2, True)], "s double, y boolean"
+        )
+        row = rank_auc(all_pos, "s", F.col("y")).first()
+        assert row.n_pos == 2 and row.n_neg == 0 and row.auc is None
+        all_neg = spark.createDataFrame(
+            [(0.9, False)], "s double, y boolean"
+        )
+        assert rank_auc(all_neg, "s", F.col("y")).first().auc is None
+
 
 class TestBloomPrefilteredDedup:
     def test_equals_plain_anti_join_with_planted_dups(self, spark):
@@ -107,3 +123,27 @@ class TestBloomPrefilteredDedup:
         got = sorted(r.pid for r in out.collect())
         want = sorted(r.pid for r in expected.collect())
         assert got == want and len(want) == 30
+
+    def test_null_ids_take_the_exact_path(self, spark):
+        """ADVICE r7: NULL id rows can't ride the verdict join (inner
+        join on id drops them) — they must bypass the filter into the
+        exact anti-join so equivalence holds for any input."""
+        from nhl_data_warehouse_spark.operators.membership import (
+            bloom_prefiltered_new_rows,
+        )
+
+        history = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(20)], "k string"
+        )
+        batch = spark.createDataFrame(
+            [(1, "doc-3"), (2, "fresh-a"), (None, "doc-7"), (None, "fresh-b")],
+            "pid long, k string",
+        )
+        out = bloom_prefiltered_new_rows(
+            batch, history, key_col="k", id_col="pid", m_bits=128, k=2
+        )
+        got = sorted(
+            ((r.pid, r.k) for r in out.collect()),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1]),
+        )
+        assert got == [(2, "fresh-a"), (None, "fresh-b")]
