@@ -472,6 +472,26 @@ def test_deterministic_mode_stays_on_bounded_grain(spark, registry):
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
 
 
+def test_bloom_incremental_probe_word_join_broadcasts(spark, registry):
+    """VERDICT r7 item 6: the Bloom short-circuit's entire value is
+    that the PROBE side never shuffles on the word join — the bitmap
+    (<= m/64 rows) broadcasts, and the only word-keyed Exchange in the
+    plan is the build's own bit_or aggregation. A Spark upgrade that
+    silently degraded this to a shuffled join would re-shuffle the
+    full batch per probe and erase the operator's 100 TB advantage."""
+    plan = plan_of(registry["bloom_prefiltered_incremental"].fn(spark, SF))
+    assert "BroadcastHashJoin [word" in plan, "bitmap probe must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every word-keyed exchange belongs to a bloom BUILD aggregation
+    # (follows a partial_bit_or), never to the probe join side
+    word_exchanges = plan.count("Exchange hashpartitioning(word")
+    assert word_exchanges == plan.count("partial_bit_or")
+    # the null-id bypass branch pushes its isnull filter into the scan
+    assert "isnull(doc_id" in plan
+
+
 def test_union_by_name_is_metadata_only(spark, registry):
     """Schema-evolution union must not shuffle: alignment by name is
     a projection over each branch, then a Union node."""

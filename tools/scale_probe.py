@@ -92,6 +92,11 @@ PROBES = [
     "bloom_prefiltered_incremental",
     "approx_topk_heavy_hitters",
     "classifier_auc_eval",
+    # round-8 additions: the heavy-hitters PRODUCTION form (sketch arm
+    # alone — one partial-agg pass, bounded maxItemsTracked state, the
+    # O(k) rank window never sees data — expected ~linear in tokens
+    # and strictly below the eval's both-arms cost at every factor)
+    "approx_topk_sketch_production",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
