@@ -48,7 +48,11 @@ from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 
 
 def _derive_priority(artifact_dir, registry_names) -> list[str]:
-    """Two stalest last-green cohorts from CORRECTNESS_r0*.json.
+    """Stalest-first window order from CORRECTNESS_r0*.json:
+    the stalest last-green cohort, then queries with NO driver
+    verdict yet (the least-proven — VERDICT r7 item 3 puts them
+    right after the stalest cohort so they get their first check
+    without displacing it), then the second-stalest cohort.
 
     Pure function of (artifact directory, registered names) so tests
     can replay it against a tmpdir with a simulated next-round
@@ -59,6 +63,7 @@ def _derive_priority(artifact_dir, registry_names) -> list[str]:
     from pathlib import Path
 
     last_green: dict[str, int] = {}
+    checked_ever: set[str] = set()
     for p in sorted(Path(artifact_dir).glob("CORRECTNESS_r0*.json")):
         rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
         try:
@@ -66,18 +71,32 @@ def _derive_priority(artifact_dir, registry_names) -> list[str]:
         except (OSError, ValueError):  # torn mid-write by the driver
             continue
         for name, row in rows.items():
+            checked_ever.add(name)
             if (
                 row.get("hash_match")
                 and row.get("rows_match")
                 and row.get("schema_match")
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
+    if not checked_ever:
+        return []
     checked = [n for n in registry_names if n in last_green]
-    stalest_cut = set(sorted({last_green[n] for n in checked})[:2])
-    return sorted(
-        (n for n in checked if last_green[n] in stalest_cut),
+    cohorts = sorted({last_green[n] for n in checked})[:2]
+    stalest = sorted(
+        (n for n in checked if last_green[n] == cohorts[0]),
         key=lambda n: (last_green[n], n),
     )
+    second = (
+        sorted(n for n in checked if last_green[n] == cohorts[1])
+        if len(cohorts) > 1
+        else []
+    )
+    never_checked = [n for n in registry_names if n not in checked_ever]
+    # checked but never green (no such query today): most urgent of all
+    failed_only = [
+        n for n in registry_names if n in checked_ever and n not in last_green
+    ]
+    return failed_only + stalest + never_checked + second
 
 
 _REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[2]

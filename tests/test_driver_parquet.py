@@ -72,14 +72,14 @@ def test_every_registered_query_builds_a_plan(spark):
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries.
     From round 7 on, every query has been driver-green at least once
-    (VERDICT r6), so the window's job switches to STALEST-FIRST
-    re-verification: the priority list must be exactly the queries
-    whose most recent hash-green driver verdict is oldest (rounds 1-2
-    as of round 7), ordered stalest round first — and queries added
-    AFTER the last driver round (no CORRECTNESS row yet) must sit
-    BEHIND the window, never inside it, so they wait their turn at the
-    back of the rotation queue. Derived from CORRECTNESS_r0*.json
-    exactly like COVERAGE.md's driver-verdict history."""
+    (VERDICT r6), so the window's job is STALEST-FIRST re-verification
+    with one insertion (VERDICT r7 item 3): the stalest last-green
+    cohort leads, queries with NO driver verdict yet come immediately
+    after it (least proven — they get their first check without
+    displacing the stalest), and the second-stalest cohort fills the
+    rest. Derived from CORRECTNESS_r0*.json at import time
+    (`_derive_priority`), so this asserts the POLICY, not a pinned
+    list."""
     import json
     import re
     from pathlib import Path
@@ -88,9 +88,11 @@ def test_driver_window_composition():
 
     repo = Path(__file__).resolve().parents[1]
     last_green: dict[str, int] = {}
+    checked_ever: set[str] = set()
     for p in sorted(repo.glob("CORRECTNESS_r0*.json")):
         rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
         for name, row in json.loads(p.read_text()).items():
+            checked_ever.add(name)
             if (
                 row.get("hash_match")
                 and row.get("rows_match")
@@ -99,26 +101,22 @@ def test_driver_window_composition():
                 last_green[name] = max(last_green.get(name, 0), rnd)
     assert last_green, "no driver CORRECTNESS artifacts found"
     checked = [n for n in REGISTRY if n in last_green]
-    stalest_cut = sorted({last_green[n] for n in checked})[:2]
-    expected = [n for n in checked if last_green[n] in stalest_cut]
-    assert sorted(_PRIORITY) == sorted(expected), (
-        "priority list must be exactly the two stalest last-green "
-        f"cohorts {stalest_cut}; "
+    cohorts = sorted({last_green[n] for n in checked})[:2]
+    stalest = sorted(n for n in checked if last_green[n] == cohorts[0])
+    second = sorted(n for n in checked if last_green[n] == cohorts[1])
+    never_checked = [n for n in REGISTRY if n not in checked_ever]
+    expected = stalest + never_checked + second
+    assert _PRIORITY == expected, (
+        f"window policy violated; cohorts={cohorts}; "
         f"missing={sorted(set(expected) - set(_PRIORITY))} "
         f"extra={sorted(set(_PRIORITY) - set(expected))}"
     )
+    # the registry is reordered so the driver's window IS the priority
     assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
-    # stalest cohort strictly first inside the window
-    rounds_in_order = [last_green[n] for n in _PRIORITY]
-    assert rounds_in_order == sorted(rounds_in_order), (
-        "window must be ordered stalest-first"
-    )
-    # never-driver-checked queries (added this round) stay behind
-    window = set(list(REGISTRY)[:50])
-    new_queries = [n for n in REGISTRY if n not in last_green]
-    assert not (window & set(new_queries)), (
-        f"new queries must queue at the back: {window & set(new_queries)}"
-    )
+    # every never-checked query sits inside the first-check reach:
+    # right after the stalest cohort, before the second
+    for n in never_checked:
+        assert _PRIORITY.index(n) < len(stalest) + len(never_checked)
 
 
 def test_priority_rotates_when_next_driver_artifact_lands(tmp_path):

@@ -167,6 +167,22 @@ def main() -> None:
         + f"; {len(backlog)} not-yet-green queries remain outside the"
         f" r{next_round} window and rotate in next.",
         "",
+        "Window policy (`suite/__init__.py:_derive_priority`, derived at",
+        "import time from these same artifacts): stalest last-green cohort",
+        "first, then queries with no driver verdict yet (their FIRST check),",
+        "then the second-stalest cohort; the driver takes the first ~50.",
+        "Explicit queue positions for every never-driver-checked query:",
+        "",
+    ] + [
+        f"- `{n}` — window slot {names.index(n) + 1} -> "
+        + (
+            f"first driver check expected in CORRECTNESS_r{next_round:02d}"
+            if names.index(n) < 50
+            else f"spills to round {next_round + 1}"
+        )
+        for n in never_checked
+    ] + [
+        "",
         "| Query | §2 / capability | Oracle | "
         + " | ".join(f"r{r}" for r in rounds)
         + f" | r{next_round} window |",
