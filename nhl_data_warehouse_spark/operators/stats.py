@@ -185,3 +185,212 @@ def rank_auc(
             "/ CAST(2 * n1 * n2 AS DOUBLE) END"
         ).alias("auc"),
     )
+
+
+def _joint_histogram(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int,
+    y_scale: int,
+) -> DataFrame:
+    """(cx, cy, nxy) joint fixed-point histogram — rows collapse to
+    the measurement grain before anything orders or joins."""
+    return (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            F.round(F.col(x_col) * x_scale).cast("long").alias("cx"),
+            F.round(F.col(y_col) * y_scale).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation from all-integer
+    sufficient statistics on the joint fixed-point histogram.
+
+    Midranks never materialize per row: doubled midranks 2R(c) =
+    2*cum(c) + n(c) + 1 are INTEGERS per marginal cell, so Pearson on
+    midranks reduces to integer sums over the joint histogram:
+
+        rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) (n*Syy - Sy^2))
+
+    with Sxy = sum(nxy * ax * ay) etc. over doubled midranks ax, ay.
+    Every sum fits BIGINT at 10^6 rows-per-grain; the three final
+    combinations run in DECIMAL(38,0) (internal only — the output is
+    one fixed-order double expression, the regression.py doctrine).
+
+    Scale: two bounded-grain marginal windows (cells, never rows —
+    the stats-module contract) + one cell-keyed join; everything else
+    is map-side-combined aggregation. Degenerate (all-tied) marginals
+    yield explicit NULL on both engines.
+    """
+    joint = _joint_histogram(df, x_col, y_col, x_scale, y_scale)
+    joint = joint.persist()
+    joint.count()  # two marginal consumers + the final join share it
+
+    def marginal(cell: str, out: str) -> DataFrame:
+        m = joint.groupBy(cell).agg(F.sum("nxy").alias("nv"))
+        w = Window.orderBy(cell).rowsBetween(Window.unboundedPreceding, -1)
+        cum = m.withColumn("cum", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+        return cum.select(
+            cell, (2 * F.col("cum") + F.col("nv") + 1).alias(out)
+        )
+
+    j = joint.join(marginal("cx", "ax"), "cx").join(marginal("cy", "ay"), "cy")
+    stats = j.agg(
+        F.sum("nxy").cast("long").alias("n"),
+        F.sum(F.col("nxy") * F.col("ax")).cast("long").alias("sx"),
+        F.sum(F.col("nxy") * F.col("ay")).cast("long").alias("sy"),
+        F.sum(F.col("nxy") * F.col("ax") * F.col("ax")).cast("long").alias("sxx"),
+        F.sum(F.col("nxy") * F.col("ay") * F.col("ay")).cast("long").alias("syy"),
+        F.sum(F.col("nxy") * F.col("ax") * F.col("ay")).cast("long").alias("sxy"),
+    )
+    big = "CAST({} AS DECIMAL(38,0))"
+    n, sx, sy = big.format("n"), big.format("sx"), big.format("sy")
+    return stats.select(
+        F.col("n"),
+        F.expr(
+            f"CASE WHEN {n} * CAST(sxx AS DECIMAL(38,0)) = {sx} * {sx}"
+            f"       OR {n} * CAST(syy AS DECIMAL(38,0)) = {sy} * {sy}"
+            "      THEN CAST(NULL AS DOUBLE) ELSE "
+            f"CAST({n} * CAST(sxy AS DECIMAL(38,0)) - {sx} * {sy} AS DOUBLE)"
+            f" / (sqrt(CAST({n} * CAST(sxx AS DECIMAL(38,0)) - {sx} * {sx} AS DOUBLE))"
+            f"    * sqrt(CAST({n} * CAST(syy AS DECIMAL(38,0)) - {sy} * {sy} AS DOUBLE)))"
+            " END"
+        ).alias("rho"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Exact Kendall tau-b from the joint histogram of two BOUNDED
+    measurement grains (e.g. quantity 1-50 x discount cents 0-10).
+
+    Concordant/discordant pair counts come from a cell-pair theta
+    join over the joint histogram — the broadcast nested-loop there
+    is over GRAIN CELLS (a few hundred rows by contract, fixed as
+    data grows), never over rows; data rows only ever feed one
+    map-side-combined groupBy. All counts are integers:
+
+        tau_b = (nc - nd) / (sqrt(n0 - n1) * sqrt(n0 - n2))
+
+    with n0 = n(n-1)/2 and n1/n2 the tie-pair counts per marginal.
+    The two sqrt factors multiply as doubles (fixed op order) to stay
+    inside BIGINT exactness.
+    """
+    joint = _joint_histogram(df, x_col, y_col, x_scale, y_scale)
+    joint = joint.persist()
+    joint.count()
+    a = joint.select(
+        F.col("cx").alias("x1"), F.col("cy").alias("y1"), F.col("nxy").alias("n1v")
+    )
+    b = joint.select(
+        F.col("cx").alias("x2"), F.col("cy").alias("y2"), F.col("nxy").alias("n2v")
+    )
+    pairs = a.join(
+        F.broadcast(b), (F.col("x2") > F.col("x1")), "inner"
+    ).agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y1"), F.col("n1v") * F.col("n2v")).otherwise(0)
+        )
+        .cast("long")
+        .alias("nc"),
+        F.sum(
+            F.when(F.col("y2") < F.col("y1"), F.col("n1v") * F.col("n2v")).otherwise(0)
+        )
+        .cast("long")
+        .alias("nd"),
+    )
+    tx = (
+        joint.groupBy("cx")
+        .agg(F.sum("nxy").alias("nv"))
+        .agg(
+            F.sum(F.col("nv") * (F.col("nv") - 1) / 2).cast("long").alias("n1t")
+        )
+    )
+    ty = (
+        joint.groupBy("cy")
+        .agg(F.sum("nxy").alias("nv"))
+        .agg(
+            F.sum(F.col("nv") * (F.col("nv") - 1) / 2).cast("long").alias("n2t")
+        )
+    )
+    tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
+    out = (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "n",
+        "nc",
+        "nd",
+        F.expr(
+            "CASE WHEN (n * (n - 1)) DIV 2 = n1t OR (n * (n - 1)) DIV 2 = n2t"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            " CAST(nc - nd AS DOUBLE)"
+            " / (sqrt(CAST((n * (n - 1)) DIV 2 - n1t AS DOUBLE))"
+            "    * sqrt(CAST((n * (n - 1)) DIV 2 - n2t AS DOUBLE))) END"
+        ).alias("tau_b"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Exact Gini coefficient over the fixed-point value grain.
+
+    With cells sorted ascending and midranks for ties, twice the
+    rank-weighted sum is the integer S1 = sum(c * n_c * (2*cum_c +
+    n_c + 1)) and
+
+        G = S1 / (n * sum_v) - (n + 1) / n
+
+    — per-term products can pass 2^63 (cents * count * doubled-rank),
+    so S1 accumulates in DECIMAL(38,0); the output is one fixed-order
+    double expression. The only ordering is the cumulative window
+    over value CELLS (price-range-bounded, the stats-module grain
+    contract). Requires non-negative values; all-zero totals yield
+    explicit NULL.
+    """
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.round(F.col(value_col) * scale).cast("long").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("cum", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    stats = cum.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("nv")).cast("long").alias("sumv"),
+        F.sum(
+            (F.col("c") * F.col("nv")).cast("decimal(38,0)")
+            * (2 * F.col("cum") + F.col("nv") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    return stats.select(
+        "n",
+        "sumv",
+        F.expr(
+            "CASE WHEN sumv = 0 OR n = 0 THEN CAST(NULL AS DOUBLE) ELSE"
+            " CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sumv AS DOUBLE))"
+            " - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END"
+        ).alias("gini"),
+    )

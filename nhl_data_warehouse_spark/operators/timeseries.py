@@ -435,3 +435,76 @@ def linear_interpolate(
         interp.alias("value_interp"),
         "is_gap",
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation r_k for k = 1..max_lag over an integer-
+    valued series (e.g. daily revenue in cents), exactly.
+
+    The standard estimator r_k = sum_{t<=n-k}(x_t - m)(x_{t+k} - m) /
+    sum_t(x_t - m)^2 with the full-series mean m = Sx/n is a ratio of
+    rationals; multiplying both sides by n^2 clears the denominators:
+
+        A_k = n^2*Sk - n*Sx*(Hk + Tk) + (n - k)*Sx^2
+        D   = n * (n*Sxx - Sx^2)
+        r_k = A_k / D
+
+    where Sk = sum(x_t * x_{t+k}), Hk/Tk the head/tail partial sums
+    over the overlap. Products exceed 2^63 for cent-scale daily
+    revenue, so the sums accumulate in DECIMAL(38,0) (internal only);
+    r_k is one double division per lag. The lead() window runs over
+    the BOUNDED time grain (days — the CUSUM contract in this
+    module), never rows; position t is the row_number over t_col so
+    calendar gaps don't create phantom zero terms.
+
+    Output: (lag, n_pairs, acf) for each k, NULL when the series is
+    constant (D = 0).
+    """
+    w = Window.orderBy(t_col)
+    x = series.select(
+        F.col(value_col).cast("long").alias("x"),
+        F.row_number().over(w).alias("t"),
+    )
+    leads = x.select(
+        "x",
+        *[F.lead("x", k).over(Window.orderBy("t")).alias(f"x{k}") for k in range(1, max_lag + 1)],
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(big("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(big("x") * big("x")).cast("decimal(38,0)").alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        xk = f"x{k}"
+        aggs += [
+            F.sum(big("x") * big(xk)).cast("decimal(38,0)").alias(f"sk{k}"),
+            F.sum(F.when(F.col(xk).isNotNull(), big("x"))).cast("decimal(38,0)").alias(f"hk{k}"),
+            F.sum(big(xk)).cast("decimal(38,0)").alias(f"tk{k}"),
+            F.sum(F.when(F.col(xk).isNotNull(), 1).otherwise(0)).cast("long").alias(f"np{k}"),
+        ]
+    st = leads.agg(*aggs)
+    # one struct per lag inside ONE projection (a UNION of per-lag
+    # selects would recompute the aggregate per lag)
+    lag_structs = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col(f"np{k}").alias("n_pairs"),
+            F.expr(
+                "CASE WHEN n * sxx = sx * sx THEN CAST(NULL AS DOUBLE) ELSE "
+                f"CAST(n * n * sk{k} - n * sx * (hk{k} + tk{k})"
+                f" + (n - {k}) * sx * sx AS DOUBLE)"
+                " / CAST(n * (n * sxx - sx * sx) AS DOUBLE) END"
+            ).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return (
+        st.select(F.explode(F.array(*lag_structs)).alias("r"))
+        .select("r.lag", "r.n_pairs", "r.acf")
+    )

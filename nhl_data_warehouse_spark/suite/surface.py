@@ -1207,3 +1207,401 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < "1996-01-01")
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 statistics: rank correlations, inequality, autocorrelation,
+# Benford digit QA, and the ranking-quality eval (NDCG@k / MRR).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_quantity_price",
+    op_ids="beyond-reference rank correlation: exact tie-aware "
+    "Spearman rho from ALL-INTEGER sufficient statistics on the "
+    "joint (quantity, price-cents) histogram — doubled midranks are "
+    "integers per marginal cell, Pearson-on-midranks reduces to six "
+    "integer sums combined once in DECIMAL(38,0), one fixed-order "
+    "double expression out (bit-stable cross-engine)",
+    description="Spearman rank correlation between l_quantity and "
+    "l_extendedprice with exact midrank tie handling",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS cx,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),
+        joint AS (SELECT cx, cy, COUNT(*) AS nxy FROM cells GROUP BY 1, 2),
+        mx AS (SELECT cx, SUM(nxy) AS nv FROM joint GROUP BY 1),
+        mxr AS (
+            SELECT cx,
+                   2 * COALESCE(SUM(nv) OVER (ORDER BY cx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + nv + 1 AS ax
+            FROM mx
+        ),
+        my AS (SELECT cy, SUM(nxy) AS nv FROM joint GROUP BY 1),
+        myr AS (
+            SELECT cy,
+                   2 * COALESCE(SUM(nv) OVER (ORDER BY cy
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + nv + 1 AS ay
+            FROM my
+        ),
+        j AS (
+            SELECT nxy, ax, ay
+            FROM joint JOIN mxr USING (cx) JOIN myr USING (cy)
+        ),
+        st AS (
+            SELECT CAST(SUM(nxy) AS HUGEINT) AS n,
+                   CAST(SUM(nxy * ax) AS HUGEINT) AS sx,
+                   CAST(SUM(nxy * ay) AS HUGEINT) AS sy,
+                   SUM(CAST(nxy AS HUGEINT) * ax * ax) AS sxx,
+                   SUM(CAST(nxy AS HUGEINT) * ay * ay) AS syy,
+                   SUM(CAST(nxy AS HUGEINT) * ax * ay) AS sxy
+            FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+               AS rho
+        FROM st
+    """,
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import spearman_rho
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return spearman_rho(
+        lineitem, "l_quantity", "l_extendedprice", x_scale=1, y_scale=100
+    )
+
+
+@register(
+    "kendall_tau_quantity_discount",
+    op_ids="beyond-reference rank correlation: exact Kendall tau-b "
+    "from the joint histogram of two BOUNDED measurement grains "
+    "(quantity 1-50 x discount cents 0-10) — concordant/discordant "
+    "pair counts come from a cell-pair theta join over <= 550 grain "
+    "cells (fixed as data grows), tie corrections are integer "
+    "marginal sums, tau is two sqrt factors multiplied in fixed "
+    "order",
+    description="Kendall tau-b between l_quantity and l_discount "
+    "with full tie correction, all-integer pair counts",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS cx,
+                   CAST(round(l_discount * 100) AS BIGINT) AS cy
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        ),
+        joint AS (SELECT cx, cy, COUNT(*) AS nxy FROM cells GROUP BY 1, 2),
+        pairs AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN b.cy > a.cy
+                       THEN a.nxy * b.nxy ELSE 0 END), 0) AS BIGINT) AS nc,
+                   CAST(COALESCE(SUM(CASE WHEN b.cy < a.cy
+                       THEN a.nxy * b.nxy ELSE 0 END), 0) AS BIGINT) AS nd
+            FROM joint a JOIN joint b ON b.cx > a.cx
+        ),
+        tx AS (
+            SELECT CAST(SUM((nv * (nv - 1)) // 2) AS BIGINT) AS n1t
+            FROM (SELECT SUM(nxy) AS nv FROM joint GROUP BY cx)
+        ),
+        ty AS (
+            SELECT CAST(SUM((nv * (nv - 1)) // 2) AS BIGINT) AS n2t
+            FROM (SELECT SUM(nxy) AS nv FROM joint GROUP BY cy)
+        ),
+        tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint)
+        SELECT n, nc, nd,
+               CASE WHEN (n * (n - 1)) // 2 = n1t
+                      OR (n * (n - 1)) // 2 = n2t
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(nc - nd AS DOUBLE)
+                         / (sqrt(CAST((n * (n - 1)) // 2 - n1t AS DOUBLE))
+                            * sqrt(CAST((n * (n - 1)) // 2 - n2t AS DOUBLE)))
+               END AS tau_b
+        FROM pairs, tx, ty, tot
+    """,
+)
+def kendall_tau_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import kendall_tau_b
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return kendall_tau_b(
+        lineitem, "l_quantity", "l_discount", x_scale=1, y_scale=100
+    )
+
+
+@register(
+    "gini_order_revenue",
+    op_ids="beyond-reference inequality statistic: exact Gini "
+    "coefficient over the cents value grain — midrank-weighted value "
+    "sum S1 accumulates in DECIMAL(38,0) (cents * count * doubled "
+    "rank passes 2^63), the only ordering is the cumulative window "
+    "over price-range-bounded cells, output is one fixed-order "
+    "double expression",
+    description="Gini coefficient of order revenue concentration "
+    "(o_totalprice), exact with midrank tie handling",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   COUNT(*) AS nv
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+            SELECT c, nv,
+                   COALESCE(SUM(nv) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+            FROM h
+        ),
+        st AS (
+            SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                   CAST(SUM(c * nv) AS BIGINT) AS sumv,
+                   SUM(CAST(c AS HUGEINT) * nv * (2 * cum + nv + 1)) AS s1
+            FROM cum
+        )
+        SELECT n, sumv,
+               CASE WHEN sumv = 0 OR n = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(s1 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(sumv AS DOUBLE))
+                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END
+               AS gini
+        FROM st
+    """,
+)
+def gini_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import gini_coefficient
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return gini_coefficient(orders, "o_totalprice", scale=100)
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    lead_cols = ",\n                   ".join(
+        f"lead(x, {k}) OVER (ORDER BY t) AS x{k}" for k in range(1, max_lag + 1)
+    )
+    per_lag_stats = ",\n                   ".join(
+        f"SUM(CAST(x AS HUGEINT) * x{k}) AS sk{k},\n"
+        f"                   SUM(CASE WHEN x{k} IS NOT NULL"
+        f" THEN CAST(x AS HUGEINT) END) AS hk{k},\n"
+        f"                   SUM(CAST(x{k} AS HUGEINT)) AS tk{k},\n"
+        f"                   CAST(SUM(CASE WHEN x{k} IS NOT NULL"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS np{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, np{k} AS n_pairs,"
+        " CASE WHEN n * sxx = sx * sx THEN CAST(NULL AS DOUBLE) ELSE"
+        f" CAST(n * n * sk{k} - n * sx * (hk{k} + tk{k})"
+        f" + (n - {k}) * sx * sx AS DOUBLE)"
+        " / CAST(n * (n * sxx - sx * sx) AS DOUBLE) END AS acf FROM st"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        ser AS (SELECT x, row_number() OVER (ORDER BY d) AS t FROM daily),
+        led AS (
+            SELECT x,
+                   {lead_cols}
+            FROM ser
+        ),
+        st AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   {per_lag_stats}
+            FROM led
+        )
+        {rows}
+    """
+
+
+@register(
+    "acf_daily_revenue",
+    op_ids="beyond-reference time-series statistic: exact sample "
+    "autocorrelation r_1..r_7 of the daily revenue series — the "
+    "mean-centered products clear their rational denominators into "
+    "DECIMAL(38,0) integer sums (n^2*Sk - n*Sx*(Hk+Tk) + (n-k)*Sx^2 "
+    "over n*(n*Sxx - Sx^2)), the lead() window runs over the bounded "
+    "DAY grain (the CUSUM contract), one double division per lag",
+    description="autocorrelation of daily order revenue (cents) at "
+    "lags 1-7: the seasonality screen run before curriculum/mixture "
+    "scheduling on time-ordered corpora",
+    oracle=_acf_oracle(7),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import autocorrelation
+
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return autocorrelation(daily, "d", "x", max_lag=7)
+
+
+@register(
+    "benford_price_digits",
+    op_ids="beyond-reference data-quality screen: Benford "
+    "first-significant-digit analysis of order totals — digit "
+    "extraction is integer/string-exact (first char of the cents "
+    "BIGINT), expected shares are 6dp-rounded log10(1+1/d) constants "
+    "(the rounded-ln rule absorbs libm ulp differences), the "
+    "chi-square distance folds the 9 digit cells in digit order on "
+    "both engines",
+    description="observed vs Benford-expected first-digit counts of "
+    "o_totalprice with per-digit deviation and the total chi-square "
+    "distance — the fabricated-data / unit-mix-error screen",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ),
+        d AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM c GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d),
+        e AS (
+            SELECT digit, n_obs,
+                   n * round(log10(1 + 1.0 / digit), 6) AS expected_n,
+                   (n_obs - n * round(log10(1 + 1.0 / digit), 6))
+                   * (n_obs - n * round(log10(1 + 1.0 / digit), 6))
+                   / (n * round(log10(1 + 1.0 / digit), 6)) AS dev
+            FROM d, t
+        ),
+        chi AS (SELECT SUM(dev ORDER BY digit) AS chi2 FROM e)
+        SELECT digit, n_obs, expected_n, dev, chi2 FROM e, chi
+    """,
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square total folds per-digit deviations in digit order
+    via an ordered array aggregate (<= 9 cells), mirroring the
+    oracle's ordered-aggregate SUM(dev ORDER BY digit) — same IEEE
+    sequence, no unordered double sum anywhere."""
+    (orders,) = load(spark, sf_dir, "orders")
+    digits = (
+        orders.where(
+            F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+        )
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    p = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    e = (
+        digits.crossJoin(F.broadcast(tot))
+        .withColumn("expected_n", F.col("n") * p)
+        .withColumn(
+            "dev",
+            (F.col("n_obs") - F.col("expected_n"))
+            * (F.col("n_obs") - F.col("expected_n"))
+            / F.col("expected_n"),
+        )
+    )
+    e = e.persist()
+    e.count()  # chi2 consumer + the row output share one computation
+    chi = e.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("digit", "dev"))),
+                lambda s: s["dev"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2")
+    )
+    return e.crossJoin(F.broadcast(chi)).select(
+        "digit", "n_obs", "expected_n", "dev", "chi2"
+    )
+
+
+@register(
+    "ranking_ndcg_mrr_eval",
+    op_ids="beyond-reference ranking-quality evaluation: per-group "
+    "NDCG@10 and MRR of a score-descending ranking against graded "
+    "relevance — discount weights are 6dp-rounded log2 (the "
+    "rounded-ln rule), DCG/IDCG fold the <= k per-group terms in "
+    "rank order on both engines (F.aggregate over a rank-sorted "
+    "array vs DuckDB's ordered-aggregate SUM), the only shuffle is "
+    "the group-partitioned rank window",
+    description="per-user NDCG@10 and MRR of the event-value ranking "
+    "against graded event-type relevance (purchase=3, signup=2, "
+    "click=1) — the retrieval-eval companion to classifier_auc_eval",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   CASE event_type WHEN 'purchase' THEN 3.0
+                                   WHEN 'signup' THEN 2.0
+                                   WHEN 'click' THEN 1.0
+                                   ELSE 0.0 END AS rel,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rnk
+            FROM events WHERE value IS NOT NULL
+        ),
+        topk AS (
+            SELECT user_id, rel, rnk,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY rel DESC, rnk) AS irank
+            FROM ranked WHERE rnk <= 10
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                   SUM(rel / round(log2(rnk + 1), 6) ORDER BY rnk) AS dcg,
+                   SUM(rel / round(log2(irank + 1), 6) ORDER BY irank)
+                       AS idcg,
+                   MIN(CASE WHEN rel > 0 THEN rnk END) AS fr
+            FROM topk GROUP BY 1
+        )
+        SELECT user_id, n_ranked,
+               CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg,
+               CASE WHEN fr IS NOT NULL THEN 1.0 / fr END AS mrr
+        FROM agg
+    """,
+)
+def ranking_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
+
+    (events,) = load(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3.0)
+        .when(F.col("event_type") == "signup", 2.0)
+        .when(F.col("event_type") == "click", 1.0)
+        .otherwise(0.0)
+    )
+    return ndcg_mrr_at_k(
+        events.where(F.col("value").isNotNull()),
+        group_col="user_id",
+        score_col="value",
+        tiebreak_col="event_id",
+        relevance=rel,
+        k=10,
+    )

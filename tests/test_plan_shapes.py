@@ -498,3 +498,33 @@ def test_union_by_name_is_metadata_only(spark, registry):
     plan = plan_of(registry["union_by_name_evolution"].fn(spark, SF))
     assert "Union" in plan
     assert "Exchange" not in plan, "unionByName must stay shuffle-free"
+
+
+def test_round8_stats_plan_shapes(spark, registry):
+    """Round-8 statistics stay on their bounded grains: Spearman's
+    marginal rank maps broadcast onto the joint histogram (no SMJ, no
+    cartesian); Kendall's cell-pair theta join is a broadcast
+    nested-loop over <= 550 FIXED grain cells (the one place BNLJ is
+    the right plan — it must never become a row-scale join); Gini and
+    ACF are join-free histogram pipelines; the NDCG/MRR eval reuses
+    its one user-keyed exchange for both the rank window and the
+    group fold (no second shuffle)."""
+    sp = plan_of(registry["spearman_quantity_price"].fn(spark, SF))
+    assert "BroadcastHashJoin" in sp
+    assert "SortMergeJoin" not in sp and "CartesianProduct" not in sp
+    assert "BroadcastNestedLoopJoin" not in sp
+
+    kd = plan_of(registry["kendall_tau_quantity_discount"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in kd  # bounded-cell theta join
+    assert "CartesianProduct" not in kd and "SortMergeJoin" not in kd
+
+    for q in ("gini_order_revenue", "acf_daily_revenue"):
+        plan = plan_of(registry[q].fn(spark, SF))
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert "partial_" in plan  # map-side combine before the grain
+
+    nd = plan_of(registry["ranking_ndcg_mrr_eval"].fn(spark, SF))
+    assert "Join" not in nd
+    assert nd.count("Exchange hashpartitioning(user_id") == 1, (
+        "rank window and group fold must share one user-keyed exchange"
+    )

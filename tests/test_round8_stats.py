@@ -1,0 +1,250 @@
+"""Round-8 statistics operators vs brute-force references.
+
+Each operator's distributed integer-sufficient-statistic form is
+checked against a direct Python computation of the textbook formula
+on small inputs (ties, degenerate classes, and NULL handling
+included). The oracle sweep proves cross-engine equality; these
+prove the MATH.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _midranks(values):
+    """value -> midrank over the full list."""
+    s = sorted(values)
+    first = {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i)
+    count = {}
+    for v in s:
+        count[v] = count.get(v, 0) + 1
+    return {v: first[v] + (count[v] + 1) / 2 for v in count}
+
+
+class TestSpearman:
+    def _brute(self, xs, ys):
+        rx = _midranks(xs)
+        ry = _midranks(ys)
+        ax = [rx[v] for v in xs]
+        ay = [ry[v] for v in ys]
+        n = len(xs)
+        mx = sum(ax) / n
+        my = sum(ay) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(ax, ay))
+        dx = math.sqrt(sum((a - mx) ** 2 for a in ax))
+        dy = math.sqrt(sum((b - my) ** 2 for b in ay))
+        return num / (dx * dy)
+
+    def test_matches_brute_force_with_ties(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import spearman_rho
+
+        xs = [1, 2, 2, 3, 5, 5, 5, 8, 9, 1]
+        ys = [2.0, 1.5, 1.5, 3.0, 4.0, 4.5, 4.0, 9.0, 0.5, 2.5]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y double")
+        row = spearman_rho(df, "x", "y", x_scale=1, y_scale=100).first()
+        assert row.n == 10
+        assert abs(row.rho - self._brute(xs, ys)) < 1e-12
+
+    def test_perfect_and_inverted(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import spearman_rho
+
+        mono = spark.createDataFrame(
+            [(i, float(i * i)) for i in range(1, 8)], "x long, y double"
+        )
+        assert spearman_rho(mono, "x", "y").first().rho == 1.0
+        inv = spark.createDataFrame(
+            [(i, float(-i)) for i in range(1, 8)], "x long, y double"
+        )
+        assert spearman_rho(inv, "x", "y").first().rho == -1.0
+
+    def test_constant_marginal_is_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import spearman_rho
+
+        df = spark.createDataFrame(
+            [(1, 3.0), (1, 4.0), (1, 5.0)], "x long, y double"
+        )
+        assert spearman_rho(df, "x", "y").first().rho is None
+
+
+class TestKendallTauB:
+    def _brute(self, xs, ys):
+        n = len(xs)
+        nc = nd = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+                dy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+                if dx == 0 and dy == 0:
+                    continue
+                if dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx == dy:
+                    nc += 1
+                else:
+                    nd += 1
+        n0 = n * (n - 1) // 2
+        # n1/n2 in the tau-b formula count ALL same-x / same-y pairs
+        n1 = sum(
+            c * (c - 1) // 2
+            for c in __import__("collections").Counter(xs).values()
+        )
+        n2 = sum(
+            c * (c - 1) // 2
+            for c in __import__("collections").Counter(ys).values()
+        )
+        return (nc - nd) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+
+    def test_matches_brute_force_with_ties(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import kendall_tau_b
+
+        xs = [1, 2, 2, 3, 3, 3, 4, 5, 5, 1]
+        ys = [0.01, 0.02, 0.02, 0.05, 0.03, 0.05, 0.08, 0.1, 0.0, 0.04]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y double")
+        row = kendall_tau_b(df, "x", "y", x_scale=1, y_scale=100).first()
+        assert row.n == 10
+        assert abs(row.tau_b - self._brute(xs, ys)) < 1e-12
+
+    def test_all_tied_marginal_is_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import kendall_tau_b
+
+        df = spark.createDataFrame(
+            [(7, 0.1), (7, 0.2), (7, 0.3)], "x long, y double"
+        )
+        assert kendall_tau_b(df, "x", "y").first().tau_b is None
+
+
+class TestGini:
+    def test_known_values(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import gini_coefficient
+
+        # G([1,2,3,4]) = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+        df = spark.createDataFrame(
+            [(float(v),) for v in (1, 2, 3, 4)], "v double"
+        )
+        row = gini_coefficient(df, "v", scale=1).first()
+        assert row.n == 4 and row.sumv == 10
+        assert abs(row.gini - 0.25) < 1e-12
+        # perfect equality -> 0
+        eq = spark.createDataFrame([(5.0,)] * 6, "v double")
+        assert gini_coefficient(eq, "v", scale=1).first().gini == 0.0
+        # all mass on one of n rows -> (n-1)/n
+        conc = spark.createDataFrame(
+            [(0.0,), (0.0,), (0.0,), (12.0,)], "v double"
+        )
+        assert abs(gini_coefficient(conc, "v", scale=1).first().gini - 0.75) < 1e-12
+
+    def test_zero_total_is_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import gini_coefficient
+
+        z = spark.createDataFrame([(0.0,), (0.0,)], "v double")
+        assert gini_coefficient(z, "v", scale=1).first().gini is None
+
+
+class TestAutocorrelation:
+    def test_matches_brute_force(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import autocorrelation
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "t long, x long"
+        )
+        out = {
+            r.lag: (r.n_pairs, r.acf)
+            for r in autocorrelation(df, "t", "x", max_lag=3).collect()
+        }
+        n = len(xs)
+        m = sum(xs) / n
+        den = sum((x - m) ** 2 for x in xs)
+        for k in (1, 2, 3):
+            num = sum(
+                (xs[t] - m) * (xs[t + k] - m) for t in range(n - k)
+            )
+            n_pairs, acf = out[k]
+            assert n_pairs == n - k
+            assert abs(acf - num / den) < 1e-12
+
+    def test_constant_series_is_null(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import autocorrelation
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(10)], "t long, x long"
+        )
+        rows = autocorrelation(df, "t", "x", max_lag=2).collect()
+        assert all(r.acf is None for r in rows)
+
+    def test_alternating_series_lag1_negative(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import autocorrelation
+
+        df = spark.createDataFrame(
+            [(i, 10 if i % 2 else 0) for i in range(20)], "t long, x long"
+        )
+        rows = {r.lag: r.acf for r in autocorrelation(df, "t", "x", 2).collect()}
+        assert rows[1] < -0.9 and rows[2] > 0.8
+
+
+class TestNdcgMrr:
+    def test_hand_computed_group(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
+
+        # one group: scores rank items as rel [0, 3, 1] top-3
+        df = spark.createDataFrame(
+            [
+                (1, 9.0, 1, 0.0),
+                (1, 8.0, 2, 3.0),
+                (1, 7.0, 3, 1.0),
+            ],
+            "g long, score double, tb long, rel double",
+        )
+        row = ndcg_mrr_at_k(
+            df, "g", "score", "tb", F.col("rel"), k=10
+        ).first()
+        w = [round(math.log2(i + 1), 6) for i in (1, 2, 3)]
+        dcg = 0.0 / w[0] + 3.0 / w[1] + 1.0 / w[2]
+        idcg = 3.0 / w[0] + 1.0 / w[1] + 0.0 / w[2]
+        assert row.n_ranked == 3
+        assert abs(row.ndcg - dcg / idcg) < 1e-12
+        assert row.mrr == 0.5  # first relevant at rank 2
+
+    def test_perfect_ranking_is_one_and_no_rel_is_null(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
+
+        df = spark.createDataFrame(
+            [
+                (1, 9.0, 1, 3.0),
+                (1, 8.0, 2, 2.0),
+                (1, 7.0, 3, 0.0),
+                (2, 5.0, 4, 0.0),
+                (2, 4.0, 5, 0.0),
+            ],
+            "g long, score double, tb long, rel double",
+        )
+        rows = {
+            r.g: r
+            for r in ndcg_mrr_at_k(
+                df, "g", "score", "tb", F.col("rel"), k=10
+            ).collect()
+        }
+        assert rows[1].ndcg == 1.0 and rows[1].mrr == 1.0
+        assert rows[2].ndcg is None and rows[2].mrr is None
+
+    def test_k_truncation(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
+
+        # relevant item at rank 3 is outside k=2 -> mrr NULL, ndcg NULL
+        df = spark.createDataFrame(
+            [
+                (1, 9.0, 1, 0.0),
+                (1, 8.0, 2, 0.0),
+                (1, 7.0, 3, 3.0),
+            ],
+            "g long, score double, tb long, rel double",
+        )
+        row = ndcg_mrr_at_k(df, "g", "score", "tb", F.col("rel"), k=2).first()
+        assert row.n_ranked == 2 and row.ndcg is None and row.mrr is None

@@ -97,6 +97,17 @@ PROBES = [
     # O(k) rank window never sees data — expected ~linear in tokens
     # and strictly below the eval's both-arms cost at every factor)
     "approx_topk_sketch_production",
+    # round-8 statistics: Spearman (joint-histogram sums + bounded
+    # marginal windows — ~linear scan, flat-ish tail), Kendall tau-b
+    # (the theta join is over <= 550 FIXED grain cells — expected
+    # ~flat beyond the scan), Gini + ACF (bounded cents/day grains —
+    # ~flat like the other histogram statistics), and the NDCG/MRR
+    # eval (one group-partitioned rank window — ~linear in events)
+    "spearman_quantity_price",
+    "kendall_tau_quantity_discount",
+    "gini_order_revenue",
+    "acf_daily_revenue",
+    "ranking_ndcg_mrr_eval",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
