@@ -113,3 +113,71 @@ def interval_lookup_join(
         .filter((v >= lo) & (v < hi))
         .drop("__cell")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    cell_minutes: int = 60,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Interval-x-interval overlap join without a theta join: both
+    sides explode to fixed time CELLS, pairs meet on a cell equi-join,
+    and each overlapping pair is emitted EXACTLY ONCE by the
+    responsibility rule — only the cell containing the later of the
+    two starts may emit the pair — so no distinct/dedup shuffle ever
+    runs on the output.
+
+    Scale shape: the only shuffle is the cell-keyed equi-join, and a
+    cell only holds the intervals that touch it, so skew follows real
+    temporal concurrency (choose ``cell_minutes`` near the typical
+    interval length to keep cells O(concurrency)). This completes the
+    temporal-join family: as-of (asof.py), point-in-interval
+    (price_band_lookup_join), event-gap pairs (range_join_pairs), and
+    now interval overlap.
+
+    Output: all left columns prefixed ``left_prefix``, all right
+    columns prefixed ``right_prefix``, plus ``overlap_us`` (exact
+    microseconds, inclusive bounds).
+    """
+    w_us = cell_minutes * 60 * 1_000_000
+
+    def cells(df: DataFrame, prefix: str) -> DataFrame:
+        renamed = df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+            F.unix_micros(F.col(start_col)).alias(f"{prefix}_us_s"),
+            F.unix_micros(F.col(end_col)).alias(f"{prefix}_us_e"),
+        )
+        return renamed.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{prefix}_us_s DIV {w_us}"),
+                    F.expr(f"{prefix}_us_e DIV {w_us}"),
+                )
+            ),
+        )
+
+    lc = cells(left, left_prefix)
+    rc = cells(right, right_prefix)
+    a_s, a_e = f"{left_prefix}_us_s", f"{left_prefix}_us_e"
+    b_s, b_e = f"{right_prefix}_us_s", f"{right_prefix}_us_e"
+    joined = lc.join(rc, on="cell").where(
+        (F.col(a_s) <= F.col(b_e))
+        & (F.col(b_s) <= F.col(a_e))
+        # responsibility: only the later-start's cell emits the pair
+        & (F.col("cell") == F.expr(f"greatest({a_s}, {b_s}) DIV {w_us}"))
+    )
+    out_cols = [f"{left_prefix}{c}" for c in left.columns] + [
+        f"{right_prefix}{c}" for c in right.columns
+    ]
+    return joined.select(
+        *out_cols,
+        (
+            F.least(F.col(a_e), F.col(b_e))
+            - F.greatest(F.col(a_s), F.col(b_s))
+        ).alias("overlap_us"),
+    )

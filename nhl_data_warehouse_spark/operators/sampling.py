@@ -595,3 +595,86 @@ def mixture_epoch_plan(
             F.round(rem / F.col("avail_tokens").cast("double"), 6) + F.lit(0.0),
         )
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic distributed
+# bootstrap: a row's replicate weight is the number of thresholds at
+# or below its hash draw. Exact double literals formatted into the
+# 8-hex-digit space so Spark and any SQL oracle compare the SAME
+# strings.
+def _poisson1_cdf(max_w: int = 9) -> list[float]:
+    import math
+
+    p = math.exp(-1.0)
+    cdf, acc = [], 0.0
+    for k in range(max_w):
+        acc += p
+        cdf.append(acc)
+        p /= k + 1
+    return cdf
+
+
+POISSON1_HEX_THRESHOLDS: list[str] = [
+    rate_threshold(c) for c in _poisson1_cdf()
+]
+
+
+def poisson_bootstrap_weight(key_cols: list[str], salt: str) -> F.Column:
+    """Deterministic Poisson(1) bootstrap weight for one replicate:
+    inverse-CDF over the content-addressed uniform draw. Weight w
+    means the row appears w times in this replicate — the standard
+    Poisson approximation to multinomial resampling that needs no
+    coordination across rows or partitions."""
+    bucket = hash_bucket(key_cols, salt)
+    w = None
+    for t in POISSON1_HEX_THRESHOLDS:
+        term = F.when(bucket >= F.lit(t), 1).otherwise(0)
+        w = term if w is None else w + term
+    return w
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """B bootstrap replicates of the mean of an integer-valued column
+    in ONE narrow pass — the distributed bootstrap.
+
+    Per replicate b, every row draws a deterministic Poisson(1)
+    weight from md5(salt+b | key); the replicate mean is the ratio of
+    two exact integer sums (sum(w*x) / sum(w)). All B replicates
+    accumulate in a single map-side-combined aggregate — no explode,
+    no shuffle of rows, no RNG state — so the full bootstrap costs
+    one scan regardless of B. Sorting the B means gives percentile
+    confidence intervals downstream.
+
+    Output: (b, n_eff, mean_value) x B — exact integers and one
+    double division per replicate, hash-stable on any engine.
+    """
+    x = F.col(value_col)
+    aggs = []
+    for b in range(n_replicates):
+        w = poisson_bootstrap_weight(key_cols, f"{salt}{b}")
+        aggs += [
+            F.sum(w * x).cast("long").alias(f"sx{b}"),
+            F.sum(w).cast("long").alias(f"sw{b}"),
+        ]
+    st = df.agg(*aggs)
+    reps = [
+        F.struct(
+            F.lit(b).cast("long").alias("b"),
+            F.col(f"sw{b}").alias("n_eff"),
+            F.when(
+                F.col(f"sw{b}") > 0,
+                F.col(f"sx{b}").cast("double") / F.col(f"sw{b}").cast("double"),
+            ).alias("mean_value"),
+        )
+        for b in range(n_replicates)
+    ]
+    return (
+        st.select(F.explode(F.array(*reps)).alias("r"))
+        .select("r.b", "r.n_eff", "r.mean_value")
+    )

@@ -1605,3 +1605,142 @@ def ranking_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         relevance=rel,
         k=10,
     )
+
+
+_SESS_CTE = """
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_break) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                   AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "session_overlap_pairs",
+    op_ids="beyond-reference interval-x-interval OVERLAP join — the "
+    "missing member of the temporal-join family (as-of, "
+    "point-in-interval, event-gap pairs): both interval sets explode "
+    "to fixed time cells, pairs meet on a cell EQUI-join (never a "
+    "theta join), and the responsibility rule (only the cell holding "
+    "the later start emits) makes each pair appear exactly once with "
+    "NO dedup shuffle; oracle is the plain quadratic overlap join, "
+    "so a green hash is an exact-equivalence proof",
+    description="cross-user concurrent sessions: pairs of 30-min-gap "
+    "sessions from different users (a.user < b.user) whose "
+    "[start,end] intervals overlap, with exact overlap microseconds",
+    oracle=f"""
+        WITH {_SESS_CTE}
+        SELECT a.user_id AS a_user_id,
+               a.session_id AS a_session_id,
+               b.user_id AS b_user_id,
+               b.session_id AS b_session_id,
+               least(epoch_us(a.session_end), epoch_us(b.session_end))
+               - greatest(epoch_us(a.session_start), epoch_us(b.session_start))
+                   AS overlap_us
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+    """,
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    from nhl_data_warehouse_spark.operators.sessions import sessionize_batch
+
+    (events,) = load(spark, sf_dir, "events")
+    sess = sessionize_batch(events, gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+    )
+    sess = sess.persist()
+    sess.count()  # both sides of the self-join share one computation
+    pairs = interval_overlap_join(
+        sess, sess, "session_start", "session_end", cell_minutes=60
+    )
+    return pairs.where(F.col("a_user_id") < F.col("b_user_id")).select(
+        "a_user_id", "a_session_id", "b_user_id", "b_session_id", "overlap_us"
+    )
+
+
+def _bootstrap_oracle(n_replicates: int, salt: str) -> str:
+    from nhl_data_warehouse_spark.operators.sampling import (
+        POISSON1_HEX_THRESHOLDS,
+    )
+
+    case_chain = "\n                   + ".join(
+        f"CASE WHEN substr(md5('{salt}' || CAST(b AS VARCHAR) || '|'"
+        f" || CAST(o_orderkey AS VARCHAR)), 1, 8) >= '{t}'"
+        " THEN 1 ELSE 0 END"
+        for t in POISSON1_HEX_THRESHOLDS
+    )
+    return f"""
+        WITH reps AS (
+            SELECT CAST(unnest(generate_series(0, {n_replicates - 1}))
+                        AS BIGINT) AS b
+        ),
+        weighted AS (
+            SELECT b,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                   {case_chain} AS wt
+            FROM orders, reps
+            WHERE o_totalprice IS NOT NULL
+        ),
+        st AS (
+            SELECT b, CAST(SUM(wt * x) AS BIGINT) AS sx,
+                   CAST(SUM(wt) AS BIGINT) AS sw
+            FROM weighted GROUP BY b
+        )
+        SELECT b, sw AS n_eff,
+               CASE WHEN sw > 0 THEN CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE)
+                    END AS mean_value
+        FROM st
+    """
+
+
+@register(
+    "bootstrap_revenue_ci",
+    op_ids="beyond-reference distributed bootstrap: 32 Poisson(1) "
+    "resampling replicates of mean order revenue in ONE "
+    "map-side-combined pass — weights are deterministic "
+    "inverse-CDF draws from content-addressed md5 (the sampling "
+    "family's hex-threshold idiom), so the full bootstrap is "
+    "reproducible on any engine/partitioning with no RNG state and "
+    "no row shuffle; each replicate mean is a ratio of exact integer "
+    "sums",
+    description="32 bootstrap replicate means of order revenue "
+    "(cents) for percentile confidence intervals — the error bar "
+    "every corpus-level statistic needs at 100 TB, costed at one "
+    "scan",
+    oracle=_bootstrap_oracle(32, "boot"),
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    vals = orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_means(
+        vals, ["o_orderkey"], "cents", n_replicates=32, salt="boot"
+    )

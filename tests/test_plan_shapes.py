@@ -528,3 +528,20 @@ def test_round8_stats_plan_shapes(spark, registry):
     assert nd.count("Exchange hashpartitioning(user_id") == 1, (
         "rank window and group fold must share one user-keyed exchange"
     )
+
+
+def test_round8_join_and_bootstrap_plan_shapes(spark, registry):
+    """The overlap join must meet on a cell EQUI-join — any
+    BNLJ/cartesian here means the theta condition leaked into the
+    join and every interval pairs with every interval at 100 TB. The
+    bootstrap is a single map-side-combined aggregate: no join, and
+    the only exchanges are the one-row final-agg merge."""
+    ov = plan_of(registry["session_overlap_pairs"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in ov
+    assert "CartesianProduct" not in ov
+    assert "cell" in ov  # the equi key reached the join
+
+    bs = plan_of(registry["bootstrap_revenue_ci"].fn(spark, SF))
+    assert "Join" not in bs
+    assert "partial_sum" in bs  # 64 sums combine map-side
+    assert bs.count("Exchange") <= 1

@@ -248,3 +248,96 @@ class TestNdcgMrr:
         )
         row = ndcg_mrr_at_k(df, "g", "score", "tb", F.col("rel"), k=2).first()
         assert row.n_ranked == 2 and row.ndcg is None and row.mrr is None
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "id long, s long, e long")
+        return df.select(
+            "id",
+            F.timestamp_micros(F.col("s") * 1_000_000).alias("st"),
+            F.timestamp_micros(F.col("e") * 1_000_000).alias("en"),
+        )
+
+    def test_equals_brute_force_and_emits_each_pair_once(self, spark):
+        from nhl_data_warehouse_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        # crafted so several intervals span MANY cells (cell=60s):
+        # without the responsibility rule they would pair repeatedly
+        rows = [
+            (1, 0, 500),
+            (2, 30, 90),
+            (3, 80, 400),
+            (4, 600, 700),
+            (5, 350, 650),
+            (6, 1000, 1001),
+        ]
+        df = self._mk(spark, rows)
+        out = interval_overlap_join(df, df, "st", "en", cell_minutes=1)
+        got = sorted(
+            (r.a_id, r.b_id, r.overlap_us)
+            for r in out.where(F.col("a_id") < F.col("b_id")).collect()
+        )
+        want = sorted(
+            (a_id, b_id, (min(ae, be) - max(as_, bs)) * 1_000_000)
+            for a_id, as_, ae in rows
+            for b_id, bs, be in rows
+            if a_id < b_id and as_ <= be and bs <= ae
+        )
+        assert got == want
+        # exactly-once even for the widest pair (1,3): 320s overlap
+        assert (1, 3, 320_000_000) in got
+
+    def test_no_overlap_no_rows(self, spark):
+        from nhl_data_warehouse_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        df = self._mk(spark, [(1, 0, 10), (2, 3600, 3610)])
+        out = interval_overlap_join(df, df, "st", "en", cell_minutes=1)
+        assert out.where(F.col("a_id") < F.col("b_id")).count() == 0
+
+
+class TestPoissonBootstrap:
+    def test_weights_are_deterministic_and_mean_one(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import (
+            poisson_bootstrap_weight,
+        )
+
+        df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+        w = df.select(poisson_bootstrap_weight(["k"], "t0").alias("w"))
+        stats = w.agg(
+            F.sum("w").alias("s"), F.max("w").alias("mx"), F.min("w").alias("mn")
+        ).first()
+        # mean weight ~ Poisson(1): within 5% on 20k draws
+        assert abs(stats.s / 20_000 - 1.0) < 0.05
+        assert stats.mn >= 0 and stats.mx <= 9
+        # deterministic: identical second computation
+        again = df.select(poisson_bootstrap_weight(["k"], "t0").alias("w"))
+        assert (
+            w.exceptAll(again).count() == 0
+            and again.exceptAll(w).count() == 0
+        )
+
+    def test_replicate_means_bracket_true_mean(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import (
+            poisson_bootstrap_means,
+        )
+
+        df = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("x")
+        )
+        reps = poisson_bootstrap_means(
+            df, ["k"], "x", n_replicates=16, salt="t"
+        ).collect()
+        assert len(reps) == 16
+        means = [r.mean_value for r in reps]
+        true_mean = 49.5
+        lo, hi = min(means), max(means)
+        assert lo < true_mean < hi
+        # resampling noise on 5k rows is sub-5%
+        assert all(abs(m - true_mean) / true_mean < 0.05 for m in means)

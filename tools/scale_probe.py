@@ -108,6 +108,13 @@ PROBES = [
     "gini_order_revenue",
     "acf_daily_revenue",
     "ranking_ndcg_mrr_eval",
+    # round-8 joins/resampling: the interval-overlap join (cell
+    # equi-join + responsibility dedupe — ~linear in intervals plus
+    # true concurrency; answer rows grow with real overlaps) and the
+    # one-pass 32-replicate Poisson bootstrap (pure map-side-combined
+    # aggregate — expected ~linear scan, no shuffle growth)
+    "session_overlap_pairs",
+    "bootstrap_revenue_ci",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
