@@ -394,3 +394,51 @@ def gini_coefficient(
             " - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) END"
         ).alias("gini"),
     )
+
+
+def grouped_rank_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    is_positive: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-slice exact ROC AUC — ``rank_auc`` with every stage keyed
+    by ``group_col``: the histogram groups by (slice, cell), the
+    cumulative window partitions by slice (so unlike the global form
+    there is NO unpartitioned stage at all), and each slice emits one
+    (n_pos, n_neg, auc) row. The sliced-eval companion every model
+    scorecard needs (AUC per language, per source, per time bucket);
+    degenerate slices (single class) yield explicit NULL.
+    """
+    vals = df.where(F.col(score_col).isNotNull()).select(
+        F.col(group_col),
+        F.round(F.col(score_col) * scale).cast("long").alias("c"),
+        F.when(is_positive, 1).otherwise(0).alias("is1"),
+    )
+    hist = vals.groupBy(group_col, "c").agg(
+        F.sum("is1").alias("n1v"), F.count(F.lit(1)).alias("nv")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("cumn", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    stats = cum.groupBy(group_col).agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        (F.sum("nv") - F.sum("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cumn") + F.col("nv") + 1))
+        .cast("long")
+        .alias("r2"),
+    )
+    return stats.select(
+        F.col(group_col),
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE) "
+            "/ CAST(2 * n1 * n2 AS DOUBLE) END"
+        ).alias("auc"),
+    )

@@ -5121,3 +5121,70 @@ def approx_topk_sketch_production(spark: SparkSession, sf_dir: str) -> DataFrame
     return counts.select(
         F.row_number().over(w).cast("long").alias("rnk"), "cnt"
     )
+
+
+@register(
+    "auc_by_language",
+    op_ids="beyond-reference SLICED model evaluation: per-language "
+    "exact ROC AUC of the quality classifier (operators/stats.py "
+    "grouped_rank_auc) — same Mann-Whitney rank identity and "
+    "micro-score grain as classifier_auc_eval, but every stage is "
+    "keyed by the slice, so unlike the global form there is NO "
+    "unpartitioned stage at all: the scorecard shape (metric x "
+    "slice) that catches a model failing on one stratum while the "
+    "global number looks fine",
+    description="exact tie-aware ROC AUC of the hashed-linear "
+    "quality score vs the heuristic label, per document language, "
+    "with per-slice class sizes",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        scored AS (
+            SELECT d.lang,
+                   CAST(round(quality_score * 1000000) AS BIGINT) AS c,
+                   is_good
+            FROM pred JOIN labels USING (doc_id)
+            JOIN documents d USING (doc_id)
+        ),
+        hist AS (
+            SELECT lang, c, COUNT(*) AS nv,
+                   SUM(CASE WHEN is_good THEN 1 ELSE 0 END) AS n1v
+            FROM scored GROUP BY lang, c
+        ),
+        cum AS (
+            SELECT lang, nv, n1v,
+                   COALESCE(SUM(nv) OVER (PARTITION BY lang ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumn
+            FROM hist
+        ),
+        st AS (
+            SELECT lang,
+                   CAST(SUM(n1v) AS BIGINT) AS n1,
+                   CAST(SUM(nv) - SUM(n1v) AS BIGINT) AS n2,
+                   CAST(SUM(n1v * (2 * cumn + nv + 1)) AS BIGINT) AS r2
+            FROM cum GROUP BY lang
+        )
+        SELECT lang, n1 AS n_pos, n2 AS n_neg,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                         / CAST(2 * n1 * n2 AS DOUBLE) END AS auc
+        FROM st
+    """,
+)
+def auc_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import grouped_rank_auc
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = (
+        pred.join(labels, on="doc_id")
+        .join(documents.select("doc_id", "lang"), on="doc_id")
+    )
+    return grouped_rank_auc(
+        joined, "lang", "quality_score", F.col("is_good"), scale=1_000_000
+    )

@@ -341,3 +341,28 @@ class TestPoissonBootstrap:
         assert lo < true_mean < hi
         # resampling noise on 5k rows is sub-5%
         assert all(abs(m - true_mean) / true_mean < 0.05 for m in means)
+
+
+class TestGroupedAuc:
+    def test_matches_global_auc_per_slice_and_degenerate_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_rank_auc,
+            rank_auc,
+        )
+
+        rows = [
+            ("a", 0.9, True), ("a", 0.8, False), ("a", 0.7, True),
+            ("a", 0.7, False), ("a", 0.2, False),
+            ("b", 0.6, True), ("b", 0.5, True), ("b", 0.4, False),
+            ("c", 0.3, True), ("c", 0.9, True),  # single class
+        ]
+        df = spark.createDataFrame(rows, "g string, s double, y boolean")
+        got = {
+            r.g: (r.n_pos, r.n_neg, r.auc)
+            for r in grouped_rank_auc(df, "g", "s", F.col("y")).collect()
+        }
+        for g in ("a", "b"):
+            sub = df.where(F.col("g") == g)
+            ref = rank_auc(sub, "s", F.col("y")).first()
+            assert got[g] == (ref.n_pos, ref.n_neg, ref.auc), g
+        assert got["c"] == (2, 0, None)

@@ -115,6 +115,10 @@ PROBES = [
     # aggregate — expected ~linear scan, no shuffle growth)
     "session_overlap_pairs",
     "bootstrap_revenue_ci",
+    # sliced AUC: fully slice-partitioned rank statistic (no
+    # unpartitioned stage) — expected ~linear in the token scan that
+    # feeds the classifier, flat in the windowed stage
+    "auc_by_language",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
