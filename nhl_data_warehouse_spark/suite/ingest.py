@@ -1538,3 +1538,74 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# binaryFile-source ingest: the opaque-payload landing path for
+# multimodal corpora. The fixtures are REAL decodable PNGs from the
+# deterministic stdlib generator (multimodal.png_payload), so the
+# oracle states exact literals (size, md5, IHDR dims) derived from
+# the same pure function at registration time.
+_BINFILE_SIZES = [(3, 2), (5, 4), (8, 6), (13, 10), (21, 16), (34, 26)]
+
+
+def _binaryfile_oracle() -> str:
+    from nhl_data_warehouse_spark.operators.multimodal import png_payload
+
+    rows = ", ".join(
+        f"('img_{i:03d}.png', {len(p)}, '{hashlib.md5(p).hexdigest()}',"
+        f" {w}, {h})"
+        for i, (w, h) in enumerate(_BINFILE_SIZES)
+        for p in [png_payload(w, h)]
+    )
+    return f"""
+        SELECT file_name,
+               CAST(file_bytes AS BIGINT) AS file_bytes,
+               content_md5,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height
+        FROM (VALUES {rows})
+             AS t(file_name, file_bytes, content_md5, width, height)
+    """
+
+
+@register(
+    "binaryfile_ingest_meta",
+    op_ids="S-surface beyond-reference: spark.read.format('binaryFile') "
+    "landing ingest — whole files as (path, length, content) rows, "
+    "with file identity (md5 of bytes) and image dimensions parsed "
+    "JVM-SIDE from the PNG IHDR header via substring/hex/conv (no "
+    "Python in the loop); completes the source matrix next to "
+    "CSV/JSON/parquet/ORC/XML/text-wholetext",
+    description="6 deterministic PNG fixtures landed on disk, read "
+    "back through the binaryFile source: file name, byte length, "
+    "content md5, and IHDR width/height per file",
+    oracle=_binaryfile_oracle(),
+)
+def binaryfile_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nhl_data_warehouse_spark.operators.multimodal import png_payload
+
+    landing = _fresh_dir("suite_binfile_")
+    for i, (w, h) in enumerate(_BINFILE_SIZES):
+        with open(os.path.join(landing, f"img_{i:03d}.png"), "wb") as f:
+            f.write(png_payload(w, h))
+    # decoy that the glob must skip (S9 pattern-pruning semantics)
+    with open(os.path.join(landing, "notes.txt"), "wb") as f:
+        f.write(b"not an image")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(landing)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("file_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.expr(
+            "CAST(conv(hex(substring(content, 17, 4)), 16, 10) AS BIGINT)"
+        ).alias("width"),
+        F.expr(
+            "CAST(conv(hex(substring(content, 21, 4)), 16, 10) AS BIGINT)"
+        ).alias("height"),
+    )
