@@ -420,3 +420,97 @@ def byte_class_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(stats, BYTE_CLASS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: real PCM/WAV plumbing (stdlib-only, no audio libs needed)
+# ---------------------------------------------------------------------------
+
+_WAV_STEP = 2654435761  # Knuth multiplicative constant: full-period int walk
+
+
+def wav_payload(n_samples: int, sample_rate: int = 16000, seed: int = 1) -> bytes:
+    """A minimal REAL PCM16 mono WAV built with stdlib ``struct``
+    only. Samples are a deterministic INTEGER walk
+    s_i = ((seed + i*STEP) mod 65536) - 32768, so any consumer —
+    including a SQL oracle holding literals derived from this same
+    function — reproduces the byte stream and every sample statistic
+    exactly (no float synthesis anywhere)."""
+    import struct
+
+    samples = [
+        ((seed + i * _WAV_STEP) % 65536) - 32768 for i in range(n_samples)
+    ]
+    data = struct.pack(f"<{n_samples}h", *samples)
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def audio_pcm_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Parse PCM16 WAV payloads and emit exact per-item sample
+    statistics via Arrow-batched ``mapInPandas`` — the real audio
+    ingest path: header fields read with ``struct``, the sample block
+    viewed as one numpy int16 array per item (vectorized, no per-
+    sample Python). All statistics are INTEGERS (peak |s|, sum of
+    squares fits int64 up to ~8.6e8 samples/item at full scale), so
+    downstream RMS/dBFS are single IEEE expressions any engine
+    reproduces bit-for-bit. Non-WAV/truncated payloads yield NULL
+    stats rather than failing the batch (corrupt-file tolerance).
+    """
+    import struct
+    from typing import Iterator as _It
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak_abs", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+        ]
+    )
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b[id_col], b["payload"]):
+                ok = (
+                    payload is not None
+                    and len(payload) >= 44
+                    and payload[:4] == b"RIFF"
+                    and payload[8:12] == b"WAVE"
+                )
+                if not ok:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                sr = struct.unpack("<I", payload[24:28])[0]
+                n_data = struct.unpack("<I", payload[40:44])[0]
+                body = payload[44 : 44 + n_data]
+                s = np.frombuffer(body, dtype="<i2")
+                sq = s.astype(np.int64) ** 2
+                rows.append(
+                    (
+                        mid,
+                        int(sr),
+                        int(len(s)),
+                        int(np.abs(s.astype(np.int64)).max()) if len(s) else 0,
+                        int(sq.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples", "peak_abs", "sum_sq"],
+            )
+
+    return media.select(id_col, "payload").mapInPandas(run, out_schema)

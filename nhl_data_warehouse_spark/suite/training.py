@@ -5188,3 +5188,70 @@ def auc_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_rank_auc(
         joined, "lang", "quality_score", F.col("is_good"), scale=1_000_000
     )
+
+
+def _audio_oracle() -> str:
+    import struct as _struct  # noqa: F401 — parity with the generator
+
+    from nhl_data_warehouse_spark.operators.multimodal import (
+        _WAV_STEP,
+        wav_payload,  # noqa: F401 — oracle literals derive from it
+    )
+
+    rows = []
+    for i in range(8):
+        n = 500 + 137 * i
+        samples = [
+            ((i + 1 + j * _WAV_STEP) % 65536) - 32768 for j in range(n)
+        ]
+        rows.append(
+            f"({i}, 16000, {n}, {max(abs(s) for s in samples)},"
+            f" {sum(s * s for s in samples)})"
+        )
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(peak_abs AS BIGINT) AS peak_abs,
+               CAST(sum_sq AS BIGINT) AS sum_sq,
+               sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))
+                   AS rms
+        FROM (VALUES {", ".join(rows)})
+             AS t(media_id, sample_rate, n_samples, peak_abs, sum_sq)
+    """
+
+
+@register(
+    "audio_ingest_pcm_stats",
+    op_ids="beyond-reference AUDIO modality: real PCM16/WAV parse via "
+    "Arrow-batched mapInPandas — stdlib struct header read + one "
+    "vectorized numpy int16 view per item, INTEGER sample statistics "
+    "(peak, sum of squares) so RMS is a single IEEE expression; the "
+    "fixtures are stdlib-generated deterministic WAVs, so the oracle "
+    "holds exact literals from the same pure function (the PNG "
+    "binaryfile_ingest_meta pattern, extended to the audio lane)",
+    description="8 deterministic PCM16 WAV fixtures parsed to exact "
+    "per-item sample stats (rate, count, peak, energy) plus RMS",
+    oracle=_audio_oracle(),
+)
+def audio_ingest_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.multimodal import (
+        audio_pcm_stats,
+        wav_payload,
+    )
+
+    media = spark.createDataFrame(
+        [(i, bytearray(wav_payload(500 + 137 * i, seed=i + 1))) for i in range(8)],
+        "media_id long, payload binary",
+    )
+    stats = audio_pcm_stats(media)
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "peak_abs",
+        "sum_sq",
+        F.expr(
+            "sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))"
+        ).alias("rms"),
+    )

@@ -366,3 +366,27 @@ class TestGroupedAuc:
             ref = rank_auc(sub, "s", F.col("y")).first()
             assert got[g] == (ref.n_pos, ref.n_neg, ref.auc), g
         assert got["c"] == (2, 0, None)
+
+
+class TestAudioPcm:
+    def test_stats_match_struct_reference_and_corrupt_tolerance(self, spark):
+        import struct
+
+        from nhl_data_warehouse_spark.operators.multimodal import (
+            audio_pcm_stats,
+            wav_payload,
+        )
+
+        p = wav_payload(300, sample_rate=8000, seed=5)
+        n_data = struct.unpack("<I", p[40:44])[0]
+        samples = struct.unpack(f"<{n_data // 2}h", p[44 : 44 + n_data])
+        media = spark.createDataFrame(
+            [(1, bytearray(p)), (2, bytearray(b"not a wav")), (3, None)],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in audio_pcm_stats(media).collect()}
+        assert rows[1].sample_rate == 8000
+        assert rows[1].n_samples == 300
+        assert rows[1].peak_abs == max(abs(s) for s in samples)
+        assert rows[1].sum_sq == sum(s * s for s in samples)
+        assert rows[2].n_samples is None and rows[3].n_samples is None
