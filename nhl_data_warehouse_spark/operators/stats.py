@@ -246,25 +246,35 @@ def spearman_rho(
         )
 
     j = joint.join(marginal("cx", "ax"), "cx").join(marginal("cy", "ay"), "cy")
+    # squared-doubled-midrank products pass 2^63 beyond ~1e6 rows per
+    # grain (caught live by the x10 scale probe under ANSI mode), so
+    # every product term is cast to DECIMAL(38,0) BEFORE multiplying
+    # — exact to 10^38, mirroring the oracle's HUGEINT
+    dnxy = F.col("nxy").cast("decimal(38,0)")
     stats = j.agg(
         F.sum("nxy").cast("long").alias("n"),
-        F.sum(F.col("nxy") * F.col("ax")).cast("long").alias("sx"),
-        F.sum(F.col("nxy") * F.col("ay")).cast("long").alias("sy"),
-        F.sum(F.col("nxy") * F.col("ax") * F.col("ax")).cast("long").alias("sxx"),
-        F.sum(F.col("nxy") * F.col("ay") * F.col("ay")).cast("long").alias("syy"),
-        F.sum(F.col("nxy") * F.col("ax") * F.col("ay")).cast("long").alias("sxy"),
+        F.sum(dnxy * F.col("ax")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dnxy * F.col("ay")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dnxy * F.col("ax") * F.col("ax"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(dnxy * F.col("ay") * F.col("ay"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(dnxy * F.col("ax") * F.col("ay"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
     )
-    big = "CAST({} AS DECIMAL(38,0))"
-    n, sx, sy = big.format("n"), big.format("sx"), big.format("sy")
+    n = "CAST(n AS DECIMAL(38,0))"
     return stats.select(
         F.col("n"),
         F.expr(
-            f"CASE WHEN {n} * CAST(sxx AS DECIMAL(38,0)) = {sx} * {sx}"
-            f"       OR {n} * CAST(syy AS DECIMAL(38,0)) = {sy} * {sy}"
+            f"CASE WHEN {n} * sxx = sx * sx"
+            f"       OR {n} * syy = sy * sy"
             "      THEN CAST(NULL AS DOUBLE) ELSE "
-            f"CAST({n} * CAST(sxy AS DECIMAL(38,0)) - {sx} * {sy} AS DOUBLE)"
-            f" / (sqrt(CAST({n} * CAST(sxx AS DECIMAL(38,0)) - {sx} * {sx} AS DOUBLE))"
-            f"    * sqrt(CAST({n} * CAST(syy AS DECIMAL(38,0)) - {sy} * {sy} AS DOUBLE)))"
+            f"CAST({n} * sxy - sx * sy AS DOUBLE)"
+            f" / (sqrt(CAST({n} * sxx - sx * sx AS DOUBLE))"
+            f"    * sqrt(CAST({n} * syy - sy * sy AS DOUBLE)))"
             " END"
         ).alias("rho"),
     )
