@@ -1685,9 +1685,11 @@ def _bootstrap_oracle(n_replicates: int, salt: str) -> str:
         POISSON1_HEX_THRESHOLDS,
     )
 
+    # 4 replicates per md5: replicate b reads 8-hex window b%4 of
+    # md5(salt + b//4 | key) — mirrors poisson_bootstrap_weight
     case_chain = "\n                   + ".join(
-        f"CASE WHEN substr(md5('{salt}' || CAST(b AS VARCHAR) || '|'"
-        f" || CAST(o_orderkey AS VARCHAR)), 1, 8) >= '{t}'"
+        f"CASE WHEN substr(md5('{salt}' || CAST(b // 4 AS VARCHAR) || '|'"
+        f" || CAST(o_orderkey AS VARCHAR)), 1 + 8 * (b % 4), 8) >= '{t}'"
         " THEN 1 ELSE 0 END"
         for t in POISSON1_HEX_THRESHOLDS
     )
