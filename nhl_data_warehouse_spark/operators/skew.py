@@ -79,3 +79,61 @@ def salted_join(
         salted_facts.join(replicated_dim, on=[key, "_salt"])
         .drop("_salt")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """The "should I salt this key?" diagnostic: exact shuffle-key
+    frequency profile in two keyed aggregates.
+
+    Rows collapse to per-key counts (map-side combined), counts
+    collapse to the counts-of-counts histogram (grain = DISTINCT
+    frequency values, bounded far below key count), and the exact
+    p50/p99 key frequencies fall out of one cumulative window over
+    that histogram — no row-scale sort, no sampling. ``skew_ratio``
+    is max/mean frequency (the replicate-factor input for
+    ``salted_join``); ``hot_key`` is the min key among maxima
+    (deterministic). One row out:
+    (n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, skew_ratio, hot_key).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.persist()
+    counts.count()  # histogram + totals + hot-key share one pass
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    coc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("nk"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = coc.withColumn("cumk", F.sum("nk").over(w))
+    pcts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(2 * F.col("cumk") >= F.col("n_keys"), F.col("cnt")))
+        .cast("long")
+        .alias("p50_cnt"),
+        F.min(F.when(100 * F.col("cumk") >= 99 * F.col("n_keys"), F.col("cnt")))
+        .cast("long")
+        .alias("p99_cnt"),
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .agg(F.min(key_col).cast("long").alias("hot_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pcts))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            F.expr(
+                "CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)"
+                " / CAST(n_rows AS DOUBLE)"
+            ).alias("skew_ratio"),
+            "hot_key",
+        )
+    )

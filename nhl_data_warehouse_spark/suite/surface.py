@@ -1746,3 +1746,55 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_means(
         vals, ["o_orderkey"], "cents", n_replicates=32, salt="boot"
     )
+
+
+@register(
+    "key_skew_report",
+    op_ids="beyond-reference shuffle diagnostics: exact key-frequency "
+    "profile (count of keys, exact discrete p50/p99 key frequency "
+    "via the counts-of-counts histogram, max/mean skew ratio, "
+    "deterministic hottest key) — the should-I-salt report that "
+    "feeds salted_join's replicate factor; two keyed aggregates and "
+    "one bounded-grain window, never a row-scale sort",
+    description="order-count-per-customer skew profile: key count, "
+    "exact p50/p99 orders-per-customer, max/mean skew ratio, hottest "
+    "customer key",
+    oracle="""
+        WITH counts AS (
+            SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM counts
+        ),
+        coc AS (SELECT cnt, COUNT(*) AS nk FROM counts GROUP BY 1),
+        cum AS (
+            SELECT cnt, SUM(nk) OVER (ORDER BY cnt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+            FROM coc
+        ),
+        pcts AS (
+            SELECT CAST(MIN(CASE WHEN 2 * cumk >= n_keys THEN cnt END)
+                        AS BIGINT) AS p50_cnt,
+                   CAST(MIN(CASE WHEN 100 * cumk >= 99 * n_keys THEN cnt END)
+                        AS BIGINT) AS p99_cnt
+            FROM cum, tot
+        ),
+        hot AS (
+            SELECT CAST(MIN(o_custkey) AS BIGINT) AS hot_key
+            FROM counts, tot WHERE cnt = max_cnt
+        )
+        SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+               CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                   / CAST(n_rows AS DOUBLE) AS skew_ratio,
+               hot_key
+        FROM tot, pcts, hot
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.skew import key_skew_report as rep
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return rep(orders, "o_custkey")

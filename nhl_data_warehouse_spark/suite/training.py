@@ -5255,3 +5255,128 @@ def audio_ingest_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))"
         ).alias("rms"),
     )
+
+
+@register(
+    "lang_id_macro_f1",
+    op_ids="beyond-reference model evaluation: per-class precision / "
+    "recall / F1 and macro-F1 from the lang-ID confusion relation — "
+    "completing the classifier scorecard next to accuracy "
+    "(lang_id_confusion), chance-corrected agreement (kappa), AUC "
+    "and calibration. Every per-class metric is a fixed-order ratio "
+    "of integer confusion cells (F1 = 2tp/(2tp+fp+fn), no "
+    "intermediate p*r rounding); macro-F1 folds the per-class F1s in "
+    "language order on both engines",
+    description="per-gold-language tp/fp/fn, precision, recall, F1 "
+    "of the lang-ID heuristic, plus the macro-F1 constant column",
+    oracle=f"""
+        WITH preds AS ({_lang_id_oracle()}),
+        joined AS (
+            SELECT d.lang AS true_lang, p.pred_lang
+            FROM documents d JOIN preds p USING (doc_id)
+        ),
+        cells AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM joined GROUP BY 1, 2
+        ),
+        gold AS (
+            SELECT true_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_gold
+            FROM cells GROUP BY 1
+        ),
+        predm AS (
+            SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM cells GROUP BY 1
+        ),
+        diag AS (
+            SELECT true_lang AS lang, CAST(SUM(n) AS BIGINT) AS tp
+            FROM cells WHERE true_lang = pred_lang GROUP BY 1
+        ),
+        perclass AS (
+            SELECT g.lang,
+                   COALESCE(d.tp, 0) AS tp,
+                   COALESCE(p.n_pred, 0) - COALESCE(d.tp, 0) AS fp,
+                   g.n_gold - COALESCE(d.tp, 0) AS fn
+            FROM gold g
+            LEFT JOIN diag d USING (lang)
+            LEFT JOIN predm p USING (lang)
+        ),
+        scored AS (
+            SELECT lang, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)
+                        ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                   END AS precision_,
+                   CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+                   CAST(2 * tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+            FROM perclass
+        ),
+        macro AS (
+            SELECT SUM(f1 ORDER BY lang) / COUNT(*) AS macro_f1 FROM scored
+        )
+        SELECT lang, tp, fp, fn, precision_ AS precision, recall_ AS recall,
+               f1, macro_f1
+        FROM scored, macro
+    """,
+)
+def lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    preds = text.lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, on="doc_id"
+    )
+    cells = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = cells.persist()
+    cells.count()  # three marginal consumers share one computation
+    gold = cells.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_gold")
+    )
+    predm = cells.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    diag = (
+        cells.where(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n").cast("long").alias("tp_"))
+    )
+    perclass = (
+        gold.join(diag, "lang", "left")
+        .join(predm, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp_", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp_", F.lit(0))).alias("fp"),
+            (F.col("n_gold") - F.coalesce("tp_", F.lit(0))).alias("fn"),
+        )
+    )
+    scored = perclass.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END"
+        ).alias("precision"),
+        F.expr("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)").alias("recall"),
+        F.expr(
+            "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)"
+        ).alias("f1"),
+    )
+    scored = scored.persist()
+    scored.count()  # macro fold + row output share one computation
+    macro = scored.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("lang", "f1"))),
+                    lambda s: s["f1"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("macro_f1")
+    )
+    return scored.crossJoin(F.broadcast(macro))

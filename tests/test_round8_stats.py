@@ -390,3 +390,59 @@ class TestAudioPcm:
         assert rows[1].peak_abs == max(abs(s) for s in samples)
         assert rows[1].sum_sq == sum(s * s for s in samples)
         assert rows[2].n_samples is None and rows[3].n_samples is None
+
+
+class TestMacroF1AndSkewReport:
+    def test_macro_f1_query_consistent_with_brute_force(self, spark):
+        """Drive the registered query on the real testdata and verify
+        every row against a brute-force confusion computed from the
+        same lang_id predictions."""
+        import collections
+        import os
+
+        import pytest as _pytest
+
+        from nhl_data_warehouse_spark.operators import text
+        from nhl_data_warehouse_spark.suite import REGISTRY
+        from nhl_data_warehouse_spark.suite.registry import load
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        if not os.path.isdir(sf):
+            _pytest.skip("driver testdata not present")
+        (documents,) = load(spark, sf, "documents")
+        preds = text.lang_id(documents).select("doc_id", "pred_lang")
+        pairs = [
+            (r.lang, r.pred_lang)
+            for r in documents.select("doc_id", "lang")
+            .join(preds, "doc_id")
+            .collect()
+        ]
+        gold = collections.Counter(t for t, _ in pairs)
+        pred = collections.Counter(p for _, p in pairs)
+        tp = collections.Counter(t for t, p in pairs if t == p)
+        want_f1 = {
+            k: 2 * tp[k] / (2 * tp[k] + (pred[k] - tp[k]) + (gold[k] - tp[k]))
+            for k in gold
+        }
+        rows = REGISTRY["lang_id_macro_f1"].fn(spark, sf).collect()
+        assert {r.lang for r in rows} == set(gold)
+        for r in rows:
+            assert r.tp == tp[r.lang]
+            assert r.fp == pred[r.lang] - tp[r.lang]
+            assert r.fn == gold[r.lang] - tp[r.lang]
+            assert abs(r.f1 - want_f1[r.lang]) < 1e-12
+        macro = sum(want_f1[k] for k in sorted(gold)) / len(gold)
+        assert abs(rows[0].macro_f1 - macro) < 1e-12
+
+    def test_key_skew_report_known_distribution(self, spark):
+        from nhl_data_warehouse_spark.operators.skew import key_skew_report
+
+        # keys: 1 x10, 2 x5, 3..12 x1  -> n_keys=12 n_rows=25
+        rows = [(1,)] * 10 + [(2,)] * 5 + [(k,) for k in range(3, 13)]
+        df = spark.createDataFrame(rows, "k long")
+        r = key_skew_report(df, "k").first()
+        assert (r.n_keys, r.n_rows, r.max_cnt) == (12, 25, 10)
+        assert r.p50_cnt == 1  # 10 of 12 keys have cnt 1
+        assert r.p99_cnt == 10  # only the full histogram reaches 99%
+        assert r.hot_key == 1
+        assert abs(r.skew_ratio - 10 * 12 / 25) < 1e-12

@@ -119,6 +119,11 @@ PROBES = [
     # unpartitioned stage) — expected ~linear in the token scan that
     # feeds the classifier, flat in the windowed stage
     "auc_by_language",
+    # second r8 batch: macro-F1 (confusion-cell marginals — ~linear
+    # scan, constant metric stage) and the key-skew diagnostic
+    # (counts-of-counts grain — ~linear scan, flat tail)
+    "lang_id_macro_f1",
+    "key_skew_report",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
