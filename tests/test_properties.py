@@ -998,3 +998,135 @@ def test_bloom_never_false_negative(spark, seen, m_exp, k):
     ).collect()
     assert len(rows) == len(seen)
     assert all(r.bloom_member for r in rows)
+
+
+# --- round-8 statistics: arbitrary-input agreement with naive forms ---
+
+_xy_lists = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(0, 6)), min_size=2, max_size=24
+)
+
+
+def _midrank_map(vals):
+    s = sorted(vals)
+    out = {}
+    for v in set(vals):
+        i = s.index(v)
+        c = s.count(v)
+        out[v] = i + (c + 1) / 2
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_xy_lists)
+def test_spearman_matches_naive(spark, pairs):
+    import math
+
+    from nhl_data_warehouse_spark.operators.stats import spearman_rho
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    df = spark.createDataFrame(
+        [(x, float(y)) for x, y in pairs], "x long, y double"
+    )
+    got = spearman_rho(df, "x", "y", x_scale=1, y_scale=1).first().rho
+    rx, ry = _midrank_map(xs), _midrank_map(ys)
+    ax = [rx[v] for v in xs]
+    ay = [ry[v] for v in ys]
+    n = len(xs)
+    mx, my = sum(ax) / n, sum(ay) / n
+    dx = math.sqrt(sum((a - mx) ** 2 for a in ax))
+    dy = math.sqrt(sum((b - my) ** 2 for b in ay))
+    if dx == 0 or dy == 0:
+        assert got is None
+    else:
+        want = sum((a - mx) * (b - my) for a, b in zip(ax, ay)) / (dx * dy)
+        assert abs(got - want) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=_xy_lists)
+def test_kendall_tau_b_matches_naive(spark, pairs):
+    import collections
+    import math
+
+    from nhl_data_warehouse_spark.operators.stats import kendall_tau_b
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    df = spark.createDataFrame(
+        [(x, float(y)) for x, y in pairs], "x long, y double"
+    )
+    got = kendall_tau_b(df, "x", "y", x_scale=1, y_scale=1).first().tau_b
+    n = len(xs)
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if d > 0:
+                nc += 1
+            elif d < 0:
+                nd += 1
+    n0 = n * (n - 1) // 2
+    n1 = sum(c * (c - 1) // 2 for c in collections.Counter(xs).values())
+    n2 = sum(c * (c - 1) // 2 for c in collections.Counter(ys).values())
+    if n0 == n1 or n0 == n2:
+        assert got is None
+    else:
+        want = (nc - nd) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+        assert abs(got - want) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(0, 9), min_size=1, max_size=20))
+def test_gini_matches_naive(spark, vals):
+    from nhl_data_warehouse_spark.operators.stats import gini_coefficient
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = gini_coefficient(df, "v", scale=1).first().gini
+    n, total = len(vals), sum(vals)
+    if total == 0:
+        assert got is None
+    else:
+        s = sorted(vals)
+        want = 2 * sum((i + 1) * v for i, v in enumerate(s)) / (n * total) - (
+            n + 1
+        ) / n
+        assert abs(got - want) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 25)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_interval_overlap_join_matches_naive(spark, ivals):
+    import datetime as _dt
+
+    from nhl_data_warehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (i, s * 60, (s + d) * 60) for i, (s, d) in enumerate(ivals)
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long").select(
+        "id",
+        F.timestamp_micros(F.col("s") * 1_000_000).alias("st"),
+        F.timestamp_micros(F.col("e") * 1_000_000).alias("en"),
+    )
+    out = interval_overlap_join(df, df, "st", "en", cell_minutes=7)
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in out.where(F.col("a_id") < F.col("b_id")).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for ai, a in enumerate(rows)
+        for b in rows[ai + 1 :]
+        if a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == want
