@@ -1609,3 +1609,68 @@ def binaryfile_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(hex(substring(content, 21, 4)), 16, 10) AS BIGINT)"
         ).alias("height"),
     )
+
+
+@register(
+    "corrupt_record_quarantine",
+    op_ids="S6-adjacent permissive-load semantics: PERMISSIVE CSV "
+    "read with columnNameOfCorruptRecord — the COPY INTO "
+    "ON_ERROR=CONTINUE analog the reference's Snowflake loads imply: "
+    "malformed cells parse to NULL, the raw line rides along in the "
+    "corrupt column for quarantine, good rows flow on unchanged; "
+    "type-width errors (bad int, bad double, wrong column count) "
+    "each exercised by one deterministic fixture line",
+    description="6-line CSV batch (2 clean, 4 malformed in distinct "
+    "ways) loaded permissively: parsed fields, a quarantine flag, "
+    "and the raw line for flagged rows",
+    oracle="""
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(qty AS BIGINT) AS qty,
+               CAST(price AS DOUBLE) AS price,
+               is_quarantined,
+               corrupt_raw
+        FROM (VALUES
+            (1, 10, 3.5, FALSE, CAST(NULL AS VARCHAR)),
+            (2, NULL, 4.25, TRUE, '2,abc,4.25'),
+            (3, 30, NULL, TRUE, '3,30'),
+            (4, 40, 5.0, TRUE, '4,40,5.00,extra'),
+            (5, 50, NULL, TRUE, '5,50,xyz'),
+            (6, 60, 6.75, FALSE, NULL)
+        ) AS t(id, qty, price, is_quarantined, corrupt_raw)
+    """,
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's PERMISSIVE contract (verified, pinned by the oracle):
+    a malformed CELL nulls only that field while the parseable
+    neighbors survive, and the untouched raw line lands in the
+    corrupt column; wrong column counts are also quarantined. The
+    post-load ``cache()`` is required — Spark refuses to execute a
+    plan whose only projection is the internal corrupt column on an
+    uncached raw scan."""
+    import os
+
+    landing = _fresh_dir("suite_quarantine_")
+    lines = [
+        "1,10,3.50",
+        "2,abc,4.25",
+        "3,30",
+        "4,40,5.00,extra",
+        "5,50,xyz",
+        "6,60,6.75",
+    ]
+    with open(os.path.join(landing, "batch.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    raw = (
+        spark.read.schema("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(landing)
+    )
+    raw = raw.cache()
+    return raw.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("qty").cast("long").alias("qty"),
+        F.col("price").cast("double").alias("price"),
+        F.col("_corrupt_record").isNotNull().alias("is_quarantined"),
+        F.col("_corrupt_record").alias("corrupt_raw"),
+    )
