@@ -497,6 +497,11 @@ def audio_pcm_stats(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 sr = struct.unpack("<I", payload[24:28])[0]
                 n_data = struct.unpack("<I", payload[40:44])[0]
                 body = payload[44 : 44 + n_data]
+                # a payload truncated MID-SAMPLE leaves an odd byte
+                # count; frombuffer('<i2') would raise and fail the
+                # whole Arrow batch (ADVICE r8) — drop the trailing
+                # half-sample, same corrupt-file tolerance as above
+                body = body[: (len(body) // 2) * 2]
                 s = np.frombuffer(body, dtype="<i2")
                 sq = s.astype(np.int64) ** 2
                 rows.append(

@@ -15,12 +15,17 @@ oracle bit-for-bit:
   (F.aggregate over a rank-sorted array; the oracle uses DuckDB's
   ordered-aggregate SUM(x ORDER BY rank)) — identical IEEE op
   sequence on both engines;
-- IDCG folds the same terms with relevance sorted descending; equal
-  relevance values make within-tie order irrelevant.
+- IDCG is STANDARD NDCG@k (ADVICE r8): it folds the top-k terms of
+  the FULL candidate set ranked by relevance descending — not just
+  the score-retrieved top k — so a ranker that buries every relevant
+  item below rank k scores 0, not NULL, and a top k of low-relevance
+  items is not inflated. Equal relevance values make within-tie
+  order irrelevant to the sum; the ideal rank tie-breaks on the
+  score rank for a deterministic row_number.
 
-Scale: the only shuffle is the rank window partitioned by the group
-key; everything after operates on <= k rows per group collapsed to
-one array — no further exchange, no row-scale window.
+Scale: both windows partition by the group key — one exchange, two
+in-partition sorts; everything after operates on <= 2k rows per
+group collapsed to arrays — no further exchange, no row-scale window.
 """
 
 from __future__ import annotations
@@ -41,9 +46,15 @@ def ndcg_mrr_at_k(
     """Per-group NDCG@k and MRR of the ``score_col``-descending
     ranking against a graded ``relevance`` column expression.
 
-    Output: (group, n_ranked, ndcg, mrr) — ndcg NULL when the group
-    has no relevant item in its ideal ranking (IDCG = 0), mrr NULL
-    when no relevant item appears in the top k.
+    Standard NDCG@k: the ideal DCG normalizer comes from the top-k
+    relevances of the group's FULL candidate set (relevance
+    descending), not the retrieved top k — so relevant items buried
+    below rank k yield ndcg = 0 (a real ranking failure), and a top k
+    of only low-relevance items is penalized, not normalized away.
+
+    Output: (group, n_ranked, ndcg, mrr) — ndcg NULL only when the
+    whole group has no relevant item at all (IDCG = 0), mrr NULL when
+    no relevant item appears in the retrieved top k.
     """
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(tiebreak_col).asc()
@@ -56,10 +67,28 @@ def ndcg_mrr_at_k(
             relevance.cast("double").alias("rel"),
         )
         .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
+        .drop(score_col, tiebreak_col)
     )
+    # ideal rank over the FULL set: relevance descending; rnk (unique
+    # in-group) breaks ties deterministically — tie order cannot
+    # change the sum since tied terms share the same rel value
+    wi = Window.partitionBy(group_col).orderBy(
+        F.col("rel").desc(), F.col("rnk").asc()
+    )
+    ranked = ranked.withColumn("irank", F.row_number().over(wi))
+    # collect_list skips the NULLs the when() leaves behind, so each
+    # array holds exactly the <= k qualifying terms
     g = ranked.groupBy(group_col).agg(
-        F.sort_array(F.collect_list(F.struct("rnk", "rel"))).alias("items")
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("rnk") <= k, F.struct("rnk", "rel"))
+            )
+        ).alias("items"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("irank") <= k, F.struct("irank", "rel"))
+            )
+        ).alias("ideal_items"),
     )
     # per-element double ops are deterministic; the folds are ordered
     terms = F.transform(
@@ -68,11 +97,8 @@ def ndcg_mrr_at_k(
     dcg = F.aggregate(
         terms, F.lit(0.0), lambda acc, x: acc + x
     )
-    rels_desc = F.reverse(
-        F.array_sort(F.transform("items", lambda s: s["rel"]))
-    )
     ideal_terms = F.transform(
-        rels_desc, lambda x, i: x / F.round(F.log2(i + 2), 6)
+        "ideal_items", lambda s: s["rel"] / F.round(F.log2(s["irank"] + 1), 6)
     )
     idcg = F.aggregate(ideal_terms, F.lit(0.0), lambda acc, x: acc + x)
     first_rel = F.array_min(

@@ -17,6 +17,8 @@ entity) — the "is this customer's spend growing?" shape.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string hints resolve
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,13 +93,13 @@ def mad_by_group(
     the exact twin.
     """
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit GROUPED_AGG: this module uses postponed annotation
-    # evaluation, which pandas_udf's Series->scalar hint inference
-    # can't resolve (same workaround as similarity.py's scalar UDFs)
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _mad(v):
+    # type-hint style (Series -> scalar infers GROUPED_AGG); the
+    # string annotations from postponed evaluation resolve because pd
+    # is imported at module scope, where get_type_hints looks
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
         # NULLs arrive as NaN — drop them like SQL aggregates do
         # (DuckDB's mad() skips NULLs; an all-NULL group yields NULL)
         a = v.dropna().to_numpy(dtype="float64")
@@ -108,8 +110,8 @@ def mad_by_group(
 
     # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
     # aggregates in one agg() — the count rides a second pandas agg
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def _n(v):
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
         return len(v)
 
     return df.groupBy(group_col).agg(

@@ -7,6 +7,8 @@ Per-row ratios are plain double arithmetic (deterministic IEEE ops).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1113,11 +1115,13 @@ def nfc_normalize(
     engines (DuckDB ``nfc_normalize``) produce identical output —
     NFC is a Unicode-standard fixpoint, not an implementation choice.
     """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit SCALAR: module-level postponed annotations again
-    @pandas_udf("string", PandasUDFType.SCALAR)
-    def _nfc(s):
+    # type-hint style (Series -> Series infers SCALAR); the strings
+    # produced by postponed annotation evaluation resolve because pd
+    # is imported at module scope, where get_type_hints looks
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
         # pandas' vectorized normalizer (unicodedata under the hood);
         # NULLs propagate as NaN -> null
         return s.str.normalize("NFC")

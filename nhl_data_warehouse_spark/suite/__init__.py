@@ -48,7 +48,7 @@ from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 
 
 def _derive_priority(artifact_dir, registry_names) -> list[str]:
-    """Stalest-first window order from CORRECTNESS_r0*.json:
+    """Stalest-first window order from CORRECTNESS_r*.json:
     the stalest last-green cohort, then queries with NO driver
     verdict yet (the least-proven — VERDICT r7 item 3 puts them
     right after the stalest cohort so they get their first check
@@ -64,7 +64,8 @@ def _derive_priority(artifact_dir, registry_names) -> list[str]:
 
     last_green: dict[str, int] = {}
     checked_ever: set[str] = set()
-    for p in sorted(Path(artifact_dir).glob("CORRECTNESS_r0*.json")):
+    # glob must match r10+ too (r0* would drop CORRECTNESS_r10.json)
+    for p in sorted(Path(artifact_dir).glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
         try:
             rows = json.loads(p.read_text())

@@ -17,8 +17,10 @@ Two families (VERDICT r5 items 6 and the beyond-reference widening):
   ModuleNotFoundError and ivy resolution of
   `io.delta:delta-spark_2.13:4.0.0` fails offline with
   `unresolved dependency: io.delta#delta-spark_2.13;4.0.0: not
-  found`; `write.py:merge_upsert_delta` remains the pytest-gated
-  Delta form, terminal state documented.)
+  found`. Round 9 (VERDICT r8 item 5): the write-only Delta arm is
+  DELETED — `merge_upsert` (staged overwrite) and `append_new_rows`
+  (anti-join) are the supported upsert strategies, documented in
+  write.py and SCALE.md.)
 - **Distribution statistics** a training-data pipeline runs on its
   metrics: Mann-Whitney U (nonparametric A/B), two-sample
   Kolmogorov-Smirnov drift, exact-sufficient-statistics OLS with a
@@ -1546,15 +1548,18 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ranking_ndcg_mrr_eval",
     op_ids="beyond-reference ranking-quality evaluation: per-group "
-    "NDCG@10 and MRR of a score-descending ranking against graded "
-    "relevance — discount weights are 6dp-rounded log2 (the "
-    "rounded-ln rule), DCG/IDCG fold the <= k per-group terms in "
-    "rank order on both engines (F.aggregate over a rank-sorted "
-    "array vs DuckDB's ordered-aggregate SUM), the only shuffle is "
-    "the group-partitioned rank window",
-    description="per-user NDCG@10 and MRR of the event-value ranking "
-    "against graded event-type relevance (purchase=3, signup=2, "
-    "click=1) — the retrieval-eval companion to classifier_auc_eval",
+    "STANDARD NDCG@10 and MRR of a score-descending ranking against "
+    "graded relevance — IDCG normalizes by the FULL candidate set's "
+    "relevance top-k (ADVICE r8: buried relevant items score 0, not "
+    "NULL), discount weights are 6dp-rounded log2 (the rounded-ln "
+    "rule), DCG/IDCG fold the <= k per-group terms in rank order on "
+    "both engines (F.aggregate over a rank-sorted array vs DuckDB's "
+    "ordered-aggregate SUM), both windows share the group-key "
+    "partitioning — one exchange",
+    description="per-user standard NDCG@10 and MRR of the event-value "
+    "ranking against graded event-type relevance (purchase=3, "
+    "signup=2, click=1) — the retrieval-eval companion to "
+    "classifier_auc_eval",
     oracle="""
         WITH ranked AS (
             SELECT user_id,
@@ -1566,20 +1571,24 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ORDER BY value DESC, event_id) AS rnk
             FROM events WHERE value IS NOT NULL
         ),
-        topk AS (
+        ideal AS (
             SELECT user_id, rel, rnk,
                    row_number() OVER (PARTITION BY user_id
                        ORDER BY rel DESC, rnk) AS irank
-            FROM ranked WHERE rnk <= 10
+            FROM ranked
         ),
         agg AS (
             SELECT user_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_ranked,
-                   SUM(rel / round(log2(rnk + 1), 6) ORDER BY rnk) AS dcg,
-                   SUM(rel / round(log2(irank + 1), 6) ORDER BY irank)
-                       AS idcg,
-                   MIN(CASE WHEN rel > 0 THEN rnk END) AS fr
-            FROM topk GROUP BY 1
+                   CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ranked,
+                   SUM(CASE WHEN rnk <= 10
+                            THEN rel / round(log2(rnk + 1), 6) END
+                       ORDER BY rnk) AS dcg,
+                   SUM(CASE WHEN irank <= 10
+                            THEN rel / round(log2(irank + 1), 6) END
+                       ORDER BY irank) AS idcg,
+                   MIN(CASE WHEN rel > 0 AND rnk <= 10 THEN rnk END) AS fr
+            FROM ideal GROUP BY 1
         )
         SELECT user_id, n_ranked,
                CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg,

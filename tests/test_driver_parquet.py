@@ -77,7 +77,7 @@ def test_driver_window_composition():
     cohort leads, queries with NO driver verdict yet come immediately
     after it (least proven — they get their first check without
     displacing the stalest), and the second-stalest cohort fills the
-    rest. Derived from CORRECTNESS_r0*.json at import time
+    rest. Derived from CORRECTNESS_r*.json at import time
     (`_derive_priority`), so this asserts the POLICY, not a pinned
     list."""
     import json
@@ -89,7 +89,7 @@ def test_driver_window_composition():
     repo = Path(__file__).resolve().parents[1]
     last_green: dict[str, int] = {}
     checked_ever: set[str] = set()
-    for p in sorted(repo.glob("CORRECTNESS_r0*.json")):
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r0*(\d+)", p.name).group(1))
         for name, row in json.loads(p.read_text()).items():
             checked_ever.add(name)
@@ -135,7 +135,7 @@ def test_priority_rotates_when_next_driver_artifact_lands(tmp_path):
     from nhl_data_warehouse_spark.suite import REGISTRY
 
     repo = Path(__file__).resolve().parents[1]
-    arts = sorted(repo.glob("CORRECTNESS_r0*.json"))
+    arts = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert arts, "no driver CORRECTNESS artifacts found"
     # (a) replaying the real artifacts reproduces the live window
     assert _derive_priority(repo, list(REGISTRY)) == _PRIORITY
@@ -159,6 +159,18 @@ def test_priority_rotates_when_next_driver_artifact_lands(tmp_path):
     # a torn/corrupt artifact is skipped, not fatal
     (tmp_path / f"CORRECTNESS_r{last + 2:02d}.json").write_text("{not json")
     assert _derive_priority(tmp_path, list(REGISTRY)) == rotated
+    # (c) DOUBLE-DIGIT rounds must be read too (ADVICE r8: the old
+    # r0* glob silently dropped CORRECTNESS_r10.json and later, which
+    # would freeze the rotation from round 10 on). Write a valid r11
+    # re-greening the head of the rotated window and assert it rotates
+    # again — proving r1x artifacts are globbed AND parsed.
+    regreened11 = {
+        n: {"hash_match": True, "rows_match": True, "schema_match": True}
+        for n in rotated[:50]
+    }
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(regreened11))
+    rotated11 = _derive_priority(tmp_path, list(REGISTRY))
+    assert not (set(rotated[:50]) & set(rotated11))
 
 
 def test_no_toplevel_array_or_map_in_oracle_less_schemas(spark):

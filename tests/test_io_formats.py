@@ -144,37 +144,3 @@ class TestJsonlCommitSink:
             bad.write.format("jsonlcommit").mode("append").save(out)
         back = jsonlcommit_sink.read_committed(spark, out, schema)
         assert [(r.k, r.s, r.cents) for r in back.collect()] == [(1, "a", 100)]
-
-
-class TestDeltaMergeTwin:
-    def test_delta_merge_roundtrip(self, tmp_path):
-        """Runs only where delta-spark is installed (not this
-        container): first call full-loads, second call merges — matched
-        keys update, unmatched insert, untouched rows survive."""
-        import pytest
-
-        pytest.importorskip("delta")
-        from pyspark.sql import SparkSession
-
-        active = SparkSession.getActiveSession()
-        if active is not None and "io.delta.sql.DeltaSparkSessionExtension" not in (
-            active.conf.get("spark.sql.extensions", "") or ""
-        ):
-            pytest.skip("active session lacks the Delta extension")
-        from nhl_data_warehouse_spark.write import merge_upsert_delta
-
-        spark = active
-        path = str(tmp_path / "delta_tbl")
-        base = spark.createDataFrame(
-            [(1, "a"), (2, "b")], "unique_key long, v string"
-        )
-        merge_upsert_delta(spark, base, path)
-        change = spark.createDataFrame(
-            [(2, "B"), (3, "c")], "unique_key long, v string"
-        )
-        merge_upsert_delta(spark, change, path)
-        got = {
-            r.unique_key: r.v
-            for r in spark.read.format("delta").load(path).collect()
-        }
-        assert got == {1: "a", 2: "B", 3: "c"}

@@ -237,7 +237,10 @@ class TestNdcgMrr:
     def test_k_truncation(self, spark):
         from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
 
-        # relevant item at rank 3 is outside k=2 -> mrr NULL, ndcg NULL
+        # STANDARD NDCG@k (ADVICE r8): the relevant item at rank 3 is
+        # outside k=2, so the ranker FAILED — ndcg = 0.0 (IDCG comes
+        # from the full candidate set, which has a relevant item),
+        # mrr NULL (nothing relevant retrieved)
         df = spark.createDataFrame(
             [
                 (1, 9.0, 1, 0.0),
@@ -247,7 +250,29 @@ class TestNdcgMrr:
             "g long, score double, tb long, rel double",
         )
         row = ndcg_mrr_at_k(df, "g", "score", "tb", F.col("rel"), k=2).first()
-        assert row.n_ranked == 2 and row.ndcg is None and row.mrr is None
+        assert row.n_ranked == 2 and row.ndcg == 0.0 and row.mrr is None
+
+    def test_low_relevance_topk_not_inflated(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import ndcg_mrr_at_k
+
+        # top-2 retrieves rel [1, 1] but the full set holds a rel-3
+        # item at rank 3: standard IDCG@2 = 3/w1 + 1/w2, so ndcg < 1
+        # (the retrieved-set-normalized variant would have said 1.0)
+        df = spark.createDataFrame(
+            [
+                (1, 9.0, 1, 1.0),
+                (1, 8.0, 2, 1.0),
+                (1, 7.0, 3, 3.0),
+            ],
+            "g long, score double, tb long, rel double",
+        )
+        row = ndcg_mrr_at_k(df, "g", "score", "tb", F.col("rel"), k=2).first()
+        w = [round(math.log2(i + 1), 6) for i in (1, 2)]
+        dcg = 1.0 / w[0] + 1.0 / w[1]
+        idcg = 3.0 / w[0] + 1.0 / w[1]
+        assert abs(row.ndcg - dcg / idcg) < 1e-12
+        assert row.ndcg < 1.0
+        assert row.mrr == 1.0
 
 
 class TestIntervalOverlapJoin:
