@@ -513,3 +513,86 @@ def grouped_rank_auc(
             "/ CAST(2 * n1 * n2 AS DOUBLE) END"
         ).alias("auc"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-weighted ECE + MCE + Brier score of a probability
+    column against a boolean label — the scalar calibration scorecard
+    on top of ``classifier_calibration_bins``'s reliability diagram
+    (VERDICT r8 item 8):
+
+        ECE  = sum_b (n_b / N) * |acc_b - conf_b|   (equal-width bins)
+        MCE  = max_b |acc_b - conf_b|
+        Brier = mean((p - y)^2)
+
+    Determinism doctrine: scores quantize to exact micro-units
+    (``round(p * scale)`` as BIGINT — the grouped_rank_auc grain), so
+    per-bin confidence sums and the per-example Brier squares are
+    exact integers (DECIMAL(38,0) accumulators); every double is ONE
+    fixed-order expression, and the 10-term ECE sum folds in bin
+    order (F.aggregate over a bin-sorted array == DuckDB's
+    ``SUM(term ORDER BY bin)`` — the DCG recipe).
+
+    Scale: one map-side-combined groupBy to ``n_bins`` rows + one
+    global agg for (N, Brier); the fold runs over n_bins elements on
+    one row. No windows, no per-pair work.
+    """
+    pi = F.round(F.col(score_col) * scale).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        pi.alias("pi"),
+        y.alias("y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(F.col("pi").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("spi"),
+        F.sum("y").cast("long").alias("ng"),
+    )
+    sq = F.col("pi") - F.col("y") * scale
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sq.cast("decimal(38,0)") * sq).cast("decimal(38,0)").alias("ssq"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "nb",
+        F.expr(
+            "abs(CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)"
+            f" - CAST(spi AS DOUBLE) / (CAST(nb AS DOUBLE) * {float(scale)}))"
+        ).alias("dev"),
+        F.expr("CAST(nb AS DOUBLE) / CAST(n_docs AS DOUBLE)").alias("w"),
+        "n_docs",
+        "ssq",
+    )
+    folded = terms.groupBy("n_docs", "ssq").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "w", "dev"))).alias("ts")
+    )
+    ece = F.aggregate(
+        F.transform("ts", lambda s: s["w"] * s["dev"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mce = F.array_max(F.transform("ts", lambda s: s["dev"]))
+    return folded.select(
+        F.col("n_docs"),
+        ece.alias("ece"),
+        mce.alias("mce"),
+        F.expr(
+            "CAST(ssq AS DOUBLE)"
+            f" / (CAST(n_docs AS DOUBLE) * {float(scale) * float(scale)})"
+        ).alias("brier"),
+    )

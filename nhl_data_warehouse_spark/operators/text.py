@@ -343,6 +343,103 @@ def contamination_check(
     )
 
 
+def span_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    benchmark_mod: int = 2,
+    flag_pct: int = 20,
+) -> DataFrame:
+    """Exact substring contamination at the long-n-gram grain with
+    TOKEN-SPAN COVERAGE — the decontamination recipe real training
+    corpora use (VERDICT r8 item 8, extending ``contamination_check``):
+    a doc is removed not when it shares many short grams but when a
+    large FRACTION OF ITS TOKENS is covered by some >= n-token span
+    that also appears verbatim in the benchmark. Long grams (n=50)
+    make exact matching equivalent to a suffix-automaton substring
+    check at that grain — no automaton needed: every shared >= n-token
+    substring is a union of shared n-grams, so the union of matched
+    gram spans IS the contaminated region.
+
+    Positions covered = COUNT(DISTINCT token index in any matched
+    span): computing the interval union as a distinct-count keeps both
+    engines on set semantics (no sweep-line fold to order). Per-doc
+    blowup is bounded: matched grams <= n_tokens, each exploding to n
+    positions, and ONLY matched grams explode — contamination is rare
+    by construction, so the explode is O(contaminated tokens), not
+    O(corpus).
+
+    Scale shape: grams hash to md5 (32-byte join keys, never raw
+    50-token strings on the wire); the benchmark gram set joins
+    without an explicit broadcast hint — a REAL benchmark is tiny and
+    AQE broadcasts it, while the parity split used by the suite query
+    keeps both sides large enough that a forced broadcast would be
+    wrong. Docs shorter than ``n`` tokens have no grams and are
+    excluded (they cannot contain a 50-token substring).
+
+    Output per eval doc: n_tokens, n_grams, n_matched (matched gram
+    positions), covered_tokens, covered_frac, is_contaminated
+    (integer cross-multiplication at ``flag_pct``%).
+    """
+    arr = _ws_tokens(text_col)
+    docs = df.select(
+        F.col(id_col), arr.alias("arr"), F.size(arr).cast("long").alias("n_tokens")
+    ).where(F.size(F.col("arr")) >= n)
+    grams = docs.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice("arr", i, n))).alias("g"),
+                ),
+            )
+        ).alias("ig"),
+    ).select(id_col, "n_tokens", F.col("ig.i").alias("i"), F.col("ig.g").alias("g"))
+    bench = (
+        grams.where(F.col(id_col) % benchmark_mod == 0).select("g").distinct()
+    )
+    ev = grams.where(F.col(id_col) % benchmark_mod != 0)
+    counts = ev.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    matched = ev.join(bench, on="g").select(id_col, "i")
+    n_matched = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    covered = (
+        matched.select(
+            id_col, F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    nm = F.coalesce(F.col("n_matched"), F.lit(0))
+    return (
+        counts.join(n_matched, on=id_col, how="left")
+        .join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            nm.alias("n_matched"),
+            cov.alias("covered_tokens"),
+            (cov.cast("double") / F.col("n_tokens").cast("double")).alias(
+                "covered_frac"
+            ),
+            (cov * 100 >= F.col("n_tokens") * flag_pct)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1956,6 +1956,74 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_span_contamination_50g",
+    op_ids="beyond-reference exact substring decontamination at the "
+    "50-gram grain with token-SPAN coverage (VERDICT r8 item 8, "
+    "extends ngram_contamination): every shared >= 50-token verbatim "
+    "substring is a union of shared 50-grams, so the union of "
+    "matched gram spans IS the contaminated region — suffix-automaton "
+    "semantics from set ops; md5 gram keys (32-byte join), interval "
+    "union as COUNT(DISTINCT covered position), only MATCHED grams "
+    "explode",
+    description="eval docs (odd doc_id) scored by the fraction of "
+    "their tokens covered by some 50-gram appearing verbatim in the "
+    "even-doc_id benchmark half; flag at 20% token coverage",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM documents
+        ),
+        long_docs AS (
+            SELECT doc_id, arr, len(arr) AS n_tokens
+            FROM docs WHERE len(arr) >= 50
+        ),
+        grams AS (
+            SELECT doc_id, n_tokens, i,
+                   md5(array_to_string(list_slice(arr, i, i + 49), ' ')) AS g
+            FROM long_docs,
+                 LATERAL (SELECT unnest(generate_series(1, len(arr) - 49)) AS i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        ev AS (SELECT * FROM grams WHERE doc_id % 2 <> 0),
+        counts AS (
+            SELECT doc_id, MAX(n_tokens) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM ev GROUP BY doc_id
+        ),
+        matched AS (SELECT doc_id, i FROM ev JOIN bench USING (g)),
+        nmatch AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+            FROM matched GROUP BY doc_id
+        ),
+        covered AS (
+            SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS covered_tokens
+            FROM matched,
+                 LATERAL (SELECT unnest(generate_series(i, i + 49)) AS pos)
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_tokens, c.n_grams,
+               COALESCE(m.n_matched, 0) AS n_matched,
+               COALESCE(v.covered_tokens, 0) AS covered_tokens,
+               CAST(COALESCE(v.covered_tokens, 0) AS DOUBLE)
+                   / CAST(c.n_tokens AS DOUBLE) AS covered_frac,
+               CAST(COALESCE(v.covered_tokens, 0) * 100 >= c.n_tokens * 20
+                    AS INT) AS is_contaminated
+        FROM counts c
+        LEFT JOIN nmatch m USING (doc_id)
+        LEFT JOIN covered v USING (doc_id)
+    """,
+)
+def substring_span_contamination_50g(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.span_contamination(
+        documents, n=50, benchmark_mod=2, flag_pct=20
+    )
+
+
+@register(
     "inverted_index_postings",
     op_ids="beyond-reference inverted index build (term -> df, total "
     "tf, sorted truncated posting list)",
@@ -4555,6 +4623,75 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_good").cast("long")).cast("double")
             / F.count(F.lit(1))
         ).alias("pos_rate"),
+    )
+
+
+@register(
+    "classifier_ece_eval",
+    op_ids="beyond-reference scalar calibration scorecard: "
+    "reliability-weighted Expected Calibration Error + Maximum "
+    "Calibration Error + Brier score of the quality classifier "
+    "against the heuristic gate (VERDICT r8 item 8) — micro-unit "
+    "integer sufficient statistics (grouped_rank_auc grain), "
+    "DECIMAL(38,0) accumulators, the 10-term ECE sum folded in bin "
+    "order on both engines (the DCG ordered-fold recipe)",
+    description="one-row calibration scorecard: N, ECE (bin-weighted "
+    "|accuracy - confidence|), MCE (max bin deviation), Brier score "
+    "— the is-the-score-usable-as-a-probability gate before "
+    "thresholding a corpus on it",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        ecej AS (
+            SELECT p.quality_score AS s,
+                   CAST(round(p.quality_score * 1000000) AS BIGINT) AS pi,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        eceb AS (
+            SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   SUM(CAST(pi AS HUGEINT)) AS spi,
+                   CAST(SUM(y) AS BIGINT) AS ng
+            FROM ecej GROUP BY 1
+        ),
+        ecet AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM(CAST(pi - y * 1000000 AS HUGEINT)
+                       * (pi - y * 1000000)) AS ssq
+            FROM ecej
+        ),
+        eceterms AS (
+            SELECT bin,
+                   abs(CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)
+                       - CAST(spi AS DOUBLE)
+                         / (CAST(nb AS DOUBLE) * 1000000.0)) AS dev,
+                   CAST(nb AS DOUBLE) / CAST(ecet.n_docs AS DOUBLE) AS w,
+                   ecet.n_docs AS n_docs, ecet.ssq AS ssq
+            FROM eceb, ecet
+        )
+        SELECT n_docs,
+               SUM(w * dev ORDER BY bin) AS ece,
+               MAX(dev) AS mce,
+               CAST(ssq AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE) * 1000000000000.0) AS brier
+        FROM eceterms GROUP BY n_docs, ssq
+    """,
+)
+def classifier_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        expected_calibration_error,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return expected_calibration_error(
+        joined, "quality_score", "is_good", n_bins=10, scale=1_000_000
     )
 
 

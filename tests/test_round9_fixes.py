@@ -207,3 +207,79 @@ class TestIntervalCellAutoDerive:
 
         df = self._mk(spark, [(1, 100, 100), (2, 200, 200)])
         assert derive_cell_minutes(df, df, "st", "en") == 1  # floor 1 min
+
+
+class TestExpectedCalibrationError:
+    def test_hand_computed(self, spark):
+        """Two bins, hand-checkable: bin 2 holds p=0.25 (y=1) and
+        p=0.21 (y=0); bin 9 holds p=0.95 (y=1) twice."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            expected_calibration_error,
+        )
+
+        df = spark.createDataFrame(
+            [(0.25, True), (0.21, False), (0.95, True), (0.95, True)],
+            "p double, y boolean",
+        )
+        row = expected_calibration_error(df, "p", "y", n_bins=10).first()
+        # bin 2: acc 1/2, conf (0.25+0.21)/2=0.23, dev 0.27, w 0.5
+        # bin 9: acc 1.0, conf 0.95, dev 0.05, w 0.5
+        assert row["n_docs"] == 4
+        assert abs(row["ece"] - (0.5 * 0.27 + 0.5 * 0.05)) < 1e-9
+        assert abs(row["mce"] - 0.27) < 1e-9
+        # brier = mean((p-y)^2)
+        exp_brier = (0.75**2 + 0.21**2 + 0.05**2 + 0.05**2) / 4
+        assert abs(row["brier"] - exp_brier) < 1e-9
+
+    def test_perfectly_calibrated_bins(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            expected_calibration_error,
+        )
+
+        # bin 5: conf = 0.5 exactly, acc = 0.5 -> ece = mce = 0
+        df = spark.createDataFrame(
+            [(0.5, True), (0.5, False)], "p double, y boolean"
+        )
+        row = expected_calibration_error(df, "p", "y").first()
+        assert abs(row["ece"]) < 1e-12 and abs(row["mce"]) < 1e-12
+
+
+class TestSpanContamination:
+    def test_planted_shared_span_union_coverage(self, spark):
+        """Benchmark doc 0 and eval doc 1 share a 60-token verbatim
+        run inside doc 1's 100 tokens: matched 50-grams are the 11
+        windows of the run, their span union covers exactly the 60
+        shared positions. Eval doc 3 shares nothing; doc 5 is shorter
+        than 50 tokens and must not appear."""
+        from nhl_data_warehouse_spark.operators.text import span_contamination
+
+        shared = " ".join(f"s{i}" for i in range(60))
+        bench_doc = "x0 x1 " + shared + " " + " ".join(
+            f"b{i}" for i in range(20)
+        )
+        eval_doc = (
+            " ".join(f"p{i}" for i in range(20))
+            + " " + shared + " "
+            + " ".join(f"q{i}" for i in range(20))
+        )
+        clean_doc = " ".join(f"c{i}" for i in range(80))
+        short_doc = "too short"
+        df = spark.createDataFrame(
+            [(0, bench_doc), (1, eval_doc), (3, clean_doc), (5, short_doc)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in span_contamination(df, n=50, benchmark_mod=2).collect()
+        }
+        assert set(rows) == {1, 3}
+        r1 = rows[1]
+        assert r1["n_tokens"] == 100
+        assert r1["n_grams"] == 51
+        assert r1["n_matched"] == 11  # 60-token run -> 11 50-gram windows
+        assert r1["covered_tokens"] == 60  # union, not 11*50
+        assert abs(r1["covered_frac"] - 0.6) < 1e-12
+        assert r1["is_contaminated"] == 1
+        assert rows[3]["n_matched"] == 0
+        assert rows[3]["covered_tokens"] == 0
+        assert rows[3]["is_contaminated"] == 0

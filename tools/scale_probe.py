@@ -124,6 +124,17 @@ PROBES = [
     # (counts-of-counts grain — ~linear scan, flat tail)
     "lang_id_macro_f1",
     "key_skew_report",
+    # round-9 additions: the ECE scorecard (two map-side-combined
+    # aggregates to 10 bins + one global row, fold over 10 elements —
+    # expected ~linear in the token scan feeding the classifier, flat
+    # after) and 50-gram span decontamination (gram build ~linear in
+    # tokens; the md5 gram join grows with corpus but only MATCHED
+    # grams explode to positions, so the tail follows real
+    # contamination, not size; document replication multiplies
+    # matches superlinearly ONLY if dup docs replicate — keys are
+    # remapped so expected ~linear)
+    "classifier_ece_eval",
+    "substring_span_contamination_50g",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
