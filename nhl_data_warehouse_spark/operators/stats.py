@@ -515,6 +515,97 @@ def grouped_rank_auc(
     )
 
 
+def isotonic_calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (PAV) calibration map over equal-width score bins —
+    the monotone-regression fit of empirical positive rate vs score
+    (VERDICT r8 item 8): the calibrated probability per bin is the
+    pool-adjacent-violators solution, computed NON-iteratively via
+    the minimax identity
+
+        iso_i = max_{j<=i} min_{k>=i} ( positives(j..k) / count(j..k) )
+
+    which is exactly SQL-expressible because the bin count is BOUNDED
+    (<= n_bins): interval sums come from exclusive/inclusive prefix
+    sums over the n_bins histogram rows, the (j, k) interval grid has
+    n_bins*(n_bins+1)/2 rows, and the per-bin minimax is two bounded
+    theta joins (broadcast nested-loop over <= n_bins^2 rows by
+    construction — the benford/ece bounded-grid class, NOT a
+    data-sized cartesian). Every interval average is ONE double
+    division of exact integer sums; min/max over doubles is exact, so
+    the map is bit-identical cross-engine.
+
+    Output per non-empty bin: (bin, nb, ng, raw_rate, iso_rate) with
+    iso_rate monotone non-decreasing in bin.
+    """
+    base = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("ng"),
+    )
+    # prefix sums over <= n_bins rows: bounded unpartitioned window
+    # (same declared class as the benford digit fold)
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "nb",
+        "ng",
+        F.sum("nb").over(wcum).alias("cnb"),
+        F.sum("ng").over(wcum).alias("cng"),
+    )
+    jside = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cnb") - F.col("nb")).alias("lnb"),
+        (F.col("cng") - F.col("ng")).alias("lng"),
+    )
+    kside = cum.select(
+        F.col("bin").alias("k"),
+        F.col("cnb").alias("knb"),
+        F.col("cng").alias("kng"),
+    )
+    ivl = jside.join(F.broadcast(kside), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.expr(
+            "CAST(kng - lng AS DOUBLE) / CAST(knb - lnb AS DOUBLE)"
+        ).alias("avgv"),
+    )
+    mins = (
+        bins.select(F.col("bin").alias("i"))
+        .join(
+            F.broadcast(ivl),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avgv").alias("mn"))
+    )
+    iso = mins.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        bins.join(iso, bins["bin"] == iso["i"])
+        .select(
+            "bin",
+            "nb",
+            "ng",
+            F.expr("CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)").alias(
+                "raw_rate"
+            ),
+            "iso_rate",
+        )
+    )
+
+
 def expected_calibration_error(
     df: DataFrame,
     score_col: str,

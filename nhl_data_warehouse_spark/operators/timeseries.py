@@ -437,6 +437,75 @@ def linear_interpolate(
     )
 
 
+def cusum_peak(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """CUSUM drift/changepoint screen over an integer-valued series
+    keyed by a BOUNDED time grain (days — the same contract as
+    ``autocorrelation``): the classic mean-centered cumulative sum
+
+        C_d = sum_{t<=d} (x_t - mean(x))
+
+    peaks at the most likely single changepoint; a large |C| relative
+    to the series says the ingestion/source mix SHIFTED mid-stream —
+    the distribution-drift gate a training pipeline runs on
+    time-ordered corpora before trusting a chronological split.
+
+    Exactness: C_d has a rational mean inside it, so it is cleared to
+    the integer form C_d * D = S_d * D - d * T (inclusive prefix sum
+    S_d, day index d, total T, day count D) accumulated in
+    DECIMAL(38,0); the PEAK is chosen by comparing those exact
+    integers (never doubles), ties broken to the earliest day; the
+    reported magnitude is ONE double division at the end. The only
+    window runs over the bounded day grain.
+
+    Output (one row): n_days, peak_day, peak_cusum (signed, in
+    value units — cents/``cents_scale``), mean_daily (same units).
+    """
+    w = Window.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = df.select(
+        F.col(time_col).alias("d"),
+        F.sum(value_col).over(w).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("idx"),
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(value_col).cast("long").alias("t"),
+    )
+    scaled = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_days",
+        "t",
+        (F.col("s") * F.col("n_days") - F.col("idx") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("sc"),
+    )
+    peak = scaled.groupBy("n_days", "t").agg(
+        F.max(F.abs(F.col("sc"))).alias("pk")
+    )
+    at_peak = scaled.join(F.broadcast(peak), on=["n_days", "t"]).where(
+        F.abs(F.col("sc")) == F.col("pk")
+    )
+    return at_peak.groupBy("n_days", "t").agg(
+        F.min("d").alias("peak_day"),
+        F.expr("min_by(sc, d)").alias("sc_at_peak"),
+    ).select(
+        "n_days",
+        "peak_day",
+        F.expr(
+            "CAST(sc_at_peak AS DOUBLE)"
+            f" / (CAST(n_days AS DOUBLE) * {float(cents_scale)})"
+        ).alias("peak_cusum"),
+        F.expr(
+            "CAST(t AS DOUBLE)"
+            f" / (CAST(n_days AS DOUBLE) * {float(cents_scale)})"
+        ).alias("mean_daily"),
+    )
+
+
 def autocorrelation(
     series: DataFrame,
     t_col: str,

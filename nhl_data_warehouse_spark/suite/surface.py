@@ -1458,6 +1458,70 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_drift_peak",
+    op_ids="beyond-reference distribution-drift screen: CUSUM "
+    "changepoint peak of daily order revenue — the mean-centered "
+    "cumulative sum cleared to exact integers (C_d * D = S_d * D - "
+    "d * T in DECIMAL(38,0)), peak chosen by integer comparison with "
+    "earliest-day tie-break, one double division at the end; the "
+    "only window runs over the bounded day grain (the ACF contract)",
+    description="most-likely changepoint of the daily revenue series: "
+    "day of max |CUSUM|, its signed magnitude, and the daily mean — "
+    "the source-mix-shift gate run on time-ordered corpora before "
+    "trusting a chronological split",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+            SELECT d,
+                   SUM(CAST(x AS HUGEINT)) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s,
+                   CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS idx
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS t
+            FROM daily
+        ),
+        scaled AS (
+            SELECT d, n_days, t, s * n_days - idx * t AS sc
+            FROM cum, tot
+        ),
+        pk AS (SELECT MAX(abs(sc)) AS pk FROM scaled)
+        SELECT n_days,
+               MIN(d) AS peak_day,
+               CAST(min_by(sc, d) AS DOUBLE)
+                   / (CAST(n_days AS DOUBLE) * 100.0) AS peak_cusum,
+               CAST(t AS DOUBLE)
+                   / (CAST(n_days AS DOUBLE) * 100.0) AS mean_daily
+        FROM scaled, pk
+        WHERE abs(sc) = pk.pk
+        GROUP BY n_days, t
+    """,
+)
+def cusum_drift_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import cusum_peak
+
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return cusum_peak(daily, "d", "x", cents_scale=100)
+
+
+@register(
     "benford_price_digits",
     op_ids="beyond-reference data-quality screen: Benford "
     "first-significant-digit analysis of order totals — digit "

@@ -4696,6 +4696,80 @@ def classifier_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "isotonic_calibration_map",
+    op_ids="beyond-reference isotonic (PAV) calibration map of the "
+    "quality classifier over score-decile bins — the "
+    "pool-adjacent-violators fit computed NON-iteratively via the "
+    "minimax identity iso_i = max_{j<=i} min_{k>=i} avg(j..k): "
+    "interval averages from prefix sums over <= 10 histogram rows, "
+    "the (j,k) grid and the per-bin minimax are bounded broadcast "
+    "grids (the benford class), every average ONE double division of "
+    "exact integer sums — bit-identical cross-engine, monotone by "
+    "construction",
+    description="per-bin isotonic calibration map: raw positive rate "
+    "vs the PAV monotone fit — the calibrated-probability table a "
+    "scorer applies before corpus thresholding (pairs with "
+    "classifier_ece_eval's scorecard)",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        isoj AS (
+            SELECT LEAST(CAST(floor(p.quality_score * 10) AS BIGINT), 9)
+                       AS bin,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        isob AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS ng
+            FROM isoj GROUP BY 1
+        ),
+        isoc AS (
+            SELECT bin, nb, ng,
+                   SUM(nb) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cnb,
+                   SUM(ng) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cng
+            FROM isob
+        ),
+        ivl AS (
+            SELECT jj.bin AS j, kk.bin AS k,
+                   CAST(kk.cng - (jj.cng - jj.ng) AS DOUBLE)
+                       / CAST(kk.cnb - (jj.cnb - jj.nb) AS DOUBLE) AS avgv
+            FROM isoc jj JOIN isoc kk ON jj.bin <= kk.bin
+        ),
+        mins AS (
+            SELECT b.bin AS i, v.j, MIN(v.avgv) AS mn
+            FROM isob b JOIN ivl v ON v.j <= b.bin AND v.k >= b.bin
+            GROUP BY 1, 2
+        ),
+        iso AS (SELECT i AS bin, MAX(mn) AS iso_rate FROM mins GROUP BY 1)
+        SELECT b.bin, b.nb, b.ng,
+               CAST(b.ng AS DOUBLE) / CAST(b.nb AS DOUBLE) AS raw_rate,
+               iso.iso_rate
+        FROM isob b JOIN iso USING (bin)
+    """,
+)
+def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        isotonic_calibration_bins,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return isotonic_calibration_bins(
+        joined, "quality_score", "is_good", n_bins=10
+    )
+
+
+@register(
     "text_nfc_normalization",
     op_ids="beyond-reference Unicode NFC normalization (the canonical-"
     "composition pass before hashing/dedup/tokenization; Arrow scalar "

@@ -244,6 +244,85 @@ class TestExpectedCalibrationError:
         assert abs(row["ece"]) < 1e-12 and abs(row["mce"]) < 1e-12
 
 
+class TestIsotonicCalibration:
+    def test_pav_pools_adjacent_violators(self, spark):
+        """Bins with rates [0.8, 0.2, 0.5] (equal weight 10) violate
+        monotonicity: PAV pools all three to 0.5 (first two average
+        to 0.5, then the pool extends since 0.5 == 0.5; classic PAV
+        gives [0.5, 0.5, 0.5])."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            isotonic_calibration_bins,
+        )
+
+        rows = []
+        for b, rate in ((0, 0.8), (1, 0.2), (2, 0.5)):
+            p = b / 10 + 0.05
+            for i in range(10):
+                rows.append((p, i < rate * 10))
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        got = {
+            r["bin"]: r
+            for r in isotonic_calibration_bins(df, "p", "y").collect()
+        }
+        assert [got[b]["raw_rate"] for b in (0, 1, 2)] == [0.8, 0.2, 0.5]
+        assert [got[b]["iso_rate"] for b in (0, 1, 2)] == [0.5, 0.5, 0.5]
+
+    def test_already_monotone_is_identity_and_output_monotone(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            isotonic_calibration_bins,
+        )
+
+        rows = []
+        for b, rate in ((1, 0.1), (4, 0.4), (8, 0.9)):
+            p = b / 10 + 0.05
+            for i in range(10):
+                rows.append((p, i < rate * 10))
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        got = sorted(
+            isotonic_calibration_bins(df, "p", "y").collect(),
+            key=lambda r: r["bin"],
+        )
+        for r in got:
+            assert abs(r["iso_rate"] - r["raw_rate"]) < 1e-12
+        isos = [r["iso_rate"] for r in got]
+        assert isos == sorted(isos)
+
+
+class TestCusumPeak:
+    def test_planted_level_shift(self, spark):
+        """20 days at 100 then 20 days at 200: the CUSUM |peak| sits
+        exactly at the changepoint (day 20), signed negative (first
+        half below the global mean of 150)."""
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import cusum_peak
+
+        d0 = datetime.date(2025, 1, 1)
+        rows = [
+            (d0 + datetime.timedelta(days=i), 100 if i < 20 else 200)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "d date, x long")
+        row = cusum_peak(df, "d", "x", cents_scale=1).first()
+        assert row["n_days"] == 40
+        assert row["peak_day"] == d0 + datetime.timedelta(days=19)
+        # C_20 = 20*100 - 20*150 = -1000
+        assert abs(row["peak_cusum"] - (-1000.0)) < 1e-9
+        assert abs(row["mean_daily"] - 150.0) < 1e-12
+
+    def test_flat_series_peak_zero_earliest_day(self, spark):
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import cusum_peak
+
+        d0 = datetime.date(2025, 1, 1)
+        rows = [(d0 + datetime.timedelta(days=i), 7) for i in range(5)]
+        df = spark.createDataFrame(rows, "d date, x long")
+        row = cusum_peak(df, "d", "x", cents_scale=1).first()
+        assert row["peak_cusum"] == 0.0
+        assert row["peak_day"] == d0  # all-tied -> earliest day
+
+
 class TestSpanContamination:
     def test_planted_shared_span_union_coverage(self, spark):
         """Benchmark doc 0 and eval doc 1 share a 60-token verbatim

@@ -135,6 +135,14 @@ PROBES = [
     # remapped so expected ~linear)
     "classifier_ece_eval",
     "substring_span_contamination_50g",
+    # round-9 batch 2: isotonic PAV map (same token scan as the ECE,
+    # minimax over a FIXED <= 10-bin grid — expected ~linear scan,
+    # flat grid stage) and the CUSUM drift peak (one day-grain
+    # aggregate + bounded-day window — ~linear in orders, flat tail;
+    # the day count does not grow under replication, only the per-day
+    # sums do)
+    "isotonic_calibration_map",
+    "cusum_drift_peak",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
