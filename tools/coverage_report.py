@@ -116,6 +116,47 @@ def _driver_history() -> tuple[dict[str, dict[int, str]], list[int]]:
     return history, rounds
 
 
+def _reverification_plan(history, names, window, next_round) -> list:
+    """Derived statement of the stale-verdict drain schedule (VERDICT
+    r8 item 1): which cohorts the coming window takes and when every
+    currently-stale cohort empties. Pure function of the artifacts so
+    it stays true as rounds land."""
+    lg = {
+        n: max(r for r, v in h.items() if v == "pass")
+        for n, h in history.items()
+        if any(v == "pass" for v in h.values())
+    }
+    cohort_rounds = sorted({lg[n] for n in names if n in lg})[:2]
+    if not cohort_rounds:
+        return [""]
+    c0 = [n for n in names if lg.get(n) == cohort_rounds[0]]
+    c1 = (
+        [n for n in names if lg.get(n) == cohort_rounds[1]]
+        if len(cohort_rounds) > 1
+        else []
+    )
+    in_w0 = sum(1 for n in c0 if n in window)
+    in_w1 = sum(1 for n in c1 if n in window)
+    firsts = sum(1 for n in names if n not in history and n in window)
+    spill = len(c1) - in_w1
+    return [
+        "",
+        f"Re-verification plan (VERDICT r8 item 1): the r{next_round} "
+        f"window takes {in_w0}/{len(c0)} of the r{cohort_rounds[0]} "
+        f"cohort, {firsts} first-check additions, and "
+        + (
+            f"{in_w1}/{len(c1)} of the r{cohort_rounds[1]} cohort; "
+            f"the remaining {spill} r{cohort_rounds[1]} verdicts rotate "
+            f"into round {next_round + 1}'s window, emptying every "
+            f"pre-r{cohort_rounds[1] + 1} cohort by round "
+            f"{next_round + 1 + max(0, (spill - 1)) // 50}."
+            if c1
+            else "no second cohort remains."
+        ),
+        "",
+    ]
+
+
 def main() -> None:
     from nhl_data_warehouse_spark.suite import REGISTRY
 
@@ -171,6 +212,7 @@ def main() -> None:
         "import time from these same artifacts): stalest last-green cohort",
         "first, then queries with no driver verdict yet (their FIRST check),",
         "then the second-stalest cohort; the driver takes the first ~50.",
+    ] + _reverification_plan(history, names, window, next_round) + [
         "Explicit queue positions for every never-driver-checked query:",
         "",
     ] + [
