@@ -506,6 +506,68 @@ def cusum_peak(
     )
 
 
+def grouped_cusum_peak(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """``cusum_peak`` with every stage keyed by ``group_col`` — the
+    sliced drift scorecard (one CUSUM changepoint row per source /
+    priority / language), and the scale-clean form: the prefix-sum
+    window PARTITIONS by the slice, so unlike the global operator
+    there is NO unpartitioned stage at all (the auc_by_language
+    pattern). Same integer-exact algebra: per-slice C_d * D = S_d * D
+    - d * T in DECIMAL(38,0), peak by integer comparison, earliest
+    day on ties, one double division per slice at the end.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).alias("d"),
+        F.sum(value_col).over(w).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("idx"),
+    )
+    tot = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(value_col).cast("long").alias("t"),
+    )
+    scaled = cum.join(F.broadcast(tot), on="g").select(
+        "g",
+        "d",
+        "n_days",
+        "t",
+        (F.col("s") * F.col("n_days") - F.col("idx") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("sc"),
+    )
+    peak = scaled.groupBy("g").agg(F.max(F.abs(F.col("sc"))).alias("pk"))
+    at_peak = scaled.join(F.broadcast(peak), on="g").where(
+        F.abs(F.col("sc")) == F.col("pk")
+    )
+    return at_peak.groupBy("g", "n_days", "t").agg(
+        F.min("d").alias("peak_day"),
+        F.expr("min_by(sc, d)").alias("sc_at_peak"),
+    ).select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "peak_day",
+        F.expr(
+            "CAST(sc_at_peak AS DOUBLE)"
+            f" / (CAST(n_days AS DOUBLE) * {float(cents_scale)})"
+        ).alias("peak_cusum"),
+        F.expr(
+            "CAST(t AS DOUBLE)"
+            f" / (CAST(n_days AS DOUBLE) * {float(cents_scale)})"
+        ).alias("mean_daily"),
+    )
+
+
 def autocorrelation(
     series: DataFrame,
     t_col: str,

@@ -1522,6 +1522,78 @@ def cusum_drift_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_drift_by_priority",
+    op_ids="beyond-reference SLICED distribution-drift scorecard: "
+    "per-order-priority CUSUM changepoint peaks — grouped_cusum_peak "
+    "keys EVERY stage by the slice (prefix-sum window partitioned, "
+    "per-slice totals broadcast back), so unlike the global "
+    "cusum_drift_peak there is NO unpartitioned stage at all (the "
+    "auc_by_language scorecard pattern); same integer-exact algebra "
+    "and earliest-day tie-break",
+    description="per-priority daily-revenue CUSUM peaks: slice, day "
+    "count, changepoint day, signed |CUSUM| peak, daily mean — drift "
+    "localized to the stream that moved",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS g, o_orderdate AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g, d,
+                   SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s,
+                   CAST(row_number() OVER (PARTITION BY g ORDER BY d)
+                        AS HUGEINT) AS idx
+            FROM daily
+        ),
+        tot AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS t
+            FROM daily GROUP BY 1
+        ),
+        scaled AS (
+            SELECT c.g, c.d, t.n_days, t.t,
+                   c.s * t.n_days - c.idx * t.t AS sc
+            FROM cum c JOIN tot t USING (g)
+        ),
+        pk AS (SELECT g, MAX(abs(sc)) AS pk FROM scaled GROUP BY 1)
+        SELECT s.g AS o_orderpriority, s.n_days,
+               MIN(s.d) AS peak_day,
+               CAST(min_by(s.sc, s.d) AS DOUBLE)
+                   / (CAST(s.n_days AS DOUBLE) * 100.0) AS peak_cusum,
+               CAST(s.t AS DOUBLE)
+                   / (CAST(s.n_days AS DOUBLE) * 100.0) AS mean_daily
+        FROM scaled s JOIN pk USING (g)
+        WHERE abs(s.sc) = pk.pk
+        GROUP BY s.g, s.n_days, s.t
+    """,
+)
+def cusum_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        grouped_cusum_peak,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy(
+            F.col("o_orderpriority"), F.col("o_orderdate").alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return grouped_cusum_peak(
+        daily, "o_orderpriority", "d", "x", cents_scale=100
+    )
+
+
+@register(
     "benford_price_digits",
     op_ids="beyond-reference data-quality screen: Benford "
     "first-significant-digit analysis of order totals — digit "

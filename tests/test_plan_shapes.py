@@ -518,10 +518,21 @@ def test_round8_stats_plan_shapes(spark, registry):
     assert "BroadcastNestedLoopJoin" in kd  # bounded-cell theta join
     assert "CartesianProduct" not in kd and "SortMergeJoin" not in kd
 
-    for q in ("gini_order_revenue", "acf_daily_revenue"):
-        plan = plan_of(registry[q].fn(spark, SF))
-        assert "Join" not in plan and "CartesianProduct" not in plan
-        assert "partial_" in plan  # map-side combine before the grain
+    # ACF stays join-free; Gini's cumulative rank runs the
+    # range-partitioned two-pass prefix sum since round 9 (VERDICT r8
+    # item 4): its ONLY join is the broadcast of <= 32 per-partition
+    # offsets back onto the histogram — never a data-sized exchange,
+    # never SMJ/cartesian — and the data-sized window is keyed by the
+    # range-partition id instead of running unpartitioned
+    ac = plan_of(registry["acf_daily_revenue"].fn(spark, SF))
+    assert "Join" not in ac and "CartesianProduct" not in ac
+    assert "partial_" in ac  # map-side combine before the grain
+
+    gi = plan_of(registry["gini_order_revenue"].fn(spark, SF))
+    assert "CartesianProduct" not in gi and "SortMergeJoin" not in gi
+    assert "BroadcastHashJoin" in gi  # bounded offsets join only
+    assert "_pid" in gi  # local cumsum window keyed by partition id
+    assert "partial_" in gi
 
     nd = plan_of(registry["ranking_ndcg_mrr_eval"].fn(spark, SF))
     assert "Join" not in nd

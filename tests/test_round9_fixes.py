@@ -310,6 +310,44 @@ class TestCusumPeak:
         assert abs(row["peak_cusum"] - (-1000.0)) < 1e-9
         assert abs(row["mean_daily"] - 150.0) < 1e-12
 
+    def test_grouped_matches_global_per_slice(self, spark):
+        """grouped_cusum_peak == cusum_peak applied per slice, and its
+        plan has no unpartitioned window."""
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            cusum_peak,
+            grouped_cusum_peak,
+        )
+
+        d0 = datetime.date(2025, 1, 1)
+        rows = []
+        for g, shift_day, lo, hi in (("a", 10, 50, 90), ("b", 25, 200, 120)):
+            for i in range(40):
+                rows.append(
+                    (g, d0 + datetime.timedelta(days=i), lo if i < shift_day else hi)
+                )
+        df = spark.createDataFrame(rows, "g string, d date, x long")
+        got = {
+            r["g"]: r
+            for r in grouped_cusum_peak(df, "g", "d", "x", cents_scale=1).collect()
+        }
+        for g in ("a", "b"):
+            ref = cusum_peak(
+                df.where(F.col("g") == g), "d", "x", cents_scale=1
+            ).first()
+            assert got[g]["peak_day"] == ref["peak_day"]
+            assert got[g]["peak_cusum"] == ref["peak_cusum"]
+            assert got[g]["mean_daily"] == ref["mean_daily"]
+        plan = (
+            grouped_cusum_peak(df, "g", "d", "x")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every window partitions by the slice: no unpartitioned spec
+        assert "windowspecdefinition(d#" not in plan
+
     def test_flat_series_peak_zero_earliest_day(self, spark):
         import datetime
 

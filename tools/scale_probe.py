@@ -143,6 +143,10 @@ PROBES = [
     # sums do)
     "isotonic_calibration_map",
     "cusum_drift_peak",
+    # sliced CUSUM: every stage keyed by the 5-value priority slice —
+    # ~linear in orders, flat tail (day-grain rows per slice fixed
+    # under replication)
+    "cusum_drift_by_priority",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
