@@ -592,8 +592,10 @@ def isotonic_calibration_bins(
         .agg(F.min("avgv").alias("mn"))
     )
     iso = mins.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    # <= n_bins rows by construction; force the broadcast — the
+    # post-BNLJ size estimate can otherwise talk Spark into an SMJ
     return (
-        bins.join(iso, bins["bin"] == iso["i"])
+        bins.join(F.broadcast(iso), bins["bin"] == iso["i"])
         .select(
             "bin",
             "nb",
