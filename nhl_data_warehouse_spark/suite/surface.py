@@ -1464,7 +1464,10 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative sum cleared to exact integers (C_d * D = S_d * D - "
     "d * T in DECIMAL(38,0)), peak chosen by integer comparison with "
     "earliest-day tie-break, one double division at the end; the "
-    "only window runs over the bounded day grain (the ACF contract)",
+    "only window runs over the bounded day grain (the ACF contract). "
+    "Complements cusum_revenue_drift (one-sided per-day S_t DETECTION "
+    "series, floor-mean): this is two-sided changepoint LOCALIZATION "
+    "— one argmax row, exact rational mean",
     description="most-likely changepoint of the daily revenue series: "
     "day of max |CUSUM|, its signed magnitude, and the daily mean — "
     "the source-mix-shift gate run on time-ordered corpora before "
