@@ -399,6 +399,17 @@ def prefix_sum_cells(
     """
     parts = hist.repartitionByRange(num_ranges, F.col(order_col))
     parts = parts.withColumn("_pid", F.spark_partition_id())
+    # TWO consumers (local cumsums + per-partition totals) read this
+    # frame: without pinning it, each executes its own
+    # repartitionByRange whose BOUNDARY SAMPLING can differ between
+    # executions (input order into the sampler is not deterministic),
+    # so the branches would disagree on the _pid map and the offsets
+    # would be applied to the wrong partitions — caught live by
+    # theil_sen's median at sf0.001. persist + count pins ONE
+    # partitioning for both branches (the multi-branch-consumer rule);
+    # the caller harness reclaims via release_cached.
+    parts = parts.persist()
+    parts.count()
     wl = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

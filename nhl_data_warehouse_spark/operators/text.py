@@ -343,6 +343,89 @@ def contamination_check(
     )
 
 
+def novelty_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    n_batches: int = 8,
+) -> DataFrame:
+    """Marginal-novelty curve of a growing corpus — the
+    diminishing-returns diagnostic a data-acquisition pipeline runs
+    before paying for more of the same source: docs arrive in id
+    order, split into ``n_batches`` equal id-range batches, and each
+    batch is scored by how many of its distinct word n-grams were
+    NEVER seen in any earlier batch (Heaps-law vocabulary growth at
+    the n-gram grain; a flattening cum_vocab / falling novelty_rate
+    says new data is redundant with what is already held).
+
+    Batch assignment is pure integer arithmetic —
+    ``least((id * B) DIV (max_id + 1), B - 1)`` — so both engines
+    agree exactly. First-occurrence is a gram-keyed MIN aggregate
+    (map-side combined; never a window over rows); the only window is
+    the cumulative vocabulary sum over <= n_batches rows. Scale: two
+    gram-keyed aggregates over the exploded distinct-gram relation,
+    both map-side combined — O(corpus tokens), no pairwise work.
+
+    Output per batch: n_docs, distinct_grams, new_grams,
+    novelty_rate, cum_vocab.
+    """
+    mx = df.agg(F.max(id_col).alias("mx"))
+    batched = df.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.least(
+            F.expr(f"({id_col} * {n_batches}) DIV (mx + 1)"),
+            F.lit(n_batches - 1),
+        )
+        .cast("int")
+        .alias("batch"),
+    )
+    grams = word_ngrams(batched, id_col, text_col, n)
+    bg = (
+        grams.join(batched.select(id_col, "batch"), on=id_col)
+        .select("batch", "gram")
+        .distinct()
+    )
+    dist = bg.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_grams")
+    )
+    newg = (
+        bg.groupBy("gram")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))
+    )
+    nd = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    joined = (
+        nd.join(dist, on="batch", how="left")
+        .join(newg, on="batch", how="left")
+        .select(
+            "batch",
+            "n_docs",
+            F.coalesce(F.col("distinct_grams"), F.lit(0)).alias(
+                "distinct_grams"
+            ),
+            F.coalesce(F.col("new_grams"), F.lit(0)).alias("new_grams"),
+        )
+    )
+    wc = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "batch",
+        "n_docs",
+        "distinct_grams",
+        "new_grams",
+        F.when(
+            F.col("distinct_grams") > 0,
+            F.col("new_grams").cast("double")
+            / F.col("distinct_grams").cast("double"),
+        ).alias("novelty_rate"),
+        F.sum("new_grams").over(wc).cast("long").alias("cum_vocab"),
+    )
+
+
 def span_contamination(
     df: DataFrame,
     id_col: str = "doc_id",

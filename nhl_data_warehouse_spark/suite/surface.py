@@ -1597,6 +1597,92 @@ def cusum_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theil_sen_revenue_trend",
+    op_ids="beyond-reference robust trend estimation: Theil-Sen "
+    "median-of-pairwise-slopes over the daily revenue series (plus "
+    "the median-residual intercept) — the ~29%-contamination-proof "
+    "alternative to regr_price_vs_quantity's OLS; the pair theta "
+    "join runs over the BOUNDED day grain (kendall_tau_b doctrine: "
+    "D(D-1)/2 pairs fixed by the time range, broadcast nested loop "
+    "over a constant-size relation), slopes are single double "
+    "divisions of exact integers; the SLOPE median reads the two "
+    "middle ranks off a micro-unit cell histogram (floor of one "
+    "engine-identical double expression, map-side-combined groupBy, "
+    "prefix sums — the single-reducer exact percentile over millions "
+    "of slopes measured 10x the whole pair join and is the "
+    "anti-pattern this form replaces); the intercept median is exact "
+    "percentile over DAY-count residuals only (exact_percentiles "
+    "recipe), 6dp-rounded with the -0.0 guard",
+    description="robust daily-revenue trend: pairwise-slope median "
+    "(cents/day) and median-residual intercept — the drift-rate "
+    "number one corrupted day cannot move",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS de,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY o_orderdate
+        ),
+        slc AS (
+            SELECT CAST(FLOOR((CAST(b.x - a.x AS DOUBLE) * 1000000.0)
+                              / CAST(b.de - a.de AS DOUBLE)) AS BIGINT)
+                       AS c,
+                   COUNT(*) AS nv
+            FROM daily a JOIN daily b ON b.de > a.de
+            GROUP BY 1
+        ),
+        cumh AS (
+            SELECT c, nv,
+                   COALESCE(SUM(nv) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum,
+                   CAST(SUM(nv) OVER () AS BIGINT) AS n_pairs
+            FROM slc
+        ),
+        s AS (
+            SELECT lo.n_pairs,
+                   (CAST(lo.c AS DOUBLE) + CAST(hi.c AS DOUBLE))
+                       / (2.0 * 1000000.0) AS sl
+            FROM (SELECT * FROM cumh
+                  WHERE cum < (n_pairs + 1) // 2
+                    AND cum + nv >= (n_pairs + 1) // 2) lo,
+                 (SELECT * FROM cumh
+                  WHERE cum < n_pairs // 2 + 1
+                    AND cum + nv >= n_pairs // 2 + 1) hi
+        ),
+        f AS (
+            SELECT s.n_pairs, s.sl,
+                   quantile_cont(CAST(d.x AS DOUBLE)
+                                 - s.sl * CAST(d.de AS DOUBLE), 0.5) AS ic
+            FROM daily d, s
+            GROUP BY s.n_pairs, s.sl
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               n_pairs,
+               ROUND(sl, 6) + 0.0 AS slope_per_day,
+               ROUND(ic, 6) + 0.0 AS intercept
+        FROM f
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import theil_sen_trend
+
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return theil_sen_trend(daily, "d", "x")
+
+
+@register(
     "benford_price_digits",
     op_ids="beyond-reference data-quality screen: Benford "
     "first-significant-digit analysis of order totals — digit "

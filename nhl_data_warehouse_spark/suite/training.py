@@ -2024,6 +2024,71 @@ def substring_span_contamination_50g(
 
 
 @register(
+    "corpus_novelty_curve",
+    op_ids="beyond-reference marginal-novelty / Heaps-law curve: "
+    "docs split into 8 equal id-range batches (pure integer-DIV "
+    "assignment, exact cross-engine), each scored by the count of "
+    "distinct word 5-grams whose FIRST occurrence is that batch — "
+    "the diminishing-returns diagnostic before acquiring more of a "
+    "source; first-occurrence is a gram-keyed MIN aggregate "
+    "(map-side combined, never a row window), the only window is the "
+    "cumulative vocabulary sum over <= 8 rows",
+    description="per-batch corpus growth: docs, distinct 5-grams, "
+    "never-seen-before 5-grams, novelty rate, and cumulative "
+    "vocabulary — flat cum_vocab means new data is redundant",
+    oracle="""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        d AS (
+            SELECT doc_id, text,
+                   CAST(LEAST((doc_id * 8) // (mx + 1), 7) AS INT) AS batch
+            FROM documents, mx
+        ),
+        docs AS (
+            SELECT doc_id, batch,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM d
+        ),
+        grams AS (
+            SELECT DISTINCT batch,
+                   array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+            FROM docs,
+                 LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i)
+        ),
+        fb AS (SELECT gram, MIN(batch) AS batch FROM grams GROUP BY 1),
+        newg AS (
+            SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_grams
+            FROM fb GROUP BY 1
+        ),
+        dist AS (
+            SELECT batch, CAST(COUNT(*) AS BIGINT) AS distinct_grams
+            FROM grams GROUP BY 1
+        ),
+        nd AS (
+            SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY 1
+        )
+        SELECT nd.batch, nd.n_docs,
+               COALESCE(dist.distinct_grams, 0) AS distinct_grams,
+               COALESCE(newg.new_grams, 0) AS new_grams,
+               CASE WHEN COALESCE(dist.distinct_grams, 0) > 0
+                    THEN CAST(COALESCE(newg.new_grams, 0) AS DOUBLE)
+                         / CAST(dist.distinct_grams AS DOUBLE) END
+                   AS novelty_rate,
+               CAST(SUM(COALESCE(newg.new_grams, 0)) OVER (
+                   ORDER BY nd.batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_vocab
+        FROM nd
+        LEFT JOIN dist USING (batch)
+        LEFT JOIN newg USING (batch)
+    """,
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.novelty_curve(documents, n=5, n_batches=8)
+
+
+@register(
     "inverted_index_postings",
     op_ids="beyond-reference inverted index build (term -> df, total "
     "tf, sorted truncated posting list)",

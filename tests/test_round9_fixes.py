@@ -112,6 +112,34 @@ class TestGiniUnboundedDomain:
             assert got[c] == cum
             cum += (c * 7) % 13 + 1
 
+    def test_prefix_sum_monotone_on_hash_shuffled_input(self, spark):
+        """Regression (caught by theil_sen's median at sf0.001): with
+        two consumers of the range-partitioned frame, each execution
+        re-ran repartitionByRange whose boundary sampling could
+        differ, mis-aligning offsets with local cumsums. The primitive
+        now pins one partitioning (persist + count). Pin the
+        observable invariant: cum is strictly the exclusive prefix —
+        monotone in c with cum[i+1] = cum[i] + nv[i] — on an input
+        that arrives hash-shuffled across many partitions."""
+        from nhl_data_warehouse_spark.operators.stats import prefix_sum_cells
+        from nhl_data_warehouse_spark.session import release_cached
+
+        hist = (
+            spark.range(0, 20_000)
+            .select((F.col("id") * 2654435761 % 37_000).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("nv"))
+            .select(F.col("k").alias("c"), "nv")
+        )
+        rows = sorted(
+            prefix_sum_cells(hist, "c", "nv").collect(), key=lambda r: r["c"]
+        )
+        cum = 0
+        for r in rows:
+            assert r["cum"] == cum, f"cum broken at c={r['c']}"
+            cum += r["nv"]
+        release_cached(spark)
+
     def test_no_datasized_unpartitioned_window(self, spark):
         """Plan shape: the only unpartitioned window left must be the
         one over per-partition totals (≤ num_ranges rows); the
@@ -359,6 +387,60 @@ class TestCusumPeak:
         row = cusum_peak(df, "d", "x", cents_scale=1).first()
         assert row["peak_cusum"] == 0.0
         assert row["peak_day"] == d0  # all-tied -> earliest day
+
+
+class TestNoveltyCurve:
+    def test_vocab_growth_and_redundant_batch(self, spark):
+        """Batch 0 introduces grams; batch 1 = exact copies (novelty
+        0); batch 2 = fresh text (novelty 1). Batches via id-range
+        split with max_id=29, B=3 -> ids 0-9, 10-19, 20-29."""
+        from nhl_data_warehouse_spark.operators.text import novelty_curve
+
+        t_a = "a b c d e f g h"
+        t_b = "p q r s t u v w"
+        rows = (
+            [(i, t_a) for i in range(10)]
+            + [(10 + i, t_a) for i in range(10)]  # pure repeats
+            + [(20 + i, t_b) for i in range(10)]  # all new
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["batch"]: r
+            for r in novelty_curve(df, n=5, n_batches=3).collect()
+        }
+        assert [got[b]["n_docs"] for b in (0, 1, 2)] == [10, 10, 10]
+        # t_a has 8 tokens -> 4 distinct 5-grams; same for t_b
+        assert got[0]["new_grams"] == 4 and got[0]["novelty_rate"] == 1.0
+        assert got[1]["new_grams"] == 0 and got[1]["novelty_rate"] == 0.0
+        assert got[2]["new_grams"] == 4 and got[2]["novelty_rate"] == 1.0
+        assert [got[b]["cum_vocab"] for b in (0, 1, 2)] == [4, 4, 8]
+
+
+class TestTheilSen:
+    def test_exact_line_with_one_outlier(self, spark):
+        """y = 5x + 100 over 31 days with one wrecked day: the
+        pairwise-slope median stays 5 (OLS would move), intercept
+        median stays 100."""
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            theil_sen_trend,
+        )
+
+        d0 = datetime.date(2025, 3, 1)
+        rows = [
+            (d0 + datetime.timedelta(days=i), 100 + 5 * i) for i in range(31)
+        ]
+        rows[15] = (rows[15][0], 10_000_000)  # corrupted day
+        base = int(rows[0][0].toordinal() - datetime.date(1970, 1, 1).toordinal())
+        # shift values so intercept at epoch-day 0 is well-defined:
+        # x = 100 + 5*(de - base) = (100 - 5*base) + 5*de
+        df = spark.createDataFrame(rows, "d date, x long")
+        row = theil_sen_trend(df, "d", "x").first()
+        assert row["n_days"] == 31
+        assert row["n_pairs"] == 31 * 30 // 2
+        assert abs(row["slope_per_day"] - 5.0) < 1e-6
+        assert abs(row["intercept"] - (100 - 5 * base)) < 1e-6
 
 
 class TestSpanContamination:

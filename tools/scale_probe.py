@@ -147,6 +147,14 @@ PROBES = [
     # ~linear in orders, flat tail (day-grain rows per slice fixed
     # under replication)
     "cusum_drift_by_priority",
+    # round-9 batch 3: marginal-novelty curve (two gram-keyed
+    # map-side-combined aggregates — ~linear in tokens; doc
+    # replication with remapped ids multiplies batch sizes, not the
+    # batch count) and Theil-Sen (pair join over the FIXED day grain
+    # + histogram-median — expected ~flat beyond the per-day
+    # aggregation scan, the kendall growth shape)
+    "corpus_novelty_curve",
+    "theil_sen_revenue_trend",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
