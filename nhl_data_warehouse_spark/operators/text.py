@@ -371,20 +371,22 @@ def novelty_curve(
     novelty_rate, cum_vocab.
     """
     mx = df.agg(F.max(id_col).alias("mx"))
-    batched = df.crossJoin(F.broadcast(mx)).select(
-        F.col(id_col),
-        F.col(text_col),
+    # batch is a pure function of (id, max_id): attach it to the GRAM
+    # relation directly — no id-keyed join back to the docs, and the
+    # 1-row scalar broadcast appears exactly twice (grams + doc
+    # counts), not once per downstream branch
+    batch_expr = (
         F.least(
             F.expr(f"({id_col} * {n_batches}) DIV (mx + 1)"),
             F.lit(n_batches - 1),
         )
         .cast("int")
-        .alias("batch"),
+        .alias("batch")
     )
-    grams = word_ngrams(batched, id_col, text_col, n)
     bg = (
-        grams.join(batched.select(id_col, "batch"), on=id_col)
-        .select("batch", "gram")
+        word_ngrams(df, id_col, text_col, n)
+        .crossJoin(F.broadcast(mx))
+        .select(batch_expr, "gram")
         .distinct()
     )
     dist = bg.groupBy("batch").agg(
@@ -396,8 +398,11 @@ def novelty_curve(
         .groupBy("batch")
         .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))
     )
-    nd = batched.groupBy("batch").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    nd = (
+        df.crossJoin(F.broadcast(mx))
+        .select(batch_expr)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     joined = (
         nd.join(dist, on="batch", how="left")

@@ -556,3 +556,55 @@ def test_round8_join_and_bootstrap_plan_shapes(spark, registry):
     assert "Join" not in bs
     assert "partial_sum" in bs  # 64 sums combine map-side
     assert bs.count("Exchange") <= 1
+
+
+def test_round9_calibration_and_contamination_plan_shapes(spark, registry):
+    """Round-9 additions stay on their declared shapes. The ECE and
+    isotonic calibration queries may use BNLJ ONLY for bounded grids
+    (<= n_bins rows by construction — the kendall class) and must
+    never SMJ or cartesian; span contamination's gram join is a plain
+    hash join on the md5 key (equi — a BNLJ here would mean the gram
+    condition leaked); the CUSUM pair keeps every window partitioned
+    (grouped form) or day-grain bounded (global form)."""
+    for q in ("classifier_ece_eval", "isotonic_calibration_map"):
+        p = plan_of(registry[q].fn(spark, SF))
+        assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+        assert "BroadcastHashJoin" in p
+
+    sc = plan_of(registry["substring_span_contamination_50g"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in sc
+    assert "CartesianProduct" not in sc
+    # the md5 gram key reached a hash join (BHJ via AQE at this scale)
+    assert "BroadcastHashJoin" in sc or "SortMergeJoin" in sc
+    assert "md5" in sc
+
+    gp = plan_of(registry["cusum_drift_by_priority"].fn(spark, SF))
+    assert "CartesianProduct" not in gp and "BroadcastNestedLoopJoin" not in gp
+    # every window spec carries the slice key, never unpartitioned
+    assert "windowspecdefinition(g#" in gp or "windowspecdefinition(o_orderpriority" in gp
+
+
+def test_round9_theilsen_and_novelty_plan_shapes(spark, registry):
+    """Theil-Sen: the pair BNLJ is the declared bounded-day-grain
+    theta join (kendall doctrine), the slope median must come from
+    the cell histogram (prefix-sum _pid window), and the plan must
+    NOT contain a single-reducer exact percentile over the pair
+    relation — only the day-count residual percentile. Novelty: the
+    gram joins are equi (hash/SMJ), first-occurrence is an aggregate
+    (min), never a window over gram rows."""
+    ts = plan_of(registry["theil_sen_revenue_trend"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in ts  # declared bounded pair join
+    assert "CartesianProduct" not in ts
+    assert "_pid" in ts  # histogram median via prefix_sum_cells
+    # exactly one percentile aggregate survives (day-grain residuals)
+    assert ts.count("percentile") <= 2  # partial + final of the one agg
+
+    nv = plan_of(registry["corpus_novelty_curve"].fn(spark, SF))
+    # the only BNLJ allowed is the 1-row max_id scalar broadcast (the
+    # tpch_q15 scalar-subquery pattern) — it appears once per consumer
+    # subtree (gram relation x2 via the shared distinct, doc counts x1;
+    # AQE exchange reuse executes the shared subtree once); gram joins
+    # themselves are aggregates, never theta joins
+    assert "CartesianProduct" not in nv
+    assert nv.count("BroadcastNestedLoopJoin") <= 3
+    assert "partial_min" in nv or "min(batch" in nv  # first-occurrence agg
