@@ -1683,6 +1683,99 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hhi_supplier_concentration",
+    op_ids="beyond-reference concentration index: per-nation "
+    "Herfindahl-Hirschman index of supplier revenue shares — the "
+    "source-diversity gate a corpus pipeline runs per shard "
+    "(one dominant source = HHI near 1). Exact algebra: "
+    "HHI = sum(s_i^2) / T^2 clears the rational shares, so the two "
+    "DECIMAL(38,0) integer sums feed ONE double division; two-level "
+    "keyed aggregate (map-side combined) over broadcast dim joins — "
+    "pairs with gini_order_revenue (rank-based inequality) as the "
+    "share-based twin",
+    description="per-nation supplier-revenue concentration: supplier "
+    "count, total revenue, HHI in [1/n, 1], and the normalized HHI — "
+    "dominance screening at the (nation, supplier) grain",
+    oracle="""
+        WITH per_supp AS (
+            SELECT n.n_name AS nation, l.l_suppkey,
+                   CAST(SUM(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(cents) AS BIGINT) AS t,
+                   SUM(CAST(cents AS HUGEINT) * cents) AS ssq
+            FROM per_supp GROUP BY 1
+        )
+        SELECT nation, n_suppliers,
+               CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+               CAST(ssq AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS hhi,
+               CASE WHEN n_suppliers > 1 THEN
+                   (CAST(ssq AS DOUBLE)
+                        / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                    - 1.0 / CAST(n_suppliers AS DOUBLE))
+                   / (1.0 - 1.0 / CAST(n_suppliers AS DOUBLE))
+               END AS hhi_normalized
+        FROM agg
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation = load(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    per_supp = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    agg = per_supp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.expr("CAST(t AS DOUBLE) / 100.0").alias("total_revenue"),
+        F.expr(
+            "CAST(ssq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))"
+        ).alias("hhi"),
+        F.expr(
+            "CASE WHEN n_suppliers > 1 THEN"
+            " (CAST(ssq AS DOUBLE)"
+            "      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))"
+            "  - 1.0 / CAST(n_suppliers AS DOUBLE))"
+            " / (1.0 - 1.0 / CAST(n_suppliers AS DOUBLE)) END"
+        ).alias("hhi_normalized"),
+    )
+
+
+@register(
     "benford_price_digits",
     op_ids="beyond-reference data-quality screen: Benford "
     "first-significant-digit analysis of order totals — digit "

@@ -443,6 +443,37 @@ class TestTheilSen:
         assert abs(row["intercept"] - (100 - 5 * base)) < 1e-6
 
 
+class TestHHI:
+    def test_hand_computed_shares(self, spark):
+        """One nation, two suppliers with 75/25 split: HHI =
+        0.75^2 + 0.25^2 = 0.625; normalized = (0.625 - 0.5) / 0.5."""
+        from nhl_data_warehouse_spark.suite.surface import (
+            hhi_supplier_concentration,
+        )
+        import math
+
+        # exercise the algebra through the operator-level expressions
+        # on a crafted frame rather than the full query: 2 suppliers,
+        # cents 7500 / 2500
+        df = spark.createDataFrame(
+            [("A", 1, 7500), ("A", 2, 2500)],
+            "nation string, supp long, cents long",
+        )
+        agg = df.groupBy("nation").agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("cents").cast("long").alias("t"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("ssq"),
+        )
+        row = agg.select(
+            F.expr(
+                "CAST(ssq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))"
+            ).alias("hhi")
+        ).first()
+        assert math.isclose(row["hhi"], 0.625, rel_tol=0, abs_tol=1e-12)
+
+
 class TestSpanContamination:
     def test_planted_shared_span_union_coverage(self, spark):
         """Benchmark doc 0 and eval doc 1 share a 60-token verbatim

@@ -155,6 +155,9 @@ PROBES = [
     # aggregation scan, the kendall growth shape)
     "corpus_novelty_curve",
     "theil_sen_revenue_trend",
+    # HHI concentration: two-level keyed aggregate over broadcast dims
+    # — ~linear in lineitem, flat metric stage (supplier grain fixed)
+    "hhi_supplier_concentration",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
