@@ -2024,6 +2024,94 @@ def substring_span_contamination_50g(
 
 
 @register(
+    "source_mix_entropy_by_lang",
+    op_ids="beyond-reference corpus-diversity gate: per-language "
+    "Shannon entropy (and perplexity = effective source count) of "
+    "the SOURCE distribution — the mix-balance scorecard a training "
+    "pipeline checks before weighting sources (token_entropy_scores "
+    "is the within-document twin; this is the corpus-mix grain). "
+    "Determinism: shares are single divisions of exact counts, ln is "
+    "6dp-rounded on both engines (the rounded-ln rule), the per-"
+    "language fold runs in source order over BOUNDED (lang x source) "
+    "cells (the macro-F1 ordered-fold recipe), -0.0 guarded",
+    description="per-language source-mix diversity: doc count, "
+    "source count, Shannon entropy of the source shares, and "
+    "perplexity (effective number of sources) — a skewed mix shows "
+    "perplexity far below the source count",
+    oracle="""
+        WITH smc AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        smt AS (
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM smc GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.lang, c.source, t.n_docs, t.n_sources,
+                   (CAST(c.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                   * round(ln(CAST(c.n AS DOUBLE)
+                              / CAST(t.n_docs AS DOUBLE)), 6) AS term
+            FROM smc c JOIN smt t USING (lang)
+        ),
+        ent AS (
+            SELECT lang, n_docs, n_sources,
+                   -SUM(term ORDER BY source) + 0.0 AS source_entropy
+            FROM terms GROUP BY lang, n_docs, n_sources
+        )
+        SELECT lang, n_docs, n_sources, source_entropy,
+               round(exp(source_entropy), 6) + 0.0 AS perplexity
+        FROM ent
+    """,
+)
+def source_mix_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    c = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    terms = c.join(t, on="lang").select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.struct(
+            "source",
+            F.expr(
+                "(CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+                " * round(ln(CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)"
+            ).alias("term"),
+        ).alias("st"),
+    )
+    folded = terms.groupBy("lang", "n_docs", "n_sources").agg(
+        F.sort_array(F.collect_list("st")).alias("ts")
+    )
+    ent = folded.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (
+            -F.aggregate(
+                F.transform("ts", lambda s: s["term"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + 0.0
+        ).alias("source_entropy"),
+    )
+    return ent.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "source_entropy",
+        (F.round(F.exp("source_entropy"), 6) + 0.0).alias("perplexity"),
+    )
+
+
+@register(
     "corpus_novelty_curve",
     op_ids="beyond-reference marginal-novelty / Heaps-law curve: "
     "docs split into 8 equal id-range batches (pure integer-DIV "

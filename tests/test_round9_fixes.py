@@ -474,6 +474,48 @@ class TestHHI:
         assert math.isclose(row["hhi"], 0.625, rel_tol=0, abs_tol=1e-12)
 
 
+class TestSourceMixEntropy:
+    def test_uniform_and_skewed_mix(self, spark, tmp_path):
+        """Uniform 2-source mix -> entropy ln(2), perplexity 2;
+        single-source language -> entropy 0 (with the -0.0 guard),
+        perplexity 1."""
+        import math
+
+        from nhl_data_warehouse_spark.suite.training import (
+            source_mix_entropy_by_lang,
+        )
+
+        rows = (
+            [(i, "t", "en", "web") for i in range(10)]
+            + [(100 + i, "t", "en", "books") for i in range(10)]
+            + [(200 + i, "t", "de", "web") for i in range(7)]
+        )
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        sf = str(tmp_path / "sf")
+        import os
+
+        os.makedirs(sf, exist_ok=True)
+        df.select("doc_id", "text", "lang", "source",
+                  F.length("text").alias("n_chars")).write.parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+        got = {
+            r["lang"]: r for r in source_mix_entropy_by_lang(spark, sf).collect()
+        }
+        en = got["en"]
+        assert en["n_sources"] == 2 and en["n_docs"] == 20
+        # terms use 6dp-rounded ln(0.5)
+        exp_ent = -2 * (0.5 * round(math.log(0.5), 6))
+        assert abs(en["source_entropy"] - exp_ent) < 1e-12
+        assert abs(en["perplexity"] - round(math.exp(exp_ent), 6)) < 1e-12
+        de = got["de"]
+        assert de["source_entropy"] == 0.0  # not -0.0
+        assert str(de["source_entropy"])[0] != "-"
+        assert de["perplexity"] == 1.0
+
+
 class TestSpanContamination:
     def test_planted_shared_span_union_coverage(self, spark):
         """Benchmark doc 0 and eval doc 1 share a 60-token verbatim

@@ -158,6 +158,9 @@ PROBES = [
     # HHI concentration: two-level keyed aggregate over broadcast dims
     # — ~linear in lineitem, flat metric stage (supplier grain fixed)
     "hhi_supplier_concentration",
+    # source-mix entropy: one (lang x source) keyed aggregate + a
+    # bounded fold — ~linear scan, flat tail (cells fixed)
+    "source_mix_entropy_by_lang",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
