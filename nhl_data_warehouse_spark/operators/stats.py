@@ -387,29 +387,49 @@ def prefix_sum_cells(
     a scale-killer the moment a caller feeds an unbounded value
     domain.
 
-    Pass 1: ``repartitionByRange`` on the order column gives ordered
-    partitions; a window PARTITIONED by ``spark_partition_id`` computes
-    each partition's local exclusive cumsum in parallel. Pass 2: the
-    per-partition totals (≤ ``num_ranges`` rows by construction — the
-    only unpartitioned window left is bounded, not data-sized) turn
-    into per-partition offsets, broadcast-joined back:
-    ``cum = local_cum + partition_offset``. Exact for any domain size;
-    result values are partitioning-independent (each unique cell lands
-    in exactly one range).
+    Pass 1: each cell gets a bucket id ``_pid`` that is a PURE
+    FUNCTION of its own value — ``floor((c - min) / ((max - min) /
+    num_ranges))`` with the [min, max] bounds broadcast from one lazy
+    aggregate — so buckets are contiguous value ranges and a window
+    PARTITIONED by ``_pid`` computes each bucket's local exclusive
+    cumsum in parallel. Pass 2: the per-bucket totals (≤ ``num_ranges``
+    rows by construction — the only unpartitioned window left is
+    bounded, not data-sized) turn into per-bucket offsets,
+    broadcast-joined back: ``cum = local_cum + bucket_offset``. Exact
+    for any domain size; result values are partitioning-independent.
+
+    Why value-derived buckets instead of ``repartitionByRange`` +
+    ``spark_partition_id``: TWO consumers (local cumsums + totals)
+    read the bucketed frame, and range-partition BOUNDARY SAMPLING can
+    differ between re-executions, mis-aligning offsets with local
+    cumsums (caught live by theil_sen's median at sf0.001). The r9
+    form pinned one physical partitioning with persist()+count(),
+    which executed the full upstream plan at CONSTRUCTION time (ADVICE
+    r9). A value-derived ``_pid`` is deterministic across any number
+    of re-executions, so nothing needs pinning and the whole operator
+    stays lazy. Bucket BALANCE degrades only if cells crowd one value
+    range; correctness never does (the double cast of the order value
+    is monotone, so buckets stay contiguous and the ≤ num_ranges
+    offset window stays exact even with collisions past 2^53).
     """
-    parts = hist.repartitionByRange(num_ranges, F.col(order_col))
-    parts = parts.withColumn("_pid", F.spark_partition_id())
-    # TWO consumers (local cumsums + per-partition totals) read this
-    # frame: without pinning it, each executes its own
-    # repartitionByRange whose BOUNDARY SAMPLING can differ between
-    # executions (input order into the sampler is not deterministic),
-    # so the branches would disagree on the _pid map and the offsets
-    # would be applied to the wrong partitions — caught live by
-    # theil_sen's median at sf0.001. persist + count pins ONE
-    # partitioning for both branches (the multi-branch-consumer rule);
-    # the caller harness reclaims via release_cached.
-    parts = parts.persist()
-    parts.count()
+    bounds = hist.agg(
+        F.min(F.col(order_col).cast("double")).alias("_lo"),
+        F.max(F.col(order_col).cast("double")).alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(num_ranges))
+    pid = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(num_ranges - 1),
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("_lo")) / width
+            ).cast("int"),
+        )
+    )
+    parts = (
+        hist.join(F.broadcast(bounds), how="cross")
+        .withColumn("_pid", pid.cast("int"))
+        .drop("_lo", "_hi")
+    )
     wl = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -695,6 +715,110 @@ def expected_calibration_error(
         F.col("n_docs"),
         ece.alias("ece"),
         mce.alias("mce"),
+        F.expr(
+            "CAST(ssq AS DOUBLE)"
+            f" / (CAST(n_docs AS DOUBLE) * {float(scale) * float(scale)})"
+        ).alias("brier"),
+    )
+
+
+def murphy_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score — the
+    calibration scorecard that separates WHY a quality classifier's
+    probabilities are off before a corpus is thresholded on them:
+
+        reliability = sum_b (n_b / N) * (acc_b - conf_b)^2   (miscalibration; lower better)
+        resolution  = sum_b (n_b / N) * (acc_b - base)^2     (discrimination; higher better)
+        uncertainty = base * (1 - base)                      (label noise floor)
+
+    with acc_b the bin's empirical positive rate, conf_b its mean
+    predicted score, and base the global positive rate. For
+    within-bin-constant predictions, brier = REL - RES + UNC exactly;
+    with real-valued scores the identity holds up to the within-bin
+    score variance, so the exact per-example Brier is ALSO emitted
+    (same ssq statistic as ``expected_calibration_error``) rather than
+    reconstructed from the decomposition.
+
+    Determinism doctrine (the ECE recipe): scores quantize to exact
+    micro-units, per-bin sufficient statistics are integers in
+    DECIMAL(38,0), every double is one fixed-order expression, and
+    both n_bins-term sums fold in bin order (F.aggregate over a
+    bin-sorted array == DuckDB ``SUM(term ORDER BY bin)``).
+
+    Scale: one map-side-combined groupBy to n_bins rows + one global
+    agg; the folds run over n_bins elements on one row. No windows,
+    no per-pair work.
+    """
+    pi = F.round(F.col(score_col) * scale).cast("long")
+    y = F.col(label_col).cast("long")
+    base_rows = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        pi.alias("pi"),
+        y.alias("y"),
+    )
+    bins = base_rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(F.col("pi").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("spi"),
+        F.sum("y").cast("long").alias("ng"),
+    )
+    sq = F.col("pi") - F.col("y") * scale
+    tot = base_rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(sq.cast("decimal(38,0)") * sq).cast("decimal(38,0)").alias("ssq"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.expr("CAST(nb AS DOUBLE) / CAST(n_docs AS DOUBLE)").alias("w"),
+        F.expr(
+            "CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)"
+            f" - CAST(spi AS DOUBLE) / (CAST(nb AS DOUBLE) * {float(scale)})"
+        ).alias("dra"),
+        F.expr(
+            "CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)"
+            " - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        ).alias("drs"),
+        "n_docs",
+        "n_pos",
+        "ssq",
+    )
+    folded = terms.groupBy("n_docs", "n_pos", "ssq").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "w", "dra", "drs"))
+        ).alias("ts")
+    )
+    rel = F.aggregate(
+        F.transform("ts", lambda s: s["w"] * s["dra"] * s["dra"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    res = F.aggregate(
+        F.transform("ts", lambda s: s["w"] * s["drs"] * s["drs"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unc = F.expr(
+        "CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    )
+    return folded.select(
+        F.col("n_docs"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
         F.expr(
             "CAST(ssq AS DOUBLE)"
             f" / (CAST(n_docs AS DOUBLE) * {float(scale) * float(scale)})"

@@ -521,6 +521,13 @@ def grouped_cusum_peak(
     pattern). Same integer-exact algebra: per-slice C_d * D = S_d * D
     - d * T in DECIMAL(38,0), peak by integer comparison, earliest
     day on ties, one double division per slice at the end.
+
+    The per-group totals and peaks relations are one-row-per-group, so
+    they are joined with PLAIN equi-joins and AQE picks the strategy —
+    broadcast when the group domain is small (the suite's priority
+    slice), shuffled hash when a caller feeds a high-cardinality
+    ``group_col`` where a forced broadcast would ship a data-sized
+    relation to every executor (ADVICE r9).
     """
     w = (
         Window.partitionBy(group_col)
@@ -537,7 +544,7 @@ def grouped_cusum_peak(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum(value_col).cast("long").alias("t"),
     )
-    scaled = cum.join(F.broadcast(tot), on="g").select(
+    scaled = cum.join(tot, on="g").select(
         "g",
         "d",
         "n_days",
@@ -547,7 +554,7 @@ def grouped_cusum_peak(
         .alias("sc"),
     )
     peak = scaled.groupBy("g").agg(F.max(F.abs(F.col("sc"))).alias("pk"))
-    at_peak = scaled.join(F.broadcast(peak), on="g").where(
+    at_peak = scaled.join(peak, on="g").where(
         F.abs(F.col("sc")) == F.col("pk")
     )
     return at_peak.groupBy("g", "n_days", "t").agg(

@@ -116,11 +116,13 @@ class TestGiniUnboundedDomain:
         """Regression (caught by theil_sen's median at sf0.001): with
         two consumers of the range-partitioned frame, each execution
         re-ran repartitionByRange whose boundary sampling could
-        differ, mis-aligning offsets with local cumsums. The primitive
-        now pins one partitioning (persist + count). Pin the
-        observable invariant: cum is strictly the exclusive prefix —
-        monotone in c with cum[i+1] = cum[i] + nv[i] — on an input
-        that arrives hash-shuffled across many partitions."""
+        differ, mis-aligning offsets with local cumsums. The bucket id
+        is now a pure function of the cell VALUE (min/max-derived
+        ranges, ADVICE r9 — fully lazy, no persist), deterministic
+        across any number of re-executions. Pin the observable
+        invariant: cum is strictly the exclusive prefix — monotone in
+        c with cum[i+1] = cum[i] + nv[i] — on an input that arrives
+        hash-shuffled across many partitions."""
         from nhl_data_warehouse_spark.operators.stats import prefix_sum_cells
         from nhl_data_warehouse_spark.session import release_cached
 
@@ -142,8 +144,8 @@ class TestGiniUnboundedDomain:
 
     def test_no_datasized_unpartitioned_window(self, spark):
         """Plan shape: the only unpartitioned window left must be the
-        one over per-partition totals (≤ num_ranges rows); the
-        data-sized window is partitioned by spark_partition_id."""
+        one over per-bucket totals (≤ num_ranges rows); the
+        data-sized window is partitioned by the value-derived _pid."""
         from nhl_data_warehouse_spark.operators.stats import gini_coefficient
 
         df = spark.range(1000).select((F.col("id") % 37).cast("double").alias("v"))
