@@ -346,3 +346,71 @@ def association_rules(
     return out.orderBy(
         F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(top_k)
+
+
+def neighbor_jaccard(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_shared: int = 2,
+    top_k: int | None = 30,
+) -> DataFrame:
+    """Bipartite node similarity: Jaccard of two items' GROUP sets,
+    ``|G_a ∩ G_b| / (|G_a| + |G_b| - |G_a ∩ G_b|)`` — the
+    degree-normalized form of ``cooccurrence_pairs`` (raw co-counts
+    favor popular items; Jaccard surfaces items that co-occur
+    *specifically* with each other). The entity-linking / related-item
+    shape.
+
+    Scale: intersections come from the same group-keyed self-equi-join
+    as cooccurrence_pairs (one shuffle per side, fan-out bounded by
+    group size — cap oversized groups with ``sampling.group_cap``
+    first when baskets are unbounded); degrees are one
+    map-side-combined aggregate over the distinct (group, item) pairs,
+    equi-joined back (AQE broadcasts the item-cardinality relation
+    when small). ``min_shared`` prunes the long tail BEFORE the degree
+    joins. The Jaccard is one double division of exact integers, so
+    the (jaccard desc, item_a, item_b) order is a deterministic total
+    order on any engine.
+    """
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    ).distinct()
+    inter = (
+        items.join(
+            items.select("_g", F.col("item_a").alias("item_b")), on="_g"
+        )
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    if min_shared > 1:
+        inter = inter.filter(F.col("n_shared") >= min_shared)
+    deg = items.groupBy("item_a").agg(
+        F.count(F.lit(1)).cast("long").alias("deg_a")
+    )
+    out = (
+        inter.join(deg, on="item_a")
+        .join(
+            deg.select(
+                F.col("item_a").alias("item_b"), F.col("deg_a").alias("deg_b")
+            ),
+            on="item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "deg_a",
+            "deg_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared AS DOUBLE)"
+                " / CAST(deg_a + deg_b - n_shared AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("jaccard").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        ).limit(top_k)
+    return out

@@ -1364,3 +1364,115 @@ def fim_split(
             F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
         ).alias("psm"),
     )
+
+
+# the "at least two of these English words" Gopher presence list —
+# fixed published set, distinct from LANG_MARKERS (which is the
+# suite's language-ID marker table)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_gates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style rule gates per document (the published pre-filter
+    recipe for web-scale training corpora): word-count band, mean word
+    length band, alphabetic-word fraction, symbol-to-word ratio, and
+    the two-of-eight stopword presence check — one boolean per rule
+    plus the conjunction, alongside the integer counts they derive
+    from.
+
+    Complements ``quality_score`` (a composite 0-10 decile used as the
+    heuristic label) — these are the hard REJECT gates a pipeline
+    applies before any scoring. Same exactness doctrine: every
+    threshold is an integer cross-multiplication (``5 * n_alpha_words
+    >= 4 * n_words`` instead of a float ratio), so the booleans are
+    bit-identical on any engine.
+
+    Scale: one map-only projection — array expressions over the token
+    split, no shuffle, no UDF; filters on the output push down to the
+    parquet scan of the boolean columns once materialized.
+    """
+    text = F.col(text_col)
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_words = F.size(tokens).cast("long")
+    sum_tok_len = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(tokens, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_symbols = (
+        (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit(""))))
+        + (F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(tokens, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    g_words = (n_words >= 50) & (n_words <= 100_000)
+    g_mwl = (sum_tok_len >= 3 * n_words) & (sum_tok_len <= 10 * n_words)
+    g_alpha = 5 * n_alpha >= 4 * n_words
+    g_sym = 10 * n_symbols <= n_words
+    g_stop = stop_hits >= 2
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        stop_hits.alias("n_stop_hits"),
+        g_words.alias("gate_word_count"),
+        g_mwl.alias("gate_mean_word_len"),
+        g_alpha.alias("gate_alpha_ratio"),
+        g_sym.alias("gate_symbol_ratio"),
+        g_stop.alias("gate_stopwords"),
+        (g_words & g_mwl & g_alpha & g_sym & g_stop).alias("pass_gopher"),
+    )
+
+
+def type_token_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Lexical-diversity features per document: type-token ratio
+    (distinct lowercased tokens / tokens) and hapax fraction (tokens
+    occurring exactly once / types) — low TTR flags template/spam
+    text that repetition_signals' line/ngram detectors miss, high
+    hapax fraction flags OCR noise and gibberish.
+
+    Scale: explode -> map-side-combined groupBy on (doc, token) ->
+    per-doc aggregate -> equi left-join back to keep empty documents.
+    The term-frequency grain is the same one token_entropy builds; no
+    windows, no UDFs. Ratios are single double divisions of exact
+    counts (engine-stable), NULL on empty docs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    joined = df.select(id_col).join(per, on=id_col, how="left")
+    return joined.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        F.expr(
+            "CASE WHEN COALESCE(n_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END"
+        ).alias("ttr"),
+        F.expr(
+            "CASE WHEN COALESCE(n_types, 0) = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) END"
+        ).alias("hapax_ratio"),
+    )

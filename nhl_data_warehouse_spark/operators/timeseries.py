@@ -735,3 +735,70 @@ def autocorrelation(
         st.select(F.explode(F.array(*lag_structs)).alias("r"))
         .select("r.lag", "r.n_pairs", "r.acf")
     )
+
+
+def dow_seasonal_anomalies(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    z_threshold: float = 1.5,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection on a daily series: each day's
+    total is z-scored against ITS DAY-OF-WEEK's population moments, so
+    a strong weekly cycle (weekends always low) stops masquerading as
+    drift — the calendar-aware complement to the CUSUM family (which
+    finds level SHIFTS, not single outlier days).
+
+    Determinism doctrine: daily totals are exact integer cents; the
+    per-slice moments are exact sums (count / cents / squared cents in
+    DECIMAL(38,0) — daily-total squares pass 2^63 at warehouse scale);
+    z is the zscore_outliers fixed-order double expression
+    ``(x - s/n) / sqrt(ss/n - (s/n)*(s/n))``. Degenerate slices are
+    excluded by the INTEGER variance guard ``n*ss > s*s`` (a
+    float-side sqrt(0)/NaN would order differently across engines).
+
+    Scale: two keyed aggregates (day grain, then the 7-row DOW grain)
+    and one equi-join back; the DOW moments relation is 7 rows — AQE
+    broadcasts it. No windows, no unpartitioned stages.
+    """
+    daily = df.groupBy(F.col(time_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(value_col) * cents_scale).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    # Spark dayofweek is 1-7 Sunday-first; emit 0-6 (DuckDB's encoding)
+    daily = daily.withColumn("dow", (F.dayofweek("d") - 1).cast("long"))
+    vdec = F.col("v").cast("decimal(38,0)")
+    moments = daily.groupBy(F.col("dow").alias("m_dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(vdec * vdec).cast("decimal(38,0)").alias("ssd"),
+    )
+    guarded = moments.where(
+        (F.col("n") >= 2)
+        & (
+            F.col("n").cast("decimal(38,0)") * F.col("ssd")
+            > F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        )
+    ).select(
+        "m_dow", "n", "s", F.col("ssd").cast("double").alias("ss")
+    )
+    z = F.expr(
+        "(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / sqrt(ss / CAST(n AS DOUBLE)"
+        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    return (
+        daily.join(guarded, daily["dow"] == guarded["m_dow"])
+        .select(
+            "d",
+            "dow",
+            F.expr(f"CAST(v AS DOUBLE) / {float(cents_scale)}").alias(
+                "day_total"
+            ),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+    )

@@ -715,6 +715,56 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neighbor_jaccard_pairs",
+    op_ids="beyond-reference bipartite node similarity (Jaccard of "
+    "order sets — the degree-normalized co-occurrence that surfaces "
+    "items co-occurring SPECIFICALLY with each other, not merely "
+    "popular ones): group-keyed self-equi-join for intersections, "
+    "map-side-combined degree aggregate equi-joined back, min_shared "
+    "prunes before the degree joins",
+    description="top-30 part pairs by Jaccard similarity of their "
+    "order sets (>= 2 shared orders), with both degrees and the "
+    "intersection size — deterministic (jaccard desc, item_a, item_b) "
+    "order",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        inter AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        deg AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+            FROM items GROUP BY 1
+        )
+        SELECT item_a, item_b,
+               da.d AS deg_a, db.d AS deg_b, n_shared,
+               CAST(n_shared AS DOUBLE)
+                   / CAST(da.d + db.d - n_shared AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN deg da ON item_a = da.l_partkey
+        JOIN deg db ON item_b = db.l_partkey
+        ORDER BY jaccard DESC, item_a ASC, item_b ASC
+        LIMIT 30
+    """,
+)
+def neighbor_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return graph.neighbor_jaccard(
+        lineitem,
+        group_col="l_orderkey",
+        item_col="l_partkey",
+        min_shared=2,
+        top_k=30,
+    )
+
+
+@register(
     "equi_depth_bins",
     op_ids="beyond-reference exact quantile binning (scale-safe "
     "two-level-rank NTILE; approx_value_percentiles is the sketch twin)",

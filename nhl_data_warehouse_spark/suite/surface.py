@@ -1597,6 +1597,68 @@ def cusum_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dow_revenue_anomalies",
+    op_ids="beyond-reference calendar-aware anomaly detection: each "
+    "day's revenue z-scored against ITS DAY-OF-WEEK's exact "
+    "population moments (integer cents, DECIMAL(38,0) squared sums, "
+    "the zscore_outliers fixed-order double expression), so the "
+    "weekly cycle stops masquerading as drift — the single-outlier "
+    "complement to the CUSUM level-shift family; degenerate slices "
+    "excluded by the INTEGER variance guard n*ss > s*s",
+    description="days whose revenue is >1.5 population standard "
+    "deviations from their day-of-week mean: date, dow (0=Sunday), "
+    "day total, z-score",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        dw AS (
+            SELECT d, v, CAST(dayofweek(d) AS BIGINT) AS dow FROM daily
+        ),
+        m AS (
+            SELECT dow AS m_dow, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   SUM(CAST(v AS HUGEINT) * v) AS ssd
+            FROM dw GROUP BY 1
+        ),
+        g AS (
+            SELECT m_dow, n, s, CAST(ssd AS DOUBLE) AS ss
+            FROM m
+            WHERE n >= 2 AND CAST(n AS HUGEINT) * ssd
+                             > CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+        )
+        SELECT d, dow,
+               CAST(v AS DOUBLE) / 100.0 AS day_total,
+               (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(ss / CAST(n AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+        FROM dw JOIN g ON dw.dow = g.m_dow
+        WHERE abs((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt(ss / CAST(n AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) > 1.5
+    """,
+)
+def dow_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        dow_seasonal_anomalies,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return dow_seasonal_anomalies(
+        orders.where(F.col("o_totalprice").isNotNull()),
+        time_col="o_orderdate",
+        value_col="o_totalprice",
+        z_threshold=1.5,
+        cents_scale=100,
+    )
+
+
+@register(
     "theil_sen_revenue_trend",
     op_ids="beyond-reference robust trend estimation: Theil-Sen "
     "median-of-pairwise-slopes over the daily revenue series (plus "

@@ -987,6 +987,107 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_gates",
+    op_ids="beyond-reference hard quality gates (the published "
+    "Gopher-rule pre-filter recipe: word-count band, mean word "
+    "length, alphabetic-word fraction, symbol-to-word ratio, "
+    "two-of-eight stopword presence) — every threshold an integer "
+    "cross-multiplication, map-only, no shuffle",
+    description="per-document Gopher rule gates: integer counts, one "
+    "boolean per rule, and the pass_gopher conjunction — the hard "
+    "REJECT filter applied before any model scoring",
+    oracle=r"""
+        WITH toks_g AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        feats_g AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_sum(list_transform(toks,
+                        x -> length(x))), 0) AS BIGINT) AS sum_tok_len,
+                   CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                       AS n_alpha_words,
+                   CAST((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '…', '')))
+                        AS BIGINT) AS n_symbols,
+                   CAST(len(list_intersect(
+                        list_distinct(list_transform(toks, x -> lower(x))),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS BIGINT) AS n_stop_hits
+            FROM toks_g
+        )
+        SELECT doc_id, n_words, n_alpha_words, n_symbols, n_stop_hits,
+               n_words >= 50 AND n_words <= 100000 AS gate_word_count,
+               sum_tok_len >= 3 * n_words
+                   AND sum_tok_len <= 10 * n_words AS gate_mean_word_len,
+               5 * n_alpha_words >= 4 * n_words AS gate_alpha_ratio,
+               10 * n_symbols <= n_words AS gate_symbol_ratio,
+               n_stop_hits >= 2 AS gate_stopwords,
+               (n_words >= 50 AND n_words <= 100000)
+                   AND (sum_tok_len >= 3 * n_words
+                        AND sum_tok_len <= 10 * n_words)
+                   AND 5 * n_alpha_words >= 4 * n_words
+                   AND 10 * n_symbols <= n_words
+                   AND n_stop_hits >= 2 AS pass_gopher
+        FROM feats_g
+    """,
+)
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.gopher_gates(documents)
+
+
+@register(
+    "type_token_ratio",
+    op_ids="beyond-reference lexical-diversity scoring (type-token "
+    "ratio + hapax fraction over the term-frequency grain): explode "
+    "-> map-side-combined (doc, token) groupBy -> per-doc aggregate "
+    "-> equi left-join back for empty docs; ratios are single double "
+    "divisions of exact counts",
+    description="per-document lexical diversity: token/type/hapax "
+    "counts, type-token ratio and hapax fraction — low TTR flags "
+    "template/spam text the line/ngram repetition detectors miss",
+    oracle=r"""
+        WITH toks_t AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        tf_t AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks_t GROUP BY 1, 2
+        ),
+        per_t AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM tf_t GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(n_tokens, 0) AS n_tokens,
+               COALESCE(n_types, 0) AS n_types,
+               COALESCE(n_hapax, 0) AS n_hapax,
+               CASE WHEN COALESCE(n_tokens, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               END AS ttr,
+               CASE WHEN COALESCE(n_types, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+               END AS hapax_ratio
+        FROM documents d LEFT JOIN per_t USING (doc_id)
+    """,
+)
+def type_token_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.type_token_ratio(documents)
+
+
+@register(
     "model_quality_classifier",
     op_ids="beyond-reference model-based quality filtering (fastText/"
     "CCNet-shape: hashing-trick bag-of-words features -> linear margin "
@@ -4844,6 +4945,78 @@ def classifier_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = pred.join(labels, on="doc_id")
     return expected_calibration_error(
+        joined, "quality_score", "is_good", n_bins=10, scale=1_000_000
+    )
+
+
+@register(
+    "brier_murphy_decomposition",
+    op_ids="beyond-reference calibration diagnostics: Murphy "
+    "decomposition of the quality classifier's Brier score into "
+    "reliability (miscalibration), resolution (discrimination) and "
+    "uncertainty (label noise floor) over the same micro-unit "
+    "integer sufficient statistics as classifier_ece_eval; both "
+    "10-term sums fold in bin order (the DCG ordered-fold recipe)",
+    description="one-row Murphy scorecard: N, reliability, resolution, "
+    "uncertainty, exact Brier — says WHY the classifier's "
+    "probabilities are off (badly calibrated vs simply "
+    "non-discriminative) before a corpus is thresholded on them",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        mdj AS (
+            SELECT p.quality_score AS s,
+                   CAST(round(p.quality_score * 1000000) AS BIGINT) AS pi,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        mdb AS (
+            SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   SUM(CAST(pi AS HUGEINT)) AS spi,
+                   CAST(SUM(y) AS BIGINT) AS ng
+            FROM mdj GROUP BY 1
+        ),
+        mdt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   SUM(CAST(pi - y * 1000000 AS HUGEINT)
+                       * (pi - y * 1000000)) AS ssq
+            FROM mdj
+        ),
+        mterms AS (
+            SELECT bin,
+                   CAST(nb AS DOUBLE) / CAST(n_docs AS DOUBLE) AS w,
+                   CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)
+                       - CAST(spi AS DOUBLE)
+                         / (CAST(nb AS DOUBLE) * 1000000.0) AS dra,
+                   CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)
+                       - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS drs,
+                   mdt.n_docs AS n_docs, mdt.n_pos AS n_pos, mdt.ssq AS ssq
+            FROM mdb, mdt
+        )
+        SELECT n_docs,
+               SUM(w * dra * dra ORDER BY bin) AS reliability,
+               SUM(w * drs * drs ORDER BY bin) AS resolution,
+               CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   AS uncertainty,
+               CAST(ssq AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE) * 1000000000000.0) AS brier
+        FROM mterms GROUP BY n_docs, n_pos, ssq
+    """,
+)
+def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import murphy_decomposition
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return murphy_decomposition(
         joined, "quality_score", "is_good", n_bins=10, scale=1_000_000
     )
 

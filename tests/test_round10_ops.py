@@ -1,0 +1,213 @@
+"""Round-10 operator tests: Gopher rule gates, type-token ratio,
+bipartite neighbor Jaccard, day-of-week seasonal anomalies, and the
+Murphy decomposition of the Brier score."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403  (spark fixture)
+
+
+class TestGopherGates:
+    def test_hand_computed_bits(self, spark):
+        from nhl_data_warehouse_spark.operators.text import gopher_gates
+
+        good = " ".join(["the", "be", "of"] + ["word"] * 60)  # 63 words
+        short = "the be tiny"  # 3 words: fails word count
+        nostop = " ".join(["zzz"] * 60)  # no stopwords, fails stop gate
+        symbols = " ".join(["the", "be"] + ["####"] * 58)  # symbol heavy
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, nostop), (4, symbols), (5, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in gopher_gates(df).collect()}
+        assert rows[1]["n_words"] == 63
+        assert rows[1]["n_stop_hits"] == 3
+        assert rows[1]["pass_gopher"] is True
+        assert rows[2]["gate_word_count"] is False
+        assert rows[3]["gate_stopwords"] is False
+        assert rows[3]["pass_gopher"] is False
+        # 58 * 4 = 232 '#' chars vs 60 words: 10*232 > 60
+        assert rows[4]["n_symbols"] == 232
+        assert rows[4]["gate_symbol_ratio"] is False
+        assert rows[5]["n_words"] == 0
+        assert rows[5]["pass_gopher"] is False
+
+    def test_map_only_plan(self, spark):
+        """The gates are a pure projection: no shuffle anywhere."""
+        from nhl_data_warehouse_spark.operators.text import gopher_gates
+
+        df = spark.createDataFrame([(1, "the be x")], "doc_id long, text string")
+        plan = gopher_gates(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestTypeTokenRatio:
+    def test_hand_computed(self, spark):
+        from nhl_data_warehouse_spark.operators.text import type_token_ratio
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a c"),  # 4 tokens, 3 types, hapax {b, c}
+                (2, "X x"),  # lowercased: 2 tokens, 1 type, 0 hapax
+                (3, ""),  # empty
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in type_token_ratio(df).collect()}
+        assert rows[1]["n_tokens"] == 4
+        assert rows[1]["n_types"] == 3
+        assert rows[1]["n_hapax"] == 2
+        assert rows[1]["ttr"] == 0.75
+        assert rows[2]["n_types"] == 1 and rows[2]["n_hapax"] == 0
+        assert rows[2]["hapax_ratio"] == 0.0
+        assert rows[3]["n_tokens"] == 0 and rows[3]["ttr"] is None
+
+
+class TestNeighborJaccard:
+    def test_matches_bruteforce(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import neighbor_jaccard
+
+        edges = [
+            (g, i)
+            for g in range(12)
+            for i in range(8)
+            if (g * 7 + i * 3) % 4 != 0
+        ]
+        df = spark.createDataFrame(edges, "g long, i long")
+        got = {
+            (r["item_a"], r["item_b"]): r
+            for r in neighbor_jaccard(
+                df, "g", "i", min_shared=1, top_k=None
+            ).collect()
+        }
+        from collections import defaultdict
+
+        sets = defaultdict(set)
+        for g, i in edges:
+            sets[i].add(g)
+        for a in range(8):
+            for b in range(a + 1, 8):
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    assert (a, b) not in got
+                    continue
+                r = got[(a, b)]
+                assert r["n_shared"] == inter
+                assert r["deg_a"] == len(sets[a])
+                assert r["deg_b"] == len(sets[b])
+                assert r["jaccard"] == inter / len(sets[a] | sets[b])
+
+    def test_no_cartesian_plan(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import neighbor_jaccard
+
+        df = spark.createDataFrame(
+            [(g, i) for g in range(5) for i in range(4)], "g long, i long"
+        )
+        plan = (
+            neighbor_jaccard(df, "g", "i")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDowSeasonalAnomalies:
+    def test_outlier_detected_within_its_dow_slice(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            dow_seasonal_anomalies,
+        )
+
+        d0 = datetime.date(2025, 1, 6)  # a Monday
+        rows = []
+        # 8 weeks: Mondays worth 100.00 except one at 500.00;
+        # Tuesdays alternate 200/220 (ordinary variation)
+        for w in range(8):
+            rows.append(
+                (d0 + datetime.timedelta(weeks=w), 500.0 if w == 3 else 100.0)
+            )
+            rows.append(
+                (
+                    d0 + datetime.timedelta(weeks=w, days=1),
+                    200.0 if w % 2 else 220.0,
+                )
+            )
+        df = spark.createDataFrame(rows, "ts date, val double")
+        out = dow_seasonal_anomalies(
+            df.select(F.col("ts").cast("timestamp").alias("ts"), "val"),
+            "ts",
+            "val",
+            z_threshold=1.5,
+        ).collect()
+        days = {r["d"] for r in out}
+        assert d0 + datetime.timedelta(weeks=3) in days
+        for r in out:
+            if r["d"] == d0 + datetime.timedelta(weeks=3):
+                assert r["dow"] == 1  # Monday, 0=Sunday encoding
+                assert r["day_total"] == 500.0
+                assert r["z"] > 1.5
+
+    def test_constant_slice_excluded_by_integer_guard(self, spark):
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            dow_seasonal_anomalies,
+        )
+
+        d0 = datetime.date(2025, 1, 6)
+        rows = [
+            (d0 + datetime.timedelta(weeks=w), 100.0) for w in range(6)
+        ]
+        df = spark.createDataFrame(rows, "ts date, val double").select(
+            F.col("ts").cast("timestamp").alias("ts"), "val"
+        )
+        # zero variance -> the n*ss > s*s guard drops the slice, so no
+        # NaN/inf z ever reaches the filter
+        assert dow_seasonal_anomalies(df, "ts", "val").count() == 0
+
+
+class TestMurphyDecomposition:
+    def test_identity_for_binwise_constant_scores(self, spark):
+        """With scores constant within bins, brier == REL - RES + UNC
+        exactly (each side a fixed-order double expression)."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            murphy_decomposition,
+        )
+
+        rows = (
+            [(0.25, True)] * 1
+            + [(0.25, False)] * 3
+            + [(0.75, True)] * 6
+            + [(0.75, False)] * 2
+        )
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        r = murphy_decomposition(df, "p", "y").first()
+        assert r["n_docs"] == 12
+        # hand numbers: bin2 acc=.25 conf=.25; bin7 acc=.75 conf=.75
+        assert abs(r["reliability"]) < 1e-15
+        base = 7 / 12
+        exp_res = (4 / 12) * (0.25 - base) ** 2 + (8 / 12) * (0.75 - base) ** 2
+        assert abs(r["resolution"] - exp_res) < 1e-12
+        assert abs(r["uncertainty"] - base * (1 - base)) < 1e-12
+        assert (
+            abs(r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"]))
+            < 1e-12
+        )
+
+    def test_matches_ece_brier(self, spark):
+        """The ssq statistic is shared with expected_calibration_error
+        — both emit the identical exact Brier."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            expected_calibration_error,
+            murphy_decomposition,
+        )
+
+        rows = [
+            (((i * 37) % 100) / 100.0, (i * 13) % 3 == 0) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        b1 = murphy_decomposition(df, "p", "y").first()["brier"]
+        b2 = expected_calibration_error(df, "p", "y").first()["brier"]
+        assert b1 == b2

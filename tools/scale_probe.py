@@ -161,6 +161,20 @@ PROBES = [
     # source-mix entropy: one (lang x source) keyed aggregate + a
     # bounded fold — ~linear scan, flat tail (cells fixed)
     "source_mix_entropy_by_lang",
+    # round-10 batch: Murphy decomposition (same token scan +
+    # fixed-10-bin fold as the ECE — expected ~linear), Gopher gates
+    # (map-only token-array projection — ~linear, no shuffle), TTR
+    # (explode + (doc,token) combine — ~linear in tokens; replication
+    # multiplies docs, per-doc grain fixed), neighbor Jaccard
+    # (order-keyed self-join: basket sizes fixed under replication so
+    # pairs grow ~linearly with orders; degree joins keyed), and DOW
+    # anomalies (day-grain aggregate + 7-row moments join — ~linear
+    # scan, flat tail: day count fixed under replication)
+    "brier_murphy_decomposition",
+    "gopher_quality_gates",
+    "type_token_ratio",
+    "neighbor_jaccard_pairs",
+    "dow_revenue_anomalies",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
