@@ -824,3 +824,238 @@ def murphy_decomposition(
             f" / (CAST(n_docs AS DOUBLE) * {float(scale) * float(scale)})"
         ).alias("brier"),
     )
+
+
+def grouped_ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_group1: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """``ks_two_sample`` with every stage keyed by ``group_col`` — the
+    sliced drift scorecard (one exact KS D per source / priority /
+    language), and the scale-clean form: the cumulative window
+    PARTITIONS by the slice (the grouped_cusum_peak pattern), so
+    unlike the global operator there is NO unpartitioned stage at
+    all. Same integer algebra: D_num = max |cum1*n2 - cum2*n1| per
+    slice, ONE double division at the end; slices with an empty side
+    emit explicit NULL (the rank_auc degenerate-class guard).
+    """
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * scale).cast("long").alias("c"),
+        F.when(is_group1, 1).otherwise(0).alias("is1"),
+    )
+    hist = vals.groupBy("g", "c").agg(
+        F.sum("is1").alias("n1v"),
+        (F.count(F.lit(1)) - F.sum("is1")).alias("n2v"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "g",
+        F.sum("n1v").over(w).alias("cum1"),
+        F.sum("n2v").over(w).alias("cum2"),
+    )
+    tot = cum.groupBy("g").agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    dnum = (
+        cum.join(tot, on="g")
+        .groupBy("g", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            )
+            .cast("long")
+            .alias("dnum")
+        )
+    )
+    return dnum.select(
+        F.col("g").alias(group_col),
+        "n1",
+        "n2",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(dnum AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END"
+        ).alias("d_stat"),
+    )
+
+
+def multiclass_mcc(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multiclass Matthews correlation coefficient (the R_K
+    statistic) from the confusion matrix — the single-number
+    chance-corrected agreement score that, unlike macro-F1, stays
+    honest under class imbalance:
+
+        MCC = (c*s - sum_k p_k*t_k)
+              / (sqrt(s^2 - sum_k p_k^2) * sqrt(s^2 - sum_k t_k^2))
+
+    with c the correct count, s the total, p_k / t_k the per-class
+    predicted / true counts. All sufficient statistics are exact
+    integers in DECIMAL(38,0) (s^2 passes 2^63 at warehouse scale);
+    MCC is ONE fixed-order double expression, explicit NULL when a
+    marginal is constant (denominator zero — the rank_auc degenerate
+    guard). One row out: (n_total, n_correct, mcc).
+
+    Scale: one map-side-combined (true, pred) aggregate, then
+    class-grain (bounded) aggregates and one full outer equi-join of
+    the two marginal relations. No windows, no per-pair work.
+    """
+    conf = df.groupBy(
+        F.col(true_col).alias("t"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tk = conf.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("n").cast("decimal(38,0)").alias("tkn")
+    )
+    pk = conf.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").cast("decimal(38,0)").alias("pkn")
+    )
+    marg = (
+        tk.join(pk, on="cls", how="full_outer")
+        .select(
+            F.coalesce(F.col("tkn"), F.lit(0).cast("decimal(38,0)")).alias(
+                "tkn"
+            ),
+            F.coalesce(F.col("pkn"), F.lit(0).cast("decimal(38,0)")).alias(
+                "pkn"
+            ),
+        )
+        .agg(
+            F.sum(F.col("pkn") * F.col("tkn"))
+            .cast("decimal(38,0)")
+            .alias("spt"),
+            F.sum(F.col("pkn") * F.col("pkn"))
+            .cast("decimal(38,0)")
+            .alias("spp"),
+            F.sum(F.col("tkn") * F.col("tkn"))
+            .cast("decimal(38,0)")
+            .alias("stt"),
+        )
+    )
+    base = conf.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    return base.crossJoin(F.broadcast(marg)).select(
+        F.col("s").alias("n_total"),
+        F.col("c").alias("n_correct"),
+        F.expr(
+            "CASE WHEN CAST(s AS DECIMAL(38,0)) * s - spp = 0"
+            " OR CAST(s AS DECIMAL(38,0)) * s - stt = 0"
+            " THEN CAST(NULL AS DOUBLE)"
+            " ELSE (CAST(c AS DOUBLE) * CAST(s AS DOUBLE)"
+            " - CAST(spt AS DOUBLE))"
+            " / (sqrt(CAST(CAST(s AS DECIMAL(38,0)) * s - spp AS DOUBLE))"
+            " * sqrt(CAST(CAST(s AS DECIMAL(38,0)) * s - stt AS DOUBLE)))"
+            " END"
+        ).alias("mcc"),
+    )
+
+
+def grouped_isotonic_calibration_bins(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """``isotonic_calibration_bins`` with every stage keyed by
+    ``group_col`` — one PAV monotone fit per slice (per-language /
+    per-source calibration maps, the sliced form VERDICT r8 item 8
+    pointed at). Same non-iterative minimax identity over the
+    BOUNDED bin grid, with all prefix-sum windows PARTITIONED by the
+    slice and the (j, k) interval/minimax joins carrying the slice
+    key — so the bounded grids stay per-slice and there is NO
+    unpartitioned stage at all (the grouped_cusum_peak doctrine).
+    Output per (slice, non-empty bin): (group, bin, nb, ng,
+    raw_rate, iso_rate) with iso_rate monotone within each slice.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    bins = base.groupBy("g", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("ng"),
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        "g",
+        "bin",
+        "nb",
+        "ng",
+        F.sum("nb").over(wcum).alias("cnb"),
+        F.sum("ng").over(wcum).alias("cng"),
+    )
+    jside = cum.select(
+        "g",
+        F.col("bin").alias("j"),
+        (F.col("cnb") - F.col("nb")).alias("lnb"),
+        (F.col("cng") - F.col("ng")).alias("lng"),
+    )
+    kside = cum.select(
+        F.col("g").alias("gk"),
+        F.col("bin").alias("k"),
+        F.col("cnb").alias("knb"),
+        F.col("cng").alias("kng"),
+    )
+    ivl = jside.join(
+        kside, (F.col("g") == F.col("gk")) & (F.col("j") <= F.col("k"))
+    ).select(
+        "g",
+        "j",
+        "k",
+        F.expr(
+            "CAST(kng - lng AS DOUBLE) / CAST(knb - lnb AS DOUBLE)"
+        ).alias("avgv"),
+    )
+    mins = (
+        bins.select(F.col("g").alias("gi"), F.col("bin").alias("i"))
+        .join(
+            ivl,
+            (F.col("gi") == F.col("g"))
+            & (F.col("j") <= F.col("i"))
+            & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("gi", "i", "j")
+        .agg(F.min("avgv").alias("mn"))
+    )
+    iso = mins.groupBy("gi", "i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        bins.join(
+            iso, (bins["g"] == iso["gi"]) & (bins["bin"] == iso["i"])
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "bin",
+            "nb",
+            "ng",
+            F.expr("CAST(ng AS DOUBLE) / CAST(nb AS DOUBLE)").alias(
+                "raw_rate"
+            ),
+            "iso_rate",
+        )
+    )

@@ -506,6 +506,76 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ks_drift_by_priority",
+    op_ids="beyond-reference SLICED two-sample Kolmogorov-Smirnov: "
+    "one exact KS D per order priority (early-epoch vs late-epoch "
+    "order values) — grouped_ks_two_sample keys EVERY stage by the "
+    "slice (cents histogram on (slice, cell), cumulative window "
+    "PARTITIONED by the slice, per-slice totals equi-joined back), "
+    "so unlike the global ks_test_value_drift there is NO "
+    "unpartitioned stage at all (the grouped_cusum_peak pattern); "
+    "integer cross-product sup, one division per slice, explicit "
+    "NULL on an empty side",
+    description="per-priority KS D between pre-1995 and post-1995 "
+    "order-value distributions — drift localized to the slice that "
+    "moved, the sliced form of the retraining drift gate",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderpriority AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                        THEN 1 ELSE 0 END AS is1
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        hist AS (
+            SELECT g, c, SUM(is1) AS n1v, COUNT(*) - SUM(is1) AS n2v
+            FROM vals GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g,
+                   SUM(n1v) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum1,
+                   SUM(n2v) OVER (PARTITION BY g ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum2
+            FROM hist
+        ),
+        tot AS (
+            SELECT g, CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2
+            FROM cum GROUP BY 1
+        ),
+        d AS (
+            SELECT c2.g, n1, n2,
+                   CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS dnum
+            FROM cum c2 JOIN tot USING (g)
+            GROUP BY 1, 2, 3
+        )
+        SELECT g AS o_orderpriority, n1, n2,
+               CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(dnum AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               END AS d_stat
+        FROM d
+    """,
+)
+def ks_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        grouped_ks_two_sample,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return grouped_ks_two_sample(
+        orders.where(F.col("o_totalprice").isNotNull()),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        is_group1=F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"),
+        scale=100,
+    )
+
+
+@register(
     "bitmap_retention_rollup",
     op_ids="beyond-reference bitmap rollup: per-user day-of-month "
     "activity BITMASK built with bit_or(1 << day), retention read "

@@ -5096,6 +5096,155 @@ def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "isotonic_calibration_by_lang",
+    op_ids="beyond-reference SLICED isotonic (PAV) calibration: one "
+    "monotone fit per language — grouped_isotonic_calibration_bins "
+    "keys EVERY stage by the slice (prefix-sum windows partitioned, "
+    "the (j,k) interval grid and the minimax join carry the slice "
+    "key), so the bounded grids stay per-slice and there is NO "
+    "unpartitioned stage at all (the grouped_cusum_peak doctrine); "
+    "every interval average one double division of exact integers",
+    description="per-language isotonic calibration maps of the "
+    "quality classifier: raw positive rate vs the PAV monotone fit "
+    "per score bin — the per-slice calibration table that catches a "
+    "classifier that is well-calibrated globally but biased on one "
+    "language",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        gj AS (
+            SELECT d.lang AS g,
+                   LEAST(CAST(floor(p.quality_score * 10) AS BIGINT), 9)
+                       AS bin,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p
+            JOIN labels l USING (doc_id)
+            JOIN documents d USING (doc_id)
+        ),
+        gb AS (
+            SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS ng
+            FROM gj GROUP BY 1, 2
+        ),
+        gc AS (
+            SELECT g, bin, nb, ng,
+                   SUM(nb) OVER (PARTITION BY g ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cnb,
+                   SUM(ng) OVER (PARTITION BY g ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cng
+            FROM gb
+        ),
+        ivl AS (
+            SELECT jj.g, jj.j, kk.k,
+                   CAST(kk.kng - jj.lng AS DOUBLE)
+                       / CAST(kk.knb - jj.lnb AS DOUBLE) AS avgv
+            FROM (SELECT g, bin AS j, cnb - nb AS lnb, cng - ng AS lng
+                  FROM gc) jj
+            JOIN (SELECT g, bin AS k, cnb AS knb, cng AS kng FROM gc) kk
+              ON jj.g = kk.g AND jj.j <= kk.k
+        ),
+        mins AS (
+            SELECT b.g, b.bin AS i, v.j, MIN(v.avgv) AS mn
+            FROM gb b JOIN ivl v
+              ON b.g = v.g AND v.j <= b.bin AND v.k >= b.bin
+            GROUP BY 1, 2, 3
+        ),
+        iso AS (SELECT g, i, MAX(mn) AS iso_rate FROM mins GROUP BY 1, 2)
+        SELECT b.g AS lang, b.bin, b.nb, b.ng,
+               CAST(b.ng AS DOUBLE) / CAST(b.nb AS DOUBLE) AS raw_rate,
+               iso.iso_rate
+        FROM gb b JOIN iso ON b.g = iso.g AND b.bin = iso.i
+    """,
+)
+def isotonic_calibration_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        grouped_isotonic_calibration_bins,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id").join(
+        documents.select("doc_id", "lang"), on="doc_id"
+    )
+    return grouped_isotonic_calibration_bins(
+        joined, "lang", "quality_score", "is_good", n_bins=10
+    )
+
+
+@register(
+    "lang_id_mcc",
+    op_ids="beyond-reference model evaluation: multiclass Matthews "
+    "correlation (the R_K statistic) of the language-ID heuristic vs "
+    "the gold lang column — chance-corrected like kappa but symmetric "
+    "in the marginals and honest under class imbalance; all "
+    "sufficient statistics exact integers in DECIMAL(38,0) (s^2 "
+    "passes 2^63 at warehouse scale), ONE fixed-order double at the "
+    "edge, explicit NULL on constant marginals",
+    description="one-row multiclass MCC scorecard of lang-ID vs gold "
+    "labels: doc total, correct count, MCC — pairs with "
+    "lang_id_cohens_kappa and lang_id_macro_f1 on the same confusion "
+    "relation",
+    oracle=f"""
+        WITH preds AS ({_lang_id_oracle()}),
+        mj AS (
+            SELECT d.lang AS t, p.pred_lang AS p
+            FROM documents d JOIN preds p USING (doc_id)
+        ),
+        mcells AS (
+            SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n
+            FROM mj GROUP BY 1, 2
+        ),
+        mtk AS (SELECT t AS cls, CAST(SUM(n) AS HUGEINT) AS tkn
+                FROM mcells GROUP BY 1),
+        mpk AS (SELECT p AS cls, CAST(SUM(n) AS HUGEINT) AS pkn
+                FROM mcells GROUP BY 1),
+        mmarg AS (
+            SELECT CAST(SUM(COALESCE(pkn, 0) * COALESCE(tkn, 0)) AS HUGEINT)
+                       AS spt,
+                   CAST(SUM(COALESCE(pkn, 0) * COALESCE(pkn, 0)) AS HUGEINT)
+                       AS spp,
+                   CAST(SUM(COALESCE(tkn, 0) * COALESCE(tkn, 0)) AS HUGEINT)
+                       AS stt
+            FROM mtk FULL OUTER JOIN mpk USING (cls)
+        ),
+        mbase AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+                       AS c
+            FROM mcells
+        )
+        SELECT s AS n_total, c AS n_correct,
+               CASE WHEN CAST(s AS HUGEINT) * s - spp = 0
+                         OR CAST(s AS HUGEINT) * s - stt = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE (CAST(c AS DOUBLE) * CAST(s AS DOUBLE)
+                          - CAST(spt AS DOUBLE))
+                         / (sqrt(CAST(CAST(s AS HUGEINT) * s - spp
+                                      AS DOUBLE))
+                            * sqrt(CAST(CAST(s AS HUGEINT) * s - stt
+                                        AS DOUBLE)))
+               END AS mcc
+        FROM mbase CROSS JOIN mmarg
+    """,
+)
+def lang_id_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import multiclass_mcc
+
+    (documents,) = load(spark, sf_dir, "documents")
+    preds = text.lang_id(documents).select("doc_id", "pred_lang")
+    joined = documents.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, on="doc_id"
+    )
+    return multiclass_mcc(joined, "true_lang", "pred_lang")
+
+
+@register(
     "text_nfc_normalization",
     op_ids="beyond-reference Unicode NFC normalization (the canonical-"
     "composition pass before hashing/dedup/tokenization; Arrow scalar "

@@ -211,3 +211,133 @@ class TestMurphyDecomposition:
         b1 = murphy_decomposition(df, "p", "y").first()["brier"]
         b2 = expected_calibration_error(df, "p", "y").first()["brier"]
         assert b1 == b2
+
+
+class TestGroupedKsTwoSample:
+    def test_matches_global_per_slice_and_degenerate_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_ks_two_sample,
+            ks_two_sample,
+        )
+
+        rows = []
+        for g, shift in (("a", 0.0), ("b", 5.0)):
+            for i in range(40):
+                rows.append((g, float(i % 10) + (shift if i % 2 else 0.0), i % 2 == 0))
+        # slice "c": only group-1 rows -> degenerate, d_stat NULL
+        rows += [("c", 1.0, True), ("c", 2.0, True)]
+        df = spark.createDataFrame(rows, "g string, v double, early boolean")
+        got = {
+            r["g"]: r
+            for r in grouped_ks_two_sample(
+                df, "g", "v", F.col("early")
+            ).collect()
+        }
+        for g in ("a", "b"):
+            ref = ks_two_sample(
+                df.where(F.col("g") == g), "v", F.col("early")
+            ).first()
+            assert got[g]["n1"] == ref["n1"]
+            assert got[g]["n2"] == ref["n2"]
+            assert got[g]["d_stat"] == ref["d_stat"]
+        assert got["c"]["n2"] == 0 and got["c"]["d_stat"] is None
+
+    def test_no_unpartitioned_window(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_ks_two_sample,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0, True), ("a", 2.0, False)], "g string, v double, e boolean"
+        )
+        plan = (
+            grouped_ks_two_sample(df, "g", "v", F.col("e"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(c#" not in plan  # every spec keyed by g
+
+
+class TestMulticlassMcc:
+    def test_binary_matches_hand_formula(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import multiclass_mcc
+
+        # tp=40 fn=10 fp=5 tn=45
+        rows = (
+            [("p", "p")] * 40 + [("p", "n")] * 10
+            + [("n", "p")] * 5 + [("n", "n")] * 45
+        )
+        df = spark.createDataFrame(rows, "t string, pr string")
+        r = multiclass_mcc(df, "t", "pr").first()
+        import math
+
+        tp, fn, fp, tn = 40, 10, 5, 45
+        exp = (tp * tn - fp * fn) / math.sqrt(
+            (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+        assert r["n_total"] == 100 and r["n_correct"] == 85
+        assert abs(r["mcc"] - exp) < 1e-12
+
+    def test_perfect_and_degenerate(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import multiclass_mcc
+
+        perfect = spark.createDataFrame(
+            [("a", "a")] * 3 + [("b", "b")] * 4 + [("c", "c")] * 2,
+            "t string, pr string",
+        )
+        assert abs(multiclass_mcc(perfect, "t", "pr").first()["mcc"] - 1.0) < 1e-12
+        # constant prediction -> s^2 == spp -> NULL
+        const = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("a", "a")], "t string, pr string"
+        )
+        assert multiclass_mcc(const, "t", "pr").first()["mcc"] is None
+
+    def test_class_only_in_one_marginal_counts(self, spark):
+        """A class that is predicted but never true (or vice versa)
+        still contributes its square to the marginal sums — the full
+        outer join, not the kappa inner join."""
+        from nhl_data_warehouse_spark.operators.stats import multiclass_mcc
+
+        import math
+
+        rows = [("a", "a"), ("a", "x"), ("b", "b"), ("b", "b")]
+        df = spark.createDataFrame(rows, "t string, pr string")
+        r = multiclass_mcc(df, "t", "pr").first()
+        # s=4 c=3; t: a=2,b=2,x=0; p: a=1,b=2,x=1
+        spt = 2 * 1 + 2 * 2 + 0 * 1
+        spp = 1 + 4 + 1
+        stt = 4 + 4 + 0
+        exp = (3 * 4 - spt) / (math.sqrt(16 - spp) * math.sqrt(16 - stt))
+        assert abs(r["mcc"] - exp) < 1e-12
+
+
+class TestGroupedIsotonic:
+    def test_matches_global_per_slice_and_monotone(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_isotonic_calibration_bins,
+            isotonic_calibration_bins,
+        )
+
+        rows = []
+        for g, off in (("en", 0), ("de", 1)):
+            for i in range(120):
+                p = ((i * 29 + off * 13) % 100) / 100.0
+                y = ((i * 7 + off) % 5) < (p * 5)
+                rows.append((g, p, y))
+        df = spark.createDataFrame(rows, "g string, p double, y boolean")
+        got = {}
+        for r in grouped_isotonic_calibration_bins(df, "g", "p", "y").collect():
+            got[(r["g"], r["bin"])] = r
+        for g in ("en", "de"):
+            ref = isotonic_calibration_bins(
+                df.where(F.col("g") == g), "p", "y"
+            ).collect()
+            for r in ref:
+                have = got[(g, r["bin"])]
+                assert have["nb"] == r["nb"] and have["ng"] == r["ng"]
+                assert have["iso_rate"] == r["iso_rate"]
+            # monotone within the slice
+            srt = sorted((r for r in ref), key=lambda x: x["bin"])
+            for a, b in zip(srt, srt[1:]):
+                assert a["iso_rate"] <= b["iso_rate"] + 1e-15

@@ -175,6 +175,16 @@ PROBES = [
     "type_token_ratio",
     "neighbor_jaccard_pairs",
     "dow_revenue_anomalies",
+    # round-10 batch 2: sliced KS (cents-cell histogram keyed by the
+    # 5-value priority slice, partitioned windows — ~linear scan,
+    # cell grain bounded by the price RANGE so the tail is flat),
+    # multiclass MCC (one (true, pred) combine over a bounded class
+    # grid — ~linear token scan from lang_id, flat metric stage), and
+    # per-lang isotonic (same token scan, per-slice <= 10-bin grids —
+    # ~linear, flat grid stage)
+    "ks_drift_by_priority",
+    "lang_id_mcc",
+    "isotonic_calibration_by_lang",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
