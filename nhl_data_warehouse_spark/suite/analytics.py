@@ -1249,6 +1249,99 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorized_mean_revenue",
+    op_ids="beyond-reference robust aggregate (rank-based winsorized "
+    "mean: CLAMP floor(5%) rows per tail to the boundary rank's value "
+    "instead of dropping them — trimmed_mean_revenue's twin that "
+    "keeps n constant, the robust center preferred when downstream "
+    "weights depend on counts); boundary values read as conditional "
+    "MIN/MAX aggregates off the same exact integer rank, winsorized "
+    "sum assembled from integers, ONE double division at the edge",
+    description="per-priority 5%-winsorized mean order price: tails "
+    "clamped to the p5/p95 rank values, n_orders unchanged — with "
+    "the clamp bounds reported",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(MAX(n) AS BIGINT) AS n_orders,
+                   CAST(MAX(n) // 20 AS BIGINT) AS k,
+                   CAST(MIN(CASE WHEN rn > n // 20 THEN cents END)
+                        AS BIGINT) AS lo_cents,
+                   CAST(MAX(CASE WHEN rn <= n - n // 20 THEN cents END)
+                        AS BIGINT) AS hi_cents,
+                   CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+                                 THEN cents ELSE 0 END) AS BIGINT)
+                       AS kept_sum
+            FROM ranked GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_orders,
+               CAST(lo_cents AS DOUBLE) / 100.0 AS lo_clamp,
+               CAST(hi_cents AS DOUBLE) / 100.0 AS hi_clamp,
+               CAST(kept_sum + k * lo_cents + k * hi_cents AS DOUBLE)
+                   / CAST(n_orders AS DOUBLE) / 100.0
+                   AS winsorized_mean_price
+        FROM agg
+    """,
+)
+def winsorized_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents"), F.col("o_orderkey")
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority", cents.alias("cents"), "o_orderkey"
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor(F.col("n") / 20)
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.floor(F.max("n") / 20).cast("long").alias("k"),
+        F.min(F.when(F.col("rn") > k, F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") <= F.col("n") - k, F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+        F.sum(
+            F.when(
+                (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_sum"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.expr("CAST(lo_cents AS DOUBLE) / 100.0").alias("lo_clamp"),
+        F.expr("CAST(hi_cents AS DOUBLE) / 100.0").alias("hi_clamp"),
+        F.expr(
+            "CAST(kept_sum + k * lo_cents + k * hi_cents AS DOUBLE)"
+            " / CAST(n_orders AS DOUBLE) / 100.0"
+        ).alias("winsorized_mean_price"),
+    )
+
+
+@register(
     "trimmed_mean_revenue",
     op_ids="beyond-reference robust aggregate (rank-based trimmed "
     "mean: drop floor(5%) rows per tail by exact integer rank, "

@@ -452,6 +452,82 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hod_value_profile",
+    op_ids="beyond-reference calendar seasonality profile: exact "
+    "hour-of-day moments of event values (integer cents, "
+    "DECIMAL(38,0) squared sums, fixed-order double mean/std, "
+    "integer variance guard) — the 24-row daily-cycle fingerprint "
+    "that dow_revenue_anomalies consumes at the weekly grain",
+    description="per hour-of-day (UTC): event count, exact value sum, "
+    "mean and population std — the load/seasonality profile for "
+    "scheduling and anomaly baselines",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   SUM(CAST(c AS HUGEINT) * c) AS ssd
+            FROM vals GROUP BY 1
+        )
+        SELECT hod, n_events,
+               CAST(s AS DOUBLE) / 100.0 AS sum_value,
+               CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0
+                   AS mean_value,
+               CASE WHEN n_events >= 2
+                         AND CAST(n_events AS HUGEINT) * ssd
+                             > CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                    THEN sqrt(CAST(ssd AS DOUBLE) / CAST(n_events AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE))
+                                * (CAST(s AS DOUBLE)
+                                   / CAST(n_events AS DOUBLE))) / 100.0
+                    ELSE CAST(NULL AS DOUBLE)
+               END AS std_value
+        FROM m
+    """,
+)
+def hod_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load(spark, sf_dir, "events")
+    vals = events.where(F.col("value").isNotNull()).select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    m = vals.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("ssd"),
+    )
+    return m.select(
+        "hod",
+        "n_events",
+        F.expr("CAST(s AS DOUBLE) / 100.0").alias("sum_value"),
+        F.expr(
+            "CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0"
+        ).alias("mean_value"),
+        F.when(
+            (F.col("n_events") >= 2)
+            & (
+                F.col("n_events").cast("decimal(38,0)") * F.col("ssd")
+                > F.col("s").cast("decimal(38,0)")
+                * F.col("s").cast("decimal(38,0)")
+            ),
+            F.expr(
+                "sqrt(CAST(ssd AS DOUBLE) / CAST(n_events AS DOUBLE)"
+                " - (CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE))"
+                " * (CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE)))"
+                " / 100.0"
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("std_value"),
+    )
+
+
+@register(
     "value_histogram",
     op_ids="§2.5 fixed-width binning (histogram aggregation)",
     description="10-unit value bins per event type with counts and exact bin sums",

@@ -341,3 +341,59 @@ class TestGroupedIsotonic:
             srt = sorted((r for r in ref), key=lambda x: x["bin"])
             for a, b in zip(srt, srt[1:]):
                 assert a["iso_rate"] <= b["iso_rate"] + 1e-15
+
+
+class TestWinsorizedMean:
+    def test_hand_computed_vs_trim(self, spark):
+        """20 values, k=1 per tail: the winsorized mean clamps the
+        extremes to the 2nd/19th ranked values; n stays 20 (the
+        trimmed twin drops to 18)."""
+        from nhl_data_warehouse_spark.suite.registry import load  # noqa: F401
+        from pyspark.sql.window import Window
+
+        vals = [1000.0] + [float(100 + i) for i in range(18)] + [0.01]
+        orders = spark.createDataFrame(
+            [(i, "P", v) for i, v in enumerate(vals)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        cents = sorted(round(v * 100) for v in vals)
+        k = 20 // 20
+        lo, hi = cents[k], cents[-(k + 1)]
+        exp = (sum(cents[k:-k]) + k * lo + k * hi) / 20 / 100.0
+
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("cents"), F.col("o_orderkey")
+        )
+        wn = Window.partitionBy("o_orderpriority")
+        ranked = orders.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            "o_orderkey",
+        ).select(
+            "o_orderpriority",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        kk = F.floor(F.col("n") / 20)
+        agg = ranked.groupBy("o_orderpriority").agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.floor(F.max("n") / 20).cast("long").alias("k"),
+            F.min(F.when(F.col("rn") > kk, F.col("cents"))).alias("lo_cents"),
+            F.max(
+                F.when(F.col("rn") <= F.col("n") - kk, F.col("cents"))
+            ).alias("hi_cents"),
+            F.sum(
+                F.when(
+                    (F.col("rn") > kk) & (F.col("rn") <= F.col("n") - kk),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).alias("kept_sum"),
+        )
+        r = agg.select(
+            F.expr(
+                "CAST(kept_sum + k * lo_cents + k * hi_cents AS DOUBLE)"
+                " / CAST(n_orders AS DOUBLE) / 100.0"
+            ).alias("wm")
+        ).first()
+        assert abs(r["wm"] - exp) < 1e-9

@@ -185,6 +185,11 @@ PROBES = [
     "ks_drift_by_priority",
     "lang_id_mcc",
     "isotonic_calibration_by_lang",
+    # round-10 batch 3: winsorized mean (per-priority rank window —
+    # ~linear in orders like its trimmed twin) and hour-of-day profile
+    # (one 24-cell keyed aggregate — ~linear scan, flat tail)
+    "winsorized_mean_revenue",
+    "hod_value_profile",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
