@@ -1058,3 +1058,131 @@ def dedup_rate_by_group(
             ).alias("dup_rate"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rolling-window idea
+    reduced to its portable core): a chunk boundary falls AFTER
+    character position ``e = i + window - 1`` whenever the hash of the
+    ``window`` chars ending there satisfies ``hex4(md5(win)) %
+    divisor == 0``. Because the trigger depends only on LOCAL content,
+    an insertion near the start of a document re-chunks only the
+    region it touches — unlike the fixed 8-token chunk grain
+    (``dup_chunk_fraction``), where one inserted token shifts every
+    later chunk and defeats chunk-hash dedup. Expected chunk length is
+    ~``divisor`` chars plus the window.
+
+    Output: one row per chunk (id, chunk_start, chunk_len,
+    chunk_hash) with md5 chunk hashes — the sub-document dedup grain.
+
+    Scale shape: positions explode per character (the
+    span_contamination grain — linear in corpus bytes, map-side), the
+    boundary filter keeps ~1/divisor of them, ONE keyed window (lag
+    over boundaries per doc) builds spans, and the no-boundary tail
+    is a keyed aggregate unioned back. Nothing funnels through a
+    single partition; chunk hashes are 32-byte md5, never raw text,
+    on every shuffle.
+    """
+    L = F.length(F.col(text_col))
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.when(L >= window, F.sequence(F.lit(1), L - (window - 1)))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    e = F.col("i") + (window - 1)
+    bnd = pos.where(
+        (
+            F.conv(
+                F.substring(F.md5(F.substring("_t", F.col("i"), F.lit(window))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % divisor
+            == 0
+        )
+        & (e < F.length("_t"))
+    ).select("_id", "_t", e.alias("e"))
+    w_lag = Window.partitionBy("_id").orderBy("e")
+    spans = bnd.select(
+        "_id",
+        "_t",
+        (F.coalesce(F.lag("e").over(w_lag), F.lit(0)) + 1).alias("s"),
+        "e",
+    )
+    tail = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .where(F.length("_t") >= 1)
+        .join(
+            bnd.groupBy("_id").agg(F.max("e").alias("last_e")),
+            on="_id",
+            how="left",
+        )
+        .select(
+            "_id",
+            "_t",
+            (F.coalesce(F.col("last_e"), F.lit(0)) + 1).alias("s"),
+            F.length("_t").alias("e"),
+        )
+    )
+    chunks = spans.unionByName(tail)
+    return chunks.select(
+        F.col("_id").alias(id_col),
+        F.col("s").alias("chunk_start"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(_t, s, e - s + 1)")
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-document sub-document dedup scorecard over the
+    content-defined chunk grain: chunk count, chunks whose hash also
+    appears in at least one OTHER document, and the duplicated
+    fraction — the shift-resistant twin of ``dup_chunk_fraction``.
+
+    Scale: chunk hashes group map-side-combined; "appears in another
+    doc" is (distinct docs per hash) >= 2, an aggregate + equi-join,
+    never a self-join of chunk rows. Zero-chunk (empty) documents are
+    kept via the left join with NULL fraction.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, window, divisor)
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs_with")
+    )
+    flagged = chunks.join(per_hash, on="chunk_hash").select(
+        id_col, (F.col("n_docs_with") >= 2).cast("long").alias("is_dup")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.expr(
+                "CASE WHEN COALESCE(n_chunks, 0) = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(n_dup_chunks AS DOUBLE)"
+                " / CAST(n_chunks AS DOUBLE) END"
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -688,3 +688,76 @@ def poisson_bootstrap_means(
         st.select(F.explode(F.array(*reps)).alias("r"))
         .select("r.b", "r.n_eff", "r.mean_value")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation: split a
+    sampling ``budget`` across strata proportionally to ``N_h *
+    sigma_h`` — the allocation that minimizes the variance of the
+    stratified mean for a fixed budget. The curation counterpart:
+    heterogeneous strata (high within-stratum spread) deserve more
+    sample than proportional allocation gives them; near-constant
+    strata deserve less. Complements ``rebalance_langs``
+    (proportional with caps) and ``temperature_mix`` (power
+    interpolation), which allocate on counts alone.
+
+    Determinism doctrine: per-stratum moments are exact integers
+    (count / sum / DECIMAL(38,0) squared sum over the integer
+    ``size_col``); sigma is ONE fixed-order double expression; the
+    cross-stratum weight total folds in stratum order (the DCG
+    ordered-fold recipe — sort_array + F.aggregate == DuckDB ``SUM(w
+    ORDER BY g)``), so fractions and the floor'd allocations are
+    bit-identical cross-engine. All-degenerate input (every stratum
+    constant) yields explicit NULLs.
+
+    Scale: one map-side-combined stratum aggregate (stratum-grain
+    rows), one bounded fold on a single row, one broadcast join back.
+    """
+    vals = df.where(F.col(size_col).isNotNull()).select(
+        F.col(stratum_col).alias("g"), F.col(size_col).cast("long").alias("v")
+    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    per = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(vdec * vdec).cast("decimal(38,0)").alias("ssd"),
+    )
+    sigma = F.expr(
+        "sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    weighted = per.select(
+        "g",
+        "n",
+        sigma.alias("sigma"),
+        (F.col("n").cast("double") * sigma).alias("w"),
+    )
+    tot = weighted.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("g", "w"))),
+                lambda st: st["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tot_w")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias(stratum_col),
+        F.col("n").alias("n_docs"),
+        "sigma",
+        F.expr(
+            "CASE WHEN tot_w = 0.0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE w / tot_w END"
+        ).alias("alloc_frac"),
+        F.expr(
+            "CASE WHEN tot_w = 0.0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST(floor({float(budget)} * w / tot_w) AS BIGINT) END"
+        ).alias("n_alloc"),
+    )

@@ -3208,6 +3208,131 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_chunk_dedup",
+    op_ids="beyond-reference content-defined chunking dedup "
+    "(FastCDC-style rolling-window boundaries: hex4(md5(8-char "
+    "window)) % 16 == 0 triggers a cut, so an early insertion "
+    "re-chunks only the region it touches — the shift-resistant twin "
+    "of dup_chunk_fraction's fixed token grain); per-char position "
+    "grain map-side, boundary filter keeps ~1/16, ONE keyed lag "
+    "window builds spans, md5 chunk hashes on every shuffle",
+    description="per-document content-defined chunk dedup scorecard: "
+    "chunk count, chunks whose hash appears in another document, "
+    "duplicated fraction — sub-document dedup that survives "
+    "insertions/deletions",
+    oracle=f"""
+        WITH cpos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - 6)) AS i
+            FROM documents WHERE length(text) >= 8
+        ),
+        cbnd AS (
+            SELECT doc_id, text, i + 7 AS e
+            FROM cpos
+            WHERE ({_hex_int_sql("md5(substring(text, i, 8))", 4)}) % 16 = 0
+              AND i + 7 < length(text)
+        ),
+        cspans AS (
+            SELECT doc_id, text,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                       + 1 AS s,
+                   e
+            FROM cbnd
+        ),
+        ctail AS (
+            SELECT d.doc_id, d.text,
+                   COALESCE(b.last_e, 0) + 1 AS s,
+                   length(d.text) AS e
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, MAX(e) AS last_e FROM cbnd
+                       GROUP BY 1) b USING (doc_id)
+            WHERE length(d.text) >= 1
+        ),
+        cchunks AS (
+            SELECT doc_id, md5(substring(text, s, e - s + 1)) AS h
+            FROM (SELECT * FROM cspans UNION ALL SELECT * FROM ctail)
+        ),
+        chash AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd FROM cchunks GROUP BY 1
+        ),
+        cdoc AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+            FROM cchunks c JOIN chash USING (h) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(n_chunks, 0) AS n_chunks,
+               COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+               CASE WHEN COALESCE(n_chunks, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(n_dup_chunks AS DOUBLE)
+                         / CAST(n_chunks AS DOUBLE)
+               END AS dup_chunk_frac
+        FROM documents d LEFT JOIN cdoc USING (doc_id)
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.cdc_dedup_stats(
+        documents, id_col="doc_id", text_col="text", window=8, divisor=16
+    )
+
+
+@register(
+    "neyman_allocation_by_lang",
+    op_ids="beyond-reference variance-optimal sampling design (Neyman "
+    "allocation: budget split proportional to N_h * sigma_h — the "
+    "stratified-mean-variance minimizer; complements the "
+    "proportional rebalance and temperature-mix allocators which see "
+    "counts only); exact integer stratum moments, fixed-order sigma, "
+    "cross-stratum total folded in stratum order (the DCG recipe)",
+    description="per-language Neyman allocation of a 100k-doc "
+    "sampling budget over doc-length variability: stratum size, "
+    "sigma, optimal fraction and floor'd allocation",
+    oracle="""
+        WITH nv AS (
+            SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        np AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   SUM(CAST(v AS HUGEINT) * v) AS ssd
+            FROM nv GROUP BY 1
+        ),
+        nw AS (
+            SELECT g, n,
+                   sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS sigma,
+                   CAST(n AS DOUBLE)
+                       * sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                       AS w
+            FROM np
+        ),
+        nt AS (SELECT SUM(w ORDER BY g) AS tot_w FROM nw)
+        SELECT g AS lang, n AS n_docs, sigma,
+               CASE WHEN tot_w = 0.0 THEN CAST(NULL AS DOUBLE)
+                    ELSE w / tot_w END AS alloc_frac,
+               CASE WHEN tot_w = 0.0 THEN CAST(NULL AS BIGINT)
+                    ELSE CAST(floor(100000.0 * w / tot_w) AS BIGINT)
+               END AS n_alloc
+        FROM nw CROSS JOIN nt
+    """,
+)
+def neyman_allocation_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.sampling import neyman_allocation
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return neyman_allocation(
+        documents, stratum_col="lang", size_col="n_chars", budget=100_000
+    )
+
+
+@register(
     "dup_chunk_fraction",
     op_ids="beyond-reference sub-document dedup signal (Dolma/RedPajama "
     "duplicated-chunk fraction: narrow transform/slice chunking, "

@@ -397,3 +397,107 @@ class TestWinsorizedMean:
             ).alias("wm")
         ).first()
         assert abs(r["wm"] - exp) < 1e-9
+
+
+class TestCdcChunks:
+    def test_chunks_cover_text_exactly(self, spark):
+        """Chunk spans must tile each document: contiguous,
+        non-overlapping, starting at 1 and ending at len(text)."""
+        from nhl_data_warehouse_spark.operators.dedup import cdc_chunks
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 5,
+            "short",
+            "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = cdc_chunks(df).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 3 not in by_doc  # empty doc -> no chunks
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            spans = sorted(by_doc[i], key=lambda r: r["chunk_start"])
+            assert spans[0]["chunk_start"] == 1
+            pos = 1
+            for s in spans:
+                assert s["chunk_start"] == pos
+                pos += s["chunk_len"]
+            assert pos - 1 == len(t)
+
+    def test_shift_resistance(self, spark):
+        """Insert a prefix into a long doc: chunk hashes AFTER the
+        first boundary past the edit must be shared between the two
+        versions (the property fixed-size chunking lacks)."""
+        from nhl_data_warehouse_spark.operators.dedup import cdc_chunks
+
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        shifted = "XYZ " + base
+        df = spark.createDataFrame(
+            [(1, base), (2, shifted)], "doc_id long, text string"
+        )
+        rows = cdc_chunks(df).collect()
+        h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+        h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+        shared = h1 & h2
+        # all chunks after the edit's containing chunk re-align
+        assert len(shared) >= len(h1) - 2
+
+    def test_dedup_stats_flags_cross_doc_chunks(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import cdc_dedup_stats
+
+        common = "the quick brown fox jumps over the lazy dog " * 8
+        df = spark.createDataFrame(
+            [(1, common + "unique tail one one"),
+             (2, common + "a different tail entirely here"),
+             (3, "completely unrelated text with nothing shared qqq www eee rrr ttt yyy")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in cdc_dedup_stats(df).collect()}
+        assert rows[1]["n_dup_chunks"] > 0
+        assert rows[2]["n_dup_chunks"] > 0
+        assert rows[3]["n_dup_chunks"] == 0
+        assert rows[3]["dup_chunk_frac"] == 0.0
+
+
+class TestNeymanAllocation:
+    def test_hand_computed(self, spark):
+        import math
+
+        from nhl_data_warehouse_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        rows = (
+            [("a", v) for v in (10, 20, 30, 40)]  # sigma ~ 11.18
+            + [("b", v) for v in (25, 25, 25, 25, 25, 25)]  # sigma 0
+            + [("c", v) for v in (0, 100)]  # sigma 50
+        )
+        df = spark.createDataFrame(rows, "g string, sz long")
+        got = {
+            r["g"]: r
+            for r in neyman_allocation(df, "g", "sz", budget=1000).collect()
+        }
+        sa = math.sqrt((10**2 + 20**2 + 30**2 + 40**2) / 4 - 25**2)
+        wa, wb, wc = 4 * sa, 0.0, 2 * 50.0
+        tot = wa + wb + wc
+        assert abs(got["a"]["alloc_frac"] - wa / tot) < 1e-12
+        assert got["b"]["alloc_frac"] == 0.0
+        assert got["b"]["n_alloc"] == 0
+        assert got["c"]["n_alloc"] == math.floor(1000 * wc / tot)
+
+    def test_all_degenerate_yields_nulls(self, spark):
+        from nhl_data_warehouse_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 7)], "g string, sz long"
+        )
+        for r in neyman_allocation(df, "g", "sz", budget=100).collect():
+            assert r["alloc_frac"] is None and r["n_alloc"] is None

@@ -190,6 +190,14 @@ PROBES = [
     # (one 24-cell keyed aggregate — ~linear scan, flat tail)
     "winsorized_mean_revenue",
     "hod_value_profile",
+    # round-10 batch 4: CDC chunk dedup (per-char position grain like
+    # span contamination — ~linear in corpus bytes; the chunk-hash
+    # combine and the distinct-doc count are keyed aggregates, and
+    # replication with remapped doc ids multiplies chunk rows
+    # linearly) and Neyman allocation (one stratum-grain aggregate +
+    # a bounded fold — ~linear scan, flat tail)
+    "cdc_chunk_dedup",
+    "neyman_allocation_by_lang",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
