@@ -608,3 +608,59 @@ def test_round9_theilsen_and_novelty_plan_shapes(spark, registry):
     assert "CartesianProduct" not in nv
     assert nv.count("BroadcastNestedLoopJoin") <= 3
     assert "partial_min" in nv or "min(batch" in nv  # first-occurrence agg
+
+
+def test_round10_new_query_plan_shapes(spark, registry):
+    """Round-10 additions: Gopher gates are a pure projection (zero
+    exchanges); the Murphy/eval scorecards only broadcast bounded
+    1-row/bin-grain relations; the sliced KS/isotonic/CUSUM family
+    carries the slice key in every window spec; neighbor Jaccard and
+    CDC chunking never theta-join; DOW anomalies join a 7-row moments
+    relation by equi key."""
+    gq = plan_of(registry["gopher_quality_gates"].fn(spark, SF))
+    assert "Exchange" not in gq and "CartesianProduct" not in gq
+
+    md = plan_of(registry["brier_murphy_decomposition"].fn(spark, SF))
+    assert "CartesianProduct" not in md
+    # the only BNLJ is the 1-row totals broadcast (the ECE shape)
+    assert md.count("BroadcastNestedLoopJoin") <= 1
+
+    ks = plan_of(registry["ks_drift_by_priority"].fn(spark, SF))
+    assert "CartesianProduct" not in ks
+    assert "BroadcastNestedLoopJoin" not in ks
+    # every cumulative window keyed by the slice, never cell-only
+    assert "windowspecdefinition(c#" not in ks
+
+    iso = plan_of(registry["isotonic_calibration_by_lang"].fn(spark, SF))
+    assert "CartesianProduct" not in iso
+    # interval-grid joins carry the slice equality -> hash joins, and
+    # the per-slice windows are keyed
+    assert "windowspecdefinition(bin#" not in iso
+
+    nj = plan_of(registry["neighbor_jaccard_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in nj
+    assert "BroadcastNestedLoopJoin" not in nj
+    assert "TakeOrderedAndProject" in nj  # top-k never a global sort
+
+    cdc = plan_of(registry["cdc_chunk_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in cdc
+    assert "BroadcastNestedLoopJoin" not in cdc
+    # spans come from the keyed lag window, not an unkeyed one
+    assert "windowspecdefinition(e#" not in cdc
+
+    dw = plan_of(registry["dow_revenue_anomalies"].fn(spark, SF))
+    assert "CartesianProduct" not in dw
+    assert "windowspecdefinition" not in dw  # aggregates only, no window
+
+    ney = plan_of(registry["neyman_allocation_by_lang"].fn(spark, SF))
+    assert "CartesianProduct" not in ney
+    assert ney.count("BroadcastNestedLoopJoin") <= 1  # 1-row total fold
+
+    ttr = plan_of(registry["type_token_ratio"].fn(spark, SF))
+    assert "CartesianProduct" not in ttr
+    assert "windowspecdefinition" not in ttr  # tf grain is aggregates
+
+    wm = plan_of(registry["winsorized_mean_revenue"].fn(spark, SF))
+    assert "CartesianProduct" not in wm
+    # rank windows keyed by the priority slice
+    assert "windowspecdefinition(cents#" not in wm
