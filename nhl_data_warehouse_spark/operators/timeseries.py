@@ -626,7 +626,14 @@ def theil_sen_trend(
     # runs once; the caller harness reclaims via release_cached
     cells = cells.persist()
     tot = cells.agg(F.sum("nv").cast("long").alias("n_pairs"))
-    cum = prefix_sum_cells(cells, "c", "nv").crossJoin(F.broadcast(tot))
+    # pin_input: cells is the EXPENSIVE pair-join subplan with three
+    # consumer stages (bounds, cumsum window, totals) — the eager
+    # barrier runs it exactly once (8.7 s -> 4.8 s warm at sf0.1);
+    # the trade is one construction-time job, documented here per
+    # ADVICE r9 (gini and other cheap-histogram callers stay lazy)
+    cum = prefix_sum_cells(cells, "c", "nv", pin_input=True).crossJoin(
+        F.broadcast(tot)
+    )
     # ONE filter catches both middle ranks (they may share a cell:
     # then min = max); min/max over the <= 2 selected cells is exact
     sel = cum.where(
