@@ -1476,3 +1476,66 @@ def type_token_ratio(
             "ELSE CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) END"
         ).alias("hapax_ratio"),
     )
+
+
+def cross_lang_gram_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 4,
+) -> DataFrame:
+    """Cross-language n-gram overlap: for every unordered language
+    pair, the count and Jaccard of distinct word n-grams occurring in
+    BOTH languages' documents — the translation-leak / boilerplate
+    screen that per-split decontamination misses (a benchmark
+    translated into another language shares no 8-gram with the
+    original, but mechanically inserted boilerplate and code spans
+    do; a cross-lang overlap spike localizes which pair to audit).
+
+    Scale shape: distinct (lang, gram) is one map-side-combined
+    aggregate over the ``word_ngrams`` explode; the pair join is
+    gram-keyed equi with per-gram fan-out bounded by the LANGUAGE
+    COUNT (not corpus size), and per-language gram counts equi-join
+    back. One double division per pair.
+    """
+    grams = word_ngrams(df, id_col, text_col, n)
+    gl = (
+        grams.join(
+            df.select(id_col, F.col(lang_col).alias("lg")), on=id_col
+        )
+        .select("lg", "gram")
+        .distinct()
+    )
+    counts = gl.groupBy("lg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = gl.select(F.col("lg").alias("lang_a"), "gram")
+    b = gl.select(F.col("lg").alias("lang_b"), "gram")
+    pairs = (
+        a.join(b, on="gram")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("lg").alias("lang_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    cb = counts.select(
+        F.col("lg").alias("lang_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        pairs.join(ca, on="lang_a")
+        .join(cb, on="lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                "CAST(n_shared AS DOUBLE)"
+                " / CAST(n_grams_a + n_grams_b - n_shared AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+    )

@@ -809,3 +809,97 @@ def dow_seasonal_anomalies(
         )
         .filter(F.abs(F.col("z")) > z_threshold)
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Classical additive decomposition of a daily series into trend +
+    weekly seasonal + residual: trend is the 7-day CENTERED moving
+    average (NULL on the 3 edge days each side), the seasonal term is
+    the per-day-of-week mean of the detrended series re-centered to
+    sum to zero across the week, and the residual is what anomaly
+    review should actually read (``dow_seasonal_anomalies`` flags
+    whole days; the residual separates how much of a day was cycle vs
+    genuinely unexplained).
+
+    Determinism doctrine: daily totals are integer cents; the
+    detrended series is kept as the EXACT INTEGER ``d7 = 7*v - s7``
+    (1/7-cent units, where s7 is the 7-day window sum), so the
+    per-DOW seasonal means are single divisions of exact integer
+    sums; the week re-centering folds the 7 DOW means in DOW order
+    (the ordered-fold recipe); trend and residual are fixed-order
+    double expressions. Windows run over the bounded DAY GRAIN (the
+    ACF/CUSUM contract: days don't multiply as rows grow).
+    """
+    daily = df.groupBy(F.col(time_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(value_col) * cents_scale).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    day_num = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-3, 3)
+    stepped = daily.select(
+        "d",
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        "v",
+        F.when(F.count("v").over(w) == 7, F.sum("v").over(w)).alias("s7"),
+    )
+    # d7 = 7*v - s7: the detrended value in EXACT 1/7-cent integers
+    stepped = stepped.withColumn(
+        "d7", F.lit(7) * F.col("v") - F.col("s7")
+    )
+    dow_means = (
+        stepped.where(F.col("d7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("d7").cast("long").alias("sd7"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        .select(
+            "dow",
+            F.expr(
+                f"CAST(sd7 AS DOUBLE) / (CAST(nd AS DOUBLE) * 7.0"
+                f" * {float(cents_scale)})"
+            ).alias("raw_seasonal"),
+        )
+    )
+    centering = dow_means.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dow", "raw_seasonal"))),
+                lambda s: s["raw_seasonal"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("season_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_dows"),
+    )
+    seasonal = dow_means.crossJoin(F.broadcast(centering)).select(
+        F.col("dow").alias("m_dow"),
+        F.expr(
+            "raw_seasonal - season_sum / CAST(n_dows AS DOUBLE)"
+        ).alias("seasonal"),
+    )
+    return (
+        stepped.join(seasonal, stepped["dow"] == seasonal["m_dow"], "left")
+        .select(
+            "d",
+            "dow",
+            F.expr(f"CAST(v AS DOUBLE) / {float(cents_scale)}").alias(
+                "day_total"
+            ),
+            F.expr(
+                f"CAST(s7 AS DOUBLE) / (7.0 * {float(cents_scale)})"
+            ).alias("trend"),
+            "seasonal",
+            F.expr(
+                f"CAST(v AS DOUBLE) / {float(cents_scale)}"
+                f" - CAST(s7 AS DOUBLE) / (7.0 * {float(cents_scale)})"
+                " - seasonal"
+            ).alias("resid"),
+        )
+    )

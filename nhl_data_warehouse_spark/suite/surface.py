@@ -1729,6 +1729,79 @@ def dow_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_seasonal_decompose",
+    op_ids="beyond-reference classical additive decomposition: 7-day "
+    "centered-MA trend + weekly seasonal (per-DOW mean of the EXACT "
+    "INTEGER detrended series 7*v - s7, re-centered by the "
+    "ordered-fold week mean) + residual — windows over the bounded "
+    "day grain (the ACF/CUSUM contract), fixed-order doubles only at "
+    "the edge",
+    description="per day: revenue, 7-day centered trend (NULL at the "
+    "3-day edges), zero-sum weekly seasonal, and the residual that "
+    "separates cycle from genuinely unexplained movement",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        st AS (
+            SELECT d, CAST(dayofweek(d) AS BIGINT) AS dow, v,
+                   CASE WHEN COUNT(v) OVER w7 = 7
+                        THEN SUM(v) OVER w7 END AS s7
+            FROM daily
+            WINDOW w7 AS (
+                ORDER BY datediff('day', DATE '1970-01-01', d)
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        d7s AS (
+            SELECT dow, CAST(SUM(7 * v - s7) AS BIGINT) AS sd7,
+                   CAST(COUNT(*) AS BIGINT) AS nd
+            FROM st WHERE s7 IS NOT NULL GROUP BY 1
+        ),
+        dm AS (
+            SELECT dow,
+                   CAST(sd7 AS DOUBLE)
+                       / (CAST(nd AS DOUBLE) * 7.0 * 100.0) AS raw_seasonal
+            FROM d7s
+        ),
+        ctr AS (
+            SELECT SUM(raw_seasonal ORDER BY dow) AS season_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_dows
+            FROM dm
+        ),
+        sea AS (
+            SELECT dow AS m_dow,
+                   raw_seasonal - season_sum / CAST(n_dows AS DOUBLE)
+                       AS seasonal
+            FROM dm CROSS JOIN ctr
+        )
+        SELECT st.d, st.dow,
+               CAST(v AS DOUBLE) / 100.0 AS day_total,
+               CAST(s7 AS DOUBLE) / (7.0 * 100.0) AS trend,
+               sea.seasonal,
+               CAST(v AS DOUBLE) / 100.0
+                   - CAST(s7 AS DOUBLE) / (7.0 * 100.0)
+                   - sea.seasonal AS resid
+        FROM st LEFT JOIN sea ON st.dow = sea.m_dow
+    """,
+)
+def weekly_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return seasonal_decompose_daily(
+        orders.where(F.col("o_totalprice").isNotNull()),
+        time_col="o_orderdate",
+        value_col="o_totalprice",
+        cents_scale=100,
+    )
+
+
+@register(
     "theil_sen_revenue_trend",
     op_ids="beyond-reference robust trend estimation: Theil-Sen "
     "median-of-pairwise-slopes over the daily revenue series (plus "

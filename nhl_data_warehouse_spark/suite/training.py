@@ -3755,6 +3755,56 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cross_lang_gram_overlap",
+    op_ids="beyond-reference cross-language contamination screen: "
+    "distinct word-4-gram Jaccard per language pair — gram-keyed "
+    "equi-join with per-gram fan-out bounded by the LANGUAGE count, "
+    "per-language gram totals equi-joined back; the "
+    "translation-leak/boilerplate localizer the per-split "
+    "decontamination family misses",
+    description="per language pair: shared distinct 4-grams, each "
+    "side's gram count, and Jaccard — a spike localizes which pair "
+    "carries mechanically duplicated spans",
+    oracle=r"""
+        WITH ctoks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        cgrams AS (
+            SELECT DISTINCT lang,
+                   unnest(list_transform(range(1, len(t) - 2),
+                          i -> array_to_string(list_slice(t, i, i + 3), ' ')))
+                       AS gram
+            FROM ctoks WHERE len(t) >= 4
+        ),
+        cpairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM cgrams a JOIN cgrams b
+              ON a.gram = b.gram AND a.lang < b.lang
+            GROUP BY 1, 2
+        ),
+        ccnt AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM cgrams GROUP BY 1
+        )
+        SELECT lang_a, lang_b, n_shared,
+               ca.n_grams AS n_grams_a, cb.n_grams AS n_grams_b,
+               CAST(n_shared AS DOUBLE)
+                   / CAST(ca.n_grams + cb.n_grams - n_shared AS DOUBLE)
+                   AS jaccard
+        FROM cpairs
+        JOIN ccnt ca ON lang_a = ca.lang
+        JOIN ccnt cb ON lang_b = cb.lang
+    """,
+)
+def cross_lang_gram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.cross_lang_gram_overlap(documents, n=4)
+
+
+@register(
     "cross_source_overlap",
     op_ids="beyond-reference cross-corpus duplication matrix (distinct "
     "(source, chunk-md5) reduction first; chunk-keyed self-join whose "

@@ -501,3 +501,68 @@ class TestNeymanAllocation:
         )
         for r in neyman_allocation(df, "g", "sz", budget=100).collect():
             assert r["alloc_frac"] is None and r["n_alloc"] is None
+
+
+class TestCrossLangGramOverlap:
+    def test_hand_computed(self, spark):
+        from nhl_data_warehouse_spark.operators.text import (
+            cross_lang_gram_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "en", "a b c d e"),  # grams: abcd, bcde
+                (2, "de", "a b c d x"),  # grams: abcd, bcdx
+                (3, "fr", "q r s t"),  # gram: qrst
+                (4, "en", "a b c d e"),  # duplicate doc: no new grams
+            ],
+            "doc_id long, lang string, text string",
+        )
+        rows = {
+            (r["lang_a"], r["lang_b"]): r
+            for r in cross_lang_gram_overlap(df, n=4).collect()
+        }
+        r = rows[("de", "en")]
+        assert r["n_shared"] == 1  # 'a b c d'
+        assert r["n_grams_a"] == 2 and r["n_grams_b"] == 2
+        assert r["jaccard"] == 1 / 3
+        assert ("en", "fr") not in rows  # zero overlap pairs absent
+        assert ("de", "fr") not in rows
+
+
+class TestSeasonalDecompose:
+    def test_pure_additive_signal_recovered(self, spark):
+        """trend 100/day + weekly pattern (+7 on Monday, -7 on
+        Tuesday, 0 otherwise): interior residuals must be ~0, the
+        seasonal column zero-sum, trend = centered MA."""
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            seasonal_decompose_daily,
+        )
+
+        d0 = datetime.date(2025, 1, 5)  # a Sunday
+        rows = []
+        for i in range(42):  # 6 full weeks
+            day = d0 + datetime.timedelta(days=i)
+            season = {1: 7.0, 2: -7.0}.get((i + 0) % 7, 0.0)
+            rows.append((day, 100.0 + season))
+        df = spark.createDataFrame(rows, "ts date, val double").select(
+            F.col("ts").cast("timestamp").alias("ts"), "val"
+        )
+        out = {r["d"]: r for r in
+               seasonal_decompose_daily(df, "ts", "val", cents_scale=100).collect()}
+        assert len(out) == 42
+        # edges: first/last 3 days have NULL trend and resid
+        for i in (0, 1, 2, 39, 40, 41):
+            assert out[d0 + datetime.timedelta(days=i)]["trend"] is None
+        # interior: MA of a pure weekly signal = the flat trend
+        interior = [out[d0 + datetime.timedelta(days=i)] for i in range(3, 39)]
+        for r in interior:
+            assert abs(r["trend"] - 100.0) < 1e-9
+            assert abs(r["resid"]) < 1e-9
+        # seasonal sums to zero across the week
+        week = {r["dow"]: r["seasonal"] for r in interior}
+        assert abs(sum(week.values())) < 1e-9
+        assert abs(week[1] - 7.0) < 1e-9  # Monday
+        assert abs(week[2] + 7.0) < 1e-9  # Tuesday

@@ -198,6 +198,14 @@ PROBES = [
     # a bounded fold — ~linear scan, flat tail)
     "cdc_chunk_dedup",
     "neyman_allocation_by_lang",
+    # round-10 batch 5: cross-language gram Jaccard (gram-keyed
+    # distinct + equi-join, per-gram fan-out bounded by the language
+    # count — ~linear in tokens; replication with remapped doc ids
+    # multiplies gram instances but the distinct (lang, gram) grain
+    # only grows with NEW grams, so expect sublinear) and weekly
+    # decomposition (day-grain windows, the flat ACF class)
+    "cross_lang_gram_overlap",
+    "weekly_seasonal_decompose",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
