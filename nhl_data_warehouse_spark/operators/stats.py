@@ -1088,3 +1088,80 @@ def grouped_isotonic_calibration_bins(
             "iso_rate",
         )
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step-wise threshold-sweep definition): AP = sum over distinct
+    score cells, descending, of (recall gained at the cell) *
+    (precision at the cell). The imbalanced-data companion to
+    ``rank_auc`` — ROC-AUC stays near 1 when negatives dominate; AP
+    collapses with the precision a deployed threshold would actually
+    see (the metric used to pick quality-classifier operating points
+    for corpus filtering).
+
+    Determinism doctrine: scores collapse to the fixed-point cell
+    grain (the rank_auc contract — the one ordering window runs over
+    <= scale+1 CELLS, never rows); cumulative TP/FP are exact
+    integers; each cell's term is ONE fixed-order double expression
+    rounded to 12dp and summed as DECIMAL(28,12) — round-then-sum in
+    decimal is ORDER-FREE (the km_survival recipe), which is what
+    makes a sum over up to a million cells engine-stable without an
+    ordered fold over a collected array. |term| <= 1 and 1e12 is
+    inside the 2^53 safe band, so Spark's BigDecimal rounding and
+    DuckDB's double-multiply rounding agree. Single-class inputs
+    yield explicit NULL.
+    """
+    hist = _cents_histogram(df, score_col, is_positive, scale)
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "c",
+        "n1v",
+        F.sum("n1v").over(w).alias("tp"),
+        F.sum(F.col("nv") - F.col("n1v")).over(w).alias("fp"),
+    )
+    tot = hist.agg(
+        F.sum("n1v").cast("long").alias("n_pos"),
+        (F.sum("nv") - F.sum("n1v")).cast("long").alias("n_neg"),
+    )
+    terms = (
+        cum.where(F.col("n1v") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.expr(
+                    "CAST(n1v AS DOUBLE) / CAST(n_pos AS DOUBLE)"
+                    " * (CAST(tp AS DOUBLE)"
+                    " / CAST(tp + fp AS DOUBLE))"
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    out = terms.groupBy("n_pos", "n_neg").agg(
+        F.sum("term").cast("decimal(38,12)").alias("ap_dec")
+    )
+    # right join keeps the degenerate zero-positive case (no terms)
+    return (
+        tot.join(out, on=["n_pos", "n_neg"], how="left")
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(ap_dec AS DOUBLE) END"
+            ).alias("avg_precision"),
+        )
+    )

@@ -5125,6 +5125,79 @@ def classifier_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classifier_pr_auc_eval",
+    op_ids="beyond-reference imbalance-honest model evaluation: exact "
+    "average precision (step-wise PR-AUC) of the quality classifier "
+    "— cumulative TP/FP over descending score CELLS (the rank_auc "
+    "bounded-grain contract), each cell's recall-gain x precision "
+    "term rounded 12dp and summed as DECIMAL (the km_survival "
+    "round-then-sum recipe: order-free, engine-stable over up to a "
+    "million cells)",
+    description="one-row PR scorecard: positive/negative counts and "
+    "exact average precision — the operating-point metric for corpus "
+    "filtering where ROC-AUC hides negative-dominated imbalance",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        apj AS (
+            SELECT CAST(round(p.quality_score * 1000000) AS BIGINT) AS c,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        aph AS (
+            SELECT c, CAST(SUM(y) AS BIGINT) AS n1v,
+                   CAST(COUNT(*) AS BIGINT) AS nv
+            FROM apj GROUP BY 1
+        ),
+        apc AS (
+            SELECT c, n1v,
+                   SUM(n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   SUM(nv - n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM aph
+        ),
+        apt AS (
+            SELECT CAST(SUM(n1v) AS BIGINT) AS n_pos,
+                   CAST(SUM(nv - n1v) AS BIGINT) AS n_neg
+            FROM aph
+        ),
+        apterms AS (
+            SELECT n_pos, n_neg,
+                   CAST(round(CAST(n1v AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                        * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)),
+                        12) AS DECIMAL(28,12)) AS term
+            FROM apc CROSS JOIN apt WHERE n1v > 0
+        ),
+        apsum AS (
+            SELECT n_pos, n_neg, CAST(SUM(term) AS DECIMAL(38,12)) AS ap_dec
+            FROM apterms GROUP BY 1, 2
+        )
+        SELECT t.n_pos, t.n_neg,
+               CASE WHEN t.n_pos = 0 OR t.n_neg = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(ap_dec AS DOUBLE) END AS avg_precision
+        FROM apt t LEFT JOIN apsum USING (n_pos, n_neg)
+    """,
+)
+def classifier_pr_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import average_precision
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return average_precision(
+        joined, "quality_score", F.col("is_good"), scale=1_000_000
+    )
+
+
+@register(
     "brier_murphy_decomposition",
     op_ids="beyond-reference calibration diagnostics: Murphy "
     "decomposition of the quality classifier's Brier score into "

@@ -566,3 +566,42 @@ class TestSeasonalDecompose:
         assert abs(sum(week.values())) < 1e-9
         assert abs(week[1] - 7.0) < 1e-9  # Monday
         assert abs(week[2] + 7.0) < 1e-9  # Tuesday
+
+
+class TestAveragePrecision:
+    def test_hand_computed_with_ties(self, spark):
+        """Scores .9 (2 pos), .5 (1 pos, 1 neg), .1 (1 neg):
+        threshold sweep at cells .9: dR=2/3, P=1; .5: dR=1/3, P=3/4;
+        AP = 2/3 + 1/4 = 11/12 (each term rounded 12dp)."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            average_precision,
+        )
+
+        rows = [
+            (0.9, True), (0.9, True),
+            (0.5, True), (0.5, False),
+            (0.1, False),
+        ]
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        r = average_precision(df, "p", F.col("y")).first()
+        assert r["n_pos"] == 3 and r["n_neg"] == 2
+        exp = round(2 / 3 * 1.0, 12) + round(1 / 3 * (3 / 4), 12)
+        assert abs(r["avg_precision"] - exp) < 1e-11
+
+    def test_perfect_and_degenerate(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            average_precision,
+        )
+
+        perfect = spark.createDataFrame(
+            [(0.9, True), (0.8, True), (0.2, False)], "p double, y boolean"
+        )
+        assert abs(
+            average_precision(perfect, "p", F.col("y")).first()["avg_precision"]
+            - 1.0
+        ) < 1e-11
+        onlyneg = spark.createDataFrame(
+            [(0.9, False), (0.1, False)], "p double, y boolean"
+        )
+        r = average_precision(onlyneg, "p", F.col("y")).first()
+        assert r["n_pos"] == 0 and r["avg_precision"] is None

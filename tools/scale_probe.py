@@ -206,6 +206,10 @@ PROBES = [
     # decomposition (day-grain windows, the flat ACF class)
     "cross_lang_gram_overlap",
     "weekly_seasonal_decompose",
+    # average precision: same token scan as the AUC eval + one
+    # cell-grain window (bounded by the 1e-6 score grain, not rows)
+    # — expected ~linear scan, flat metric stage
+    "classifier_pr_auc_eval",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
