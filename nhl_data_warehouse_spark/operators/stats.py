@@ -1165,3 +1165,79 @@ def average_precision(
             ).alias("avg_precision"),
         )
     )
+
+
+def youden_j_threshold(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Optimal operating point by Youden's J = TPR - FPR: the score
+    threshold a corpus filter should deploy when false accepts and
+    false rejects weigh equally — the selection step AFTER the
+    rank_auc / average_precision scorecards say the ranking is good.
+
+    The maximization is ALL-INTEGER: J * P * N = tp * N - fp * P, so
+    the argmax can never flip on a double ulp; candidate thresholds
+    are the distinct score cells (classify positive at score >= cell),
+    swept via the same descending cumulative TP/FP as
+    ``average_precision`` — one window over <= scale+1 CELLS, never
+    rows. Ties take the LOWEST threshold (the most inclusive cut).
+    (Overflow bound: tp * N <= P * N must fit int64 — both classes
+    below ~3e9 rows, the ks_two_sample caveat; widen to decimal
+    past that.) One row out: (n_pos, n_neg, threshold, j_stat,
+    tpr, fpr), NULL metrics on a single-class input.
+    """
+    hist = _cents_histogram(df, score_col, is_positive, scale)
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "c",
+        F.sum("n1v").over(w).alias("tp"),
+        F.sum(F.col("nv") - F.col("n1v")).over(w).alias("fp"),
+    )
+    tot = hist.agg(
+        F.sum("n1v").cast("long").alias("n_pos"),
+        (F.sum("nv") - F.sum("n1v")).cast("long").alias("n_neg"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "tp",
+        "fp",
+        "n_pos",
+        "n_neg",
+        (F.col("tp") * F.col("n_neg") - F.col("fp") * F.col("n_pos"))
+        .cast("long")
+        .alias("jint"),
+    )
+    best = scored.groupBy("n_pos", "n_neg").agg(
+        F.max("jint").alias("jbest")
+    )
+    at = scored.join(F.broadcast(best), on=["n_pos", "n_neg"]).where(
+        F.col("jint") == F.col("jbest")
+    )
+    return at.groupBy("n_pos", "n_neg", "jbest").agg(
+        F.min("c").alias("cth"),
+        F.expr("min_by(tp, c)").alias("tp_at"),
+        F.expr("min_by(fp, c)").alias("fp_at"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(f"CAST(cth AS DOUBLE) / {float(scale)}").alias("threshold"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(jbest AS DOUBLE)"
+            " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END"
+        ).alias("j_stat"),
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(tp_at AS DOUBLE) / CAST(n_pos AS DOUBLE) END"
+        ).alias("tpr"),
+        F.expr(
+            "CASE WHEN n_neg = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(fp_at AS DOUBLE) / CAST(n_neg AS DOUBLE) END"
+        ).alias("fpr"),
+    )

@@ -5125,6 +5125,86 @@ def classifier_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "youden_threshold_select",
+    op_ids="beyond-reference operating-point selection: Youden's J "
+    "(TPR - FPR) maximized ALL-INTEGER (J*P*N = tp*N - fp*P, argmax "
+    "can never flip on a double ulp) over descending score cells — "
+    "the deploy-threshold step after rank_auc/average_precision "
+    "grade the ranking; lowest-threshold tie-break",
+    description="one-row threshold pick for the quality classifier: "
+    "class counts, optimal threshold, J statistic, and TPR/FPR at "
+    "the optimum",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        yj AS (
+            SELECT CAST(round(p.quality_score * 1000000) AS BIGINT) AS c,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        yh AS (
+            SELECT c, CAST(SUM(y) AS BIGINT) AS n1v,
+                   CAST(COUNT(*) AS BIGINT) AS nv
+            FROM yj GROUP BY 1
+        ),
+        yc AS (
+            SELECT c,
+                   SUM(n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   SUM(nv - n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM yh
+        ),
+        yt AS (
+            SELECT CAST(SUM(n1v) AS BIGINT) AS n_pos,
+                   CAST(SUM(nv - n1v) AS BIGINT) AS n_neg
+            FROM yh
+        ),
+        ys AS (
+            SELECT c, tp, fp, n_pos, n_neg,
+                   CAST(tp * n_neg - fp * n_pos AS BIGINT) AS jint
+            FROM yc CROSS JOIN yt
+        ),
+        yb AS (
+            SELECT n_pos, n_neg, MAX(jint) AS jbest FROM ys GROUP BY 1, 2
+        )
+        SELECT s.n_pos, s.n_neg,
+               CAST(MIN(s.c) AS DOUBLE) / 1000000.0 AS threshold,
+               CASE WHEN s.n_pos = 0 OR s.n_neg = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(b.jbest AS DOUBLE)
+                         / (CAST(s.n_pos AS DOUBLE)
+                            * CAST(s.n_neg AS DOUBLE)) END AS j_stat,
+               CASE WHEN s.n_pos = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(min_by(s.tp, s.c) AS DOUBLE)
+                         / CAST(s.n_pos AS DOUBLE) END AS tpr,
+               CASE WHEN s.n_neg = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(min_by(s.fp, s.c) AS DOUBLE)
+                         / CAST(s.n_neg AS DOUBLE) END AS fpr
+        FROM ys s JOIN yb b
+          ON s.n_pos = b.n_pos AND s.n_neg = b.n_neg
+             AND s.jint = b.jbest
+        GROUP BY s.n_pos, s.n_neg, b.jbest
+    """,
+)
+def youden_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import youden_j_threshold
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = pred.join(labels, on="doc_id")
+    return youden_j_threshold(
+        joined, "quality_score", F.col("is_good"), scale=1_000_000
+    )
+
+
+@register(
     "classifier_pr_auc_eval",
     op_ids="beyond-reference imbalance-honest model evaluation: exact "
     "average precision (step-wise PR-AUC) of the quality classifier "

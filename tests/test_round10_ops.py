@@ -605,3 +605,36 @@ class TestAveragePrecision:
         )
         r = average_precision(onlyneg, "p", F.col("y")).first()
         assert r["n_pos"] == 0 and r["avg_precision"] is None
+
+
+class TestYoudenJ:
+    def test_hand_computed(self, spark):
+        """Cells desc .9(2pos) .5(1pos,1neg) .1(2neg): J at .9 = 2/3,
+        at .5 = 1 - 1/3 = 2/3 (tie -> LOWER threshold .5), at .1 = 0."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            youden_j_threshold,
+        )
+
+        rows = [
+            (0.9, True), (0.9, True),
+            (0.5, True), (0.5, False),
+            (0.1, False), (0.1, False),
+        ]
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        r = youden_j_threshold(df, "p", F.col("y")).first()
+        assert r["n_pos"] == 3 and r["n_neg"] == 3
+        assert abs(r["j_stat"] - 2 / 3) < 1e-12
+        assert r["threshold"] == 0.5  # tie takes the lower cut
+        assert abs(r["tpr"] - 1.0) < 1e-12
+        assert abs(r["fpr"] - 1 / 3) < 1e-12
+
+    def test_degenerate_single_class(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            youden_j_threshold,
+        )
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.1, True)], "p double, y boolean"
+        )
+        r = youden_j_threshold(df, "p", F.col("y")).first()
+        assert r["j_stat"] is None and r["fpr"] is None

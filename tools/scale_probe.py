@@ -210,6 +210,9 @@ PROBES = [
     # cell-grain window (bounded by the 1e-6 score grain, not rows)
     # — expected ~linear scan, flat metric stage
     "classifier_pr_auc_eval",
+    # Youden threshold: identical shape to the AP eval (descending
+    # cell sweep + all-integer argmax) — ~linear scan, flat tail
+    "youden_threshold_select",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
