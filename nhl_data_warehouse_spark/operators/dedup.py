@@ -1081,66 +1081,62 @@ def cdc_chunks(
     Output: one row per chunk (id, chunk_start, chunk_len,
     chunk_hash) with md5 chunk hashes — the sub-document dedup grain.
 
-    Scale shape: positions explode per character (the
-    span_contamination grain — linear in corpus bytes, map-side), the
-    boundary filter keeps ~1/divisor of them, ONE keyed window (lag
-    over boundaries per doc) builds spans, and the no-boundary tail
-    is a keyed aggregate unioned back. Nothing funnels through a
-    single partition; chunk hashes are 32-byte md5, never raw text,
-    on every shuffle.
+    Scale shape: MAP-ONLY — zero shuffles. The boundary trigger is
+    local to each document, so the whole chunking runs as per-row
+    higher-order-function expressions: ``filter`` over the candidate
+    position sequence finds boundary ends, ``zip_with`` pairs the
+    shifted boundary list into (s, e) spans (the tail span to
+    length(text) appended inline), and one ``explode`` emits chunk
+    rows with their md5 hashes. Document text never enters an
+    Exchange (the r10 VERDICT defect: the old lag-window formulation
+    replicated the full text onto every boundary row and shuffled it
+    — O(L²/divisor) bytes per document; pinned map-only by
+    tests/test_round11_fixes.py plan-shape assertion). Per-character
+    hashing cost is unchanged and stays linear in corpus bytes;
+    downstream dedup consumers shuffle only the 32-byte chunk hashes.
     """
-    L = F.length(F.col(text_col))
-    pos = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.explode(
-            F.when(L >= window, F.sequence(F.lit(1), L - (window - 1)))
-            .otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
+    t = F.col(text_col)
+    L = F.length(t)
+    # candidate start positions 1..L-window+1 (empty when L < window)
+    cand = F.when(L >= window, F.sequence(F.lit(1), L - (window - 1))).otherwise(
+        F.array().cast("array<int>")
     )
-    e = F.col("i") + (window - 1)
-    bnd = pos.where(
-        (
+    # boundary END positions e = i + window - 1, strictly before doc end
+    ends_at = F.filter(
+        cand,
+        lambda i: (
             F.conv(
-                F.substring(F.md5(F.substring("_t", F.col("i"), F.lit(window))), 1, 4),
-                16,
-                10,
+                F.substring(F.md5(t.substr(i, F.lit(window))), 1, 4), 16, 10
             ).cast("long")
             % divisor
             == 0
         )
-        & (e < F.length("_t"))
-    ).select("_id", "_t", e.alias("e"))
-    w_lag = Window.partitionBy("_id").orderBy("e")
-    spans = bnd.select(
-        "_id",
-        "_t",
-        (F.coalesce(F.lag("e").over(w_lag), F.lit(0)) + 1).alias("s"),
-        "e",
+        & (i + (window - 1) < L),
     )
-    tail = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .where(F.length("_t") >= 1)
-        .join(
-            bnd.groupBy("_id").agg(F.max("e").alias("last_e")),
-            on="_id",
-            how="left",
+    bnd_e = F.transform(ends_at, lambda i: i + (window - 1))
+    # spans: starts = [0] ++ bnd_e each +1; ends = bnd_e ++ [L]
+    starts = F.transform(
+        F.concat(F.array(F.lit(0)), bnd_e), lambda e: e + 1
+    )
+    ends = F.concat(bnd_e, F.array(L))
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    return (
+        df.where(F.length(F.col(text_col)) >= 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(spans).alias("se"),
         )
         .select(
-            "_id",
-            "_t",
-            (F.coalesce(F.col("last_e"), F.lit(0)) + 1).alias("s"),
-            F.length("_t").alias("e"),
+            F.col("_id").alias(id_col),
+            F.col("se.s").alias("chunk_start"),
+            (F.col("se.e") - F.col("se.s") + 1).cast("long").alias("chunk_len"),
+            F.md5(F.expr("substring(_t, se.s, se.e - se.s + 1)")).alias(
+                "chunk_hash"
+            ),
         )
-    )
-    chunks = spans.unionByName(tail)
-    return chunks.select(
-        F.col("_id").alias(id_col),
-        F.col("s").alias("chunk_start"),
-        (F.col("e") - F.col("s") + 1).cast("long").alias("chunk_len"),
-        F.md5(
-            F.expr("substring(_t, s, e - s + 1)")
-        ).alias("chunk_hash"),
     )
 
 

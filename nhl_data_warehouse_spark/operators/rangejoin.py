@@ -166,14 +166,27 @@ def derive_cell_minutes(
         .groupBy("m")
         .agg(F.count(F.lit(1)).alias("nv"))
     )
-    cum = prefix_sum_cells(hist, "m", "nv")
+    # cache_registry + try/finally (ADVICE r10): prefix_sum_cells
+    # lazily persists its bucketed frame; after the .first() scalar
+    # read below the frame is never referenced again, so without the
+    # explicit unpersist every overlap-join cell derivation would
+    # strand a cache entry for library callers that never run the
+    # harness's release_cached.
+    cached: list = []
+    cum = prefix_sum_cells(hist, "m", "nv", cache_registry=cached)
     total = hist.agg(F.sum("nv").alias("n"))
-    row = (
-        cum.join(F.broadcast(total), how="cross")
-        .where(F.col("cum") + F.col("nv") >= F.ceil(F.lit(pct) * F.col("n")))
-        .agg(F.min("m").alias("m"))
-        .first()
-    )
+    try:
+        row = (
+            cum.join(F.broadcast(total), how="cross")
+            .where(
+                F.col("cum") + F.col("nv") >= F.ceil(F.lit(pct) * F.col("n"))
+            )
+            .agg(F.min("m").alias("m"))
+            .first()
+        )
+    finally:
+        for frame in cached:
+            frame.unpersist()
     m = row["m"] if row is not None else None
     return max(1, int(m)) if m is not None else 1
 

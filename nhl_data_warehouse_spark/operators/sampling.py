@@ -727,11 +727,25 @@ def neyman_allocation(
         F.sum("v").cast("long").alias("s"),
         F.sum(vdec * vdec).cast("decimal(38,0)").alias("ssd"),
     )
-    sigma = F.expr(
-        "sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)"
-        " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-        " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+    # Integer variance guard (ADVICE r10): once ssd-as-double passes
+    # 2^53, a constant stratum's ssd/n - (s/n)^2 can go slightly
+    # NEGATIVE in FP, making sigma NaN and silently poisoning tot_w.
+    # The dow_seasonal_anomalies recipe decides positivity EXACTLY on
+    # integers (n*ssd > s*s in DECIMAL(38,0)) and emits sigma = 0.0
+    # for degenerate (constant) strata, keeping the all-degenerate
+    # case on the documented explicit-NULL path (tot_w = 0).
+    var_pos = (
+        F.col("n").cast("decimal(38,0)") * F.col("ssd")
+        > F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
     )
+    sigma = F.when(
+        var_pos,
+        F.expr(
+            "sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+        ),
+    ).otherwise(F.lit(0.0))
     weighted = per.select(
         "g",
         "n",

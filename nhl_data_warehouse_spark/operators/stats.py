@@ -380,6 +380,7 @@ def prefix_sum_cells(
     num_ranges: int = 32,
     out_col: str = "cum",
     pin_input: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum over ordered cells WITHOUT an
     unpartitioned window — the range-partitioned two-pass form
@@ -421,29 +422,37 @@ def prefix_sum_cells(
     lazy. An empty sample (tiny hist) degrades to one bucket, which is
     exactly the case where one bucket is fine.
     """
-    fracs = ", ".join(
-        str(i / num_ranges) for i in range(1, num_ranges)
-    )
-    bounds = hist.where(
-        F.pmod(F.xxhash64(F.col(order_col)), F.lit(64)) == 0
-    ).agg(
-        F.expr(
-            f"percentile(CAST({order_col} AS DOUBLE), array({fracs}))"
-        ).alias("_bnds")
-    )
-    pid = F.when(F.col("_bnds").isNull(), F.lit(0)).otherwise(
-        F.aggregate(
-            F.col("_bnds"),
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(order_col).cast("double") > b, 1).otherwise(0),
+    if num_ranges <= 1:
+        # ADVICE r10 edge: range(1, 1) is empty, so the percentile
+        # call below would be `percentile(..., array())` — unresolvable.
+        # One range means one bucket: constant _pid = 0 degrades to the
+        # plain single-partition cumsum, which is exactly what the
+        # caller asked for.
+        parts = hist.withColumn("_pid", F.lit(0))
+    else:
+        fracs = ", ".join(
+            str(i / num_ranges) for i in range(1, num_ranges)
         )
-    )
-    parts = (
-        hist.join(F.broadcast(bounds), how="cross")
-        .withColumn("_pid", pid.cast("int"))
-        .drop("_bnds")
-    )
+        bounds = hist.where(
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(64)) == 0
+        ).agg(
+            F.expr(
+                f"percentile(CAST({order_col} AS DOUBLE), array({fracs}))"
+            ).alias("_bnds")
+        )
+        pid = F.when(F.col("_bnds").isNull(), F.lit(0)).otherwise(
+            F.aggregate(
+                F.col("_bnds"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(order_col).cast("double") > b, 1).otherwise(0),
+            )
+        )
+        parts = (
+            hist.join(F.broadcast(bounds), how="cross")
+            .withColumn("_pid", pid.cast("int"))
+            .drop("_bnds")
+        )
     # LAZY persist (no count): the local-cumsum and totals branches
     # both read `parts`, so share one materialization at first action.
     # Unlike the r9 eager pin this is a pure perf hint — correctness
@@ -457,6 +466,11 @@ def prefix_sum_cells(
     # trading one construction-time job for never recomputing it
     # (measured 8.7 s -> 4.8 s warm on theil_sen at sf0.1).
     parts = parts.persist()
+    if cache_registry is not None:
+        # ADVICE r10: library callers that read a scalar off the result
+        # (derive_cell_minutes) would otherwise strand this cache entry
+        # — the harness's release_cached only covers suite queries.
+        cache_registry.append(parts)
     if pin_input:
         parts.count()
     wl = (

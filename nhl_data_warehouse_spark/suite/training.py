@@ -3213,9 +3213,10 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(FastCDC-style rolling-window boundaries: hex4(md5(8-char "
     "window)) % 16 == 0 triggers a cut, so an early insertion "
     "re-chunks only the region it touches — the shift-resistant twin "
-    "of dup_chunk_fraction's fixed token grain); per-char position "
-    "grain map-side, boundary filter keeps ~1/16, ONE keyed lag "
-    "window builds spans, md5 chunk hashes on every shuffle",
+    "of dup_chunk_fraction's fixed token grain); chunking is "
+    "MAP-ONLY: higher-order filter/zip_with derive boundary spans "
+    "per row, so document text never enters an Exchange — only "
+    "32-byte md5 chunk hashes shuffle downstream",
     description="per-document content-defined chunk dedup scorecard: "
     "chunk count, chunks whose hash appears in another document, "
     "duplicated fraction — sub-document dedup that survives "
@@ -3284,8 +3285,10 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "allocation: budget split proportional to N_h * sigma_h — the "
     "stratified-mean-variance minimizer; complements the "
     "proportional rebalance and temperature-mix allocators which see "
-    "counts only); exact integer stratum moments, fixed-order sigma, "
-    "cross-stratum total folded in stratum order (the DCG recipe)",
+    "counts only); exact integer stratum moments, integer-guarded "
+    "sigma (n*ssd > s*s in DECIMAL(38,0) decides positivity; "
+    "degenerate strata emit sigma 0), cross-stratum total folded in "
+    "stratum order (the DCG recipe)",
     description="per-language Neyman allocation of a 100k-doc "
     "sampling budget over doc-length variability: stratum size, "
     "sigma, optimal fraction and floor'd allocation",
@@ -3300,18 +3303,18 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CAST(v AS HUGEINT) * v) AS ssd
             FROM nv GROUP BY 1
         ),
-        nw AS (
+        ns AS (
             SELECT g, n,
-                   sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)
-                        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
-                       AS sigma,
-                   CAST(n AS DOUBLE)
-                       * sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)
-                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
-                       AS w
+                   CASE WHEN CAST(n AS HUGEINT) * ssd
+                             > CAST(s AS HUGEINT) * s
+                        THEN sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)
+                                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        ELSE 0.0 END AS sigma
             FROM np
+        ),
+        nw AS (
+            SELECT g, n, sigma, CAST(n AS DOUBLE) * sigma AS w FROM ns
         ),
         nt AS (SELECT SUM(w ORDER BY g) AS tot_w FROM nw)
         SELECT g AS lang, n AS n_docs, sigma,

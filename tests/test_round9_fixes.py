@@ -117,9 +117,11 @@ class TestGiniUnboundedDomain:
         two consumers of the range-partitioned frame, each execution
         re-ran repartitionByRange whose boundary sampling could
         differ, mis-aligning offsets with local cumsums. The bucket id
-        is now a pure function of the cell VALUE (min/max-derived
-        ranges, ADVICE r9 — fully lazy, no persist), deterministic
-        across any number of re-executions. Pin the observable
+        is now a pure function of the cell VALUE — boundaries are
+        exact percentiles of a deterministic 1/64 hash-sample of the
+        cells, and the bucketed frame carries a LAZY persist (a pure
+        perf hint; the eager pin is opt-in via pin_input) —
+        deterministic across any number of re-executions. Pin the observable
         invariant: cum is strictly the exclusive prefix — monotone in
         c with cum[i+1] = cum[i] + nv[i] — on an input that arrives
         hash-shuffled across many partitions."""
