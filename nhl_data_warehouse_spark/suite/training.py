@@ -3213,10 +3213,10 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(FastCDC-style rolling-window boundaries: hex4(md5(8-char "
     "window)) % 16 == 0 triggers a cut, so an early insertion "
     "re-chunks only the region it touches — the shift-resistant twin "
-    "of dup_chunk_fraction's fixed token grain); chunking is "
-    "MAP-ONLY: higher-order filter/zip_with derive boundary spans "
-    "per row, so document text never enters an Exchange — only "
-    "32-byte md5 chunk hashes shuffle downstream",
+    "of dup_chunk_fraction's fixed token grain); position explode + "
+    "boundary filter stay map-side codegen, only narrow (_id, e) "
+    "boundary rows shuffle into a per-doc array, text crosses ONE "
+    "doc-grain equi-join — never the boundary grain",
     description="per-document content-defined chunk dedup scorecard: "
     "chunk count, chunks whose hash appears in another document, "
     "duplicated fraction — sub-document dedup that survives "

@@ -1,11 +1,11 @@
 """Round-11 regression pins for the VERDICT/ADVICE r10 items:
 
-1. ``cdc_chunks`` is MAP-ONLY — the old lag-window formulation
-   replicated the full document text onto every boundary row and
-   shuffled it (O(L²/divisor) bytes per document, VERDICT r10 "What's
-   wrong" #1). The rewrite derives boundary spans per-row with
-   higher-order functions, so the physical plan contains NO Exchange
-   at all and text never crosses the wire.
+1. ``cdc_chunks`` never shuffles text at the position/boundary grain
+   — the old lag-window formulation replicated the full document text
+   onto every boundary row and shuffled it (O(L²/divisor) bytes per
+   document, VERDICT r10 "What's wrong" #1). The rewrite shuffles only
+   narrow ``(_id, e)`` boundary rows into a per-doc array; text crosses
+   an Exchange at most once, at doc grain, via the span equi-join.
 2. ``neyman_allocation`` guards sigma with the exact integer variance
    test (n*ssd > s*s in DECIMAL(38,0)) — a constant stratum whose
    squared sum passes 2^53 emits sigma 0.0, never NaN.
@@ -45,10 +45,15 @@ def _chunk_ref(text: str, window: int = 8, divisor: int = 16):
     return out
 
 
-class TestCdcChunksMapOnly:
-    def test_plan_has_zero_exchanges(self, spark):
-        """The defect was text riding the boundary-window shuffle; the
-        strongest pin is that chunking now has NO shuffle at all."""
+class TestCdcChunksNarrowShuffle:
+    def test_no_exchange_carries_text_at_boundary_grain(self, spark):
+        """The defect was text riding the boundary-grain shuffle. Pin:
+        every Exchange child that outputs the text column ``_t`` must
+        be DOC grain — it may never also output the position column
+        ``i`` or boundary column ``e`` (which would mean one text copy
+        per boundary row again). A HOF-only zero-shuffle form was
+        rejected: interpreted lambda eval cost 3x the codegen explode
+        at sf0.1."""
         from nhl_data_warehouse_spark.operators.dedup import cdc_chunks
 
         df = spark.createDataFrame(
@@ -57,7 +62,13 @@ class TestCdcChunksMapOnly:
         plan = (
             cdc_chunks(df)._jdf.queryExecution().executedPlan().toString()
         )
-        assert "Exchange" not in plan, plan
+        lines = plan.splitlines()
+        for k, ln in enumerate(lines):
+            if "Exchange" not in ln:
+                continue
+            child = lines[k + 1] if k + 1 < len(lines) else ""
+            if "_t#" in child:
+                assert "i#" not in child and " e#" not in child, child
 
     def test_matches_naive_reference(self, spark):
         """Span semantics must be byte-identical to the old (driver
