@@ -528,6 +528,137 @@ def span_contamination(
     )
 
 
+def bloom_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    history_mod: int = 2,
+    flag_pct: int = 20,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-accelerated EXACT substring dedup at the short-n-gram
+    grain (n=13, the RefinedWeb/CCNet recipe) — the incremental twin
+    of ``span_contamination`` (n=50, eval-vs-benchmark): here the
+    question is "which spans of a BATCH doc appear verbatim anywhere
+    in the HISTORY corpus", and at 13 tokens the gram set is ~4x
+    denser than at 50, so the exact gram-keyed join against the full
+    history gram set — fine for a tiny benchmark — becomes the
+    dominant shuffle. The standard lakehouse short-circuit applies
+    unchanged at the GRAM grain: build a deterministic Bloom bitmap
+    relation over the history's distinct gram hashes
+    (``membership.bloom_build``), probe each DISTINCT batch gram
+    (``membership.bloom_probe``), and let only the maybe-seen slice —
+    true duplicated grams plus the filter's FPR — pay the exact
+    verify join. Definitely-new grams (the overwhelming majority of a
+    healthy batch) never shuffle against history at all.
+
+    EXACTNESS is preserved, not approximated: the Bloom has no false
+    negatives by construction, so every truly-shared gram reaches the
+    exact verify, and false positives are rejected there — the
+    matched-span set is provably identical to the plain exact join
+    (pinned by tests/test_round11_ops.py against the
+    ``span_contamination``-style direct join on adversarial input).
+    The DuckDB oracle is therefore plain exact SQL; the bitmap is
+    invisible to semantics.
+
+    Scale shape: grams hash to md5 map-side (32-byte keys, raw
+    n-token windows never shuffle); the probe explodes k=3 bit
+    positions per DISTINCT gram and joins the (word, bits) bitmap
+    relation on ``word`` (m_bits/64 rows — AQE broadcasts it while
+    small; co-partitioned at the 2^33-bit scale); the verify join and
+    the span-coverage distinct-count run only on matched grams, so
+    the position explode is O(duplicated tokens), not O(corpus) —
+    the span_contamination doctrine.
+
+    Output per batch doc (>= n tokens): n_tokens, n_grams,
+    n_dup_grams (exact-verified gram positions shared with history),
+    covered_tokens (union of their n-token spans), dup_frac,
+    is_flagged (integer cross-multiplication at ``flag_pct``%).
+    """
+    from .membership import bloom_build, bloom_probe
+
+    arr = _ws_tokens(text_col)
+    docs = df.select(
+        F.col(id_col),
+        arr.alias("arr"),
+        F.size(arr).cast("long").alias("n_tokens"),
+    ).where(F.size(F.col("arr")) >= n)
+    grams = docs.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice("arr", i, n))).alias("g"),
+                ),
+            )
+        ).alias("ig"),
+    ).select(
+        id_col, "n_tokens", F.col("ig.i").alias("i"), F.col("ig.g").alias("g")
+    )
+    hist = (
+        grams.where(F.col(id_col) % history_mod == 0).select("g").distinct()
+    )
+    batch = grams.where(F.col(id_col) % history_mod != 0)
+    bloom = bloom_build(hist, "g", m_bits=m_bits, k=k)
+    maybe = (
+        bloom_probe(
+            batch.select("g").distinct(),
+            bloom,
+            key_col="g",
+            id_col="g",
+            m_bits=m_bits,
+            k=k,
+        )
+        .where(F.col("bloom_member"))
+        .select("g")
+    )
+    # exact verify: only the maybe-seen grams meet the history set
+    dup_g = maybe.join(hist, on="g")
+    matched = batch.join(dup_g, on="g").select(id_col, "i")
+    counts = batch.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    n_dup = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        matched.select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0))
+    return (
+        counts.join(n_dup, on=id_col, how="left")
+        .join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            nd.alias("n_dup_grams"),
+            cov.alias("covered_tokens"),
+            (cov.cast("double") / F.col("n_tokens").cast("double")).alias(
+                "dup_frac"
+            ),
+            (cov * 100 >= F.col("n_tokens") * flag_pct)
+            .cast("int")
+            .alias("is_flagged"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

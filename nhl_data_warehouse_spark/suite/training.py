@@ -2125,6 +2125,78 @@ def substring_span_contamination_50g(
 
 
 @register(
+    "bloom_13g_substring_dedup",
+    op_ids="beyond-reference Bloom-accelerated exact substring dedup "
+    "at the 13-gram grain (RefinedWeb/CCNet recipe, VERDICT r10 item "
+    "5 — the incremental batch-vs-history twin of the 50-gram "
+    "decontamination): history's distinct gram md5s build a "
+    "deterministic (word,bits) Bloom bitmap relation; each DISTINCT "
+    "batch gram probes it narrow (k=3 positions, word-keyed bitmap "
+    "join), and ONLY the maybe-seen slice pays the exact verify join "
+    "— no false negatives, so the matched-span set is provably "
+    "identical to the plain exact join and the oracle is plain SQL; "
+    "span coverage via COUNT(DISTINCT position), matched grams only "
+    "explode",
+    description="batch docs (odd doc_id) scored by the fraction of "
+    "their tokens covered by some 13-gram appearing verbatim in the "
+    "even-doc_id history half — Bloom prefilter, exact verdicts; "
+    "flag at 20% token coverage",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS arr
+            FROM documents
+        ),
+        long_docs AS (
+            SELECT doc_id, arr, len(arr) AS n_tokens
+            FROM docs WHERE len(arr) >= 13
+        ),
+        grams AS (
+            SELECT doc_id, n_tokens, i,
+                   md5(array_to_string(list_slice(arr, i, i + 12), ' ')) AS g
+            FROM long_docs,
+                 LATERAL (SELECT unnest(generate_series(1, len(arr) - 12)) AS i)
+        ),
+        hist AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+        batch AS (SELECT * FROM grams WHERE doc_id % 2 <> 0),
+        counts AS (
+            SELECT doc_id, MAX(n_tokens) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM batch GROUP BY doc_id
+        ),
+        matched AS (SELECT doc_id, i FROM batch JOIN hist USING (g)),
+        ndup AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+            FROM matched GROUP BY doc_id
+        ),
+        covered AS (
+            SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS covered_tokens
+            FROM matched,
+                 LATERAL (SELECT unnest(generate_series(i, i + 12)) AS pos)
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n_tokens, c.n_grams,
+               COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+               COALESCE(v.covered_tokens, 0) AS covered_tokens,
+               CAST(COALESCE(v.covered_tokens, 0) AS DOUBLE)
+                   / CAST(c.n_tokens AS DOUBLE) AS dup_frac,
+               CAST(COALESCE(v.covered_tokens, 0) * 100 >= c.n_tokens * 20
+                    AS INT) AS is_flagged
+        FROM counts c
+        LEFT JOIN ndup d USING (doc_id)
+        LEFT JOIN covered v USING (doc_id)
+    """,
+)
+def bloom_13g_substring_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return text.bloom_span_dedup(
+        documents, n=13, history_mod=2, flag_pct=20, m_bits=1 << 20, k=3
+    )
+
+
+@register(
     "source_mix_entropy_by_lang",
     op_ids="beyond-reference corpus-diversity gate: per-language "
     "Shannon entropy (and perplexity = effective source count) of "

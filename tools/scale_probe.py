@@ -213,6 +213,15 @@ PROBES = [
     # Youden threshold: identical shape to the AP eval (descending
     # cell sweep + all-integer argmax) — ~linear scan, flat tail
     "youden_threshold_select",
+    # round-11: Bloom-accelerated 13-gram substring dedup (gram
+    # explode is ~linear in tokens; the bitmap build/probe are
+    # word-keyed aggregates over a FIXED 2^20-bit filter, and only
+    # maybe-seen grams pay the exact verify — replication with
+    # remapped doc ids multiplies gram instances linearly while the
+    # distinct-gram probe grain grows only with new grams, so expect
+    # ~linear with a sublinear probe/verify tail; rising FPR from a
+    # fuller filter only widens the verify slice, never the answer)
+    "bloom_13g_substring_dedup",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
