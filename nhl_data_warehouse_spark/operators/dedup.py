@@ -775,6 +775,86 @@ def simhash(
     )
 
 
+def simhash_band_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRING — the join the ``simhash``
+    sketch exists for (the sketch query only computes the per-doc
+    fingerprint): all pairs of documents whose ``bits``-bit simhashes
+    differ in at most ``max_hamming`` bits, WITHOUT an all-pairs
+    comparison. The Manku/Google dedup recipe: split the sketch into
+    ``bands`` contiguous bit-bands; by pigeonhole, two sketches with
+    Hamming distance <= bands-1 agree EXACTLY on at least one band,
+    so an equi-join on (band index, band bits) finds every qualifying
+    pair (completeness requires ``max_hamming <= bands - 1``,
+    asserted) and a cheap ``bit_count(xor)`` verify rejects the false
+    candidates. Exact — the oracle is the naive all-pairs join.
+
+    Scale shape: sketches are one narrow map (``simhash``); each doc
+    explodes to ``bands`` (band, key) rows; candidates come from a
+    band-keyed self-equi-join — the LSH band-bucket shape, never a
+    cartesian. Bucket population is n / 2^(bits/bands) per band key
+    in expectation: at the suite's 32-bit/4-band setting that is
+    n/256; a production 64-bit sketch with 16-bit bands bounds it to
+    n/65536 (the same knob as MinHash-LSH band width). Verify cost is
+    one integer xor per candidate. Duplicate SKETCHES (exact dups)
+    concentrate in one bucket by design — run exact dedup first, or
+    cap with the LSH star-cap pattern if exact dups are expected.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, one row per
+    qualifying pair.
+    """
+    assert max_hamming <= bands - 1, "pigeonhole completeness bound"
+    assert bits % bands == 0
+    width = bits // bands
+    sk = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    mask = (1 << width) - 1
+    keyed = sk.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sk"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._key") == F.col("b._key"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sk").alias("sk_a"),
+            F.col("b._sk").alias("sk_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+        .cast("long")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def dup_chunk_stats(
     df: DataFrame,
     id_col: str = "doc_id",

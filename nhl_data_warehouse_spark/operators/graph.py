@@ -280,6 +280,92 @@ def cooccurrence_pairs(
     return counts
 
 
+def degree_assortativity(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman's r) of the
+    co-occurrence projection graph: the Pearson correlation of the
+    endpoint DEGREES over the edge list — do well-connected items
+    link to other hubs (r > 0, assortative) or to the periphery
+    (r < 0, disassortative, the hub-and-spoke signature)? The one
+    scalar that summarizes whether a near-dup/co-occurrence graph is
+    a few giant stars (dedup clusters that will chain badly) or a
+    flat mesh — checked before running connected components at scale.
+
+    Edges are item pairs sharing >= ``min_shared`` groups (the
+    ``neighbor_jaccard`` pruning), degrees counted WITHIN that graph.
+    Exactness: over the directed edge list (each undirected edge in
+    both orientations, M = 2m rows) symmetry gives Sx = Sy and
+    Sxx = Syy, so r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) with every sum
+    an exact integer accumulated in DECIMAL(38,0) — numerator and
+    denominator cast to double once, ONE final division. Degenerate
+    graphs (no edges, or all degrees equal => zero denominator) emit
+    explicit NULL.
+
+    Scale shape: the projection self-join co-partitions on the group
+    key (cap oversized groups upstream, the cooccurrence_pairs
+    doctrine); degrees are one map-side-combined aggregate on the
+    node key; the degree lookup is two node-keyed equi-joins; the
+    moment reduction is one bounded aggregate. No window, no
+    all-pairs beyond the capped projection.
+    """
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    edges = (
+        items.join(
+            items.select("_g", F.col("_i").alias("_j")), on="_g"
+        )
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .where(F.col("_ng") >= min_shared)
+        .select("_i", "_j")
+    )
+    directed = edges.unionByName(
+        edges.select(F.col("_j").alias("_i"), F.col("_i").alias("_j"))
+    )
+    deg = directed.groupBy(F.col("_i").alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    du = deg.select(F.col("_n").alias("_i"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_n").alias("_j"), F.col("_d").alias("_dv"))
+    moments = (
+        directed.join(du, on="_i")
+        .join(dv, on="_j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m2"),
+            F.sum(F.col("_du").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sx"),
+            F.sum(
+                F.col("_du").cast("decimal(38,0)") * F.col("_dv")
+            )
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(
+                F.col("_du").cast("decimal(38,0)") * F.col("_du")
+            )
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return moments.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        F.expr("CAST(m2 DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CASE WHEN m2 = 0 OR m2 * sxx - sx * sx = 0"
+            " THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)"
+            " / CAST(m2 * sxx - sx * sx AS DOUBLE) END"
+        ).alias("assortativity"),
+    )
+
+
 def association_rules(
     df: DataFrame,
     group_col: str,

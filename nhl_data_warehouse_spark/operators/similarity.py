@@ -1133,6 +1133,106 @@ def ivf_recall_at_k(
     )
 
 
+def matryoshka_recall_at_k(
+    embeddings: DataFrame,
+    prefix_dim: int = 16,
+    k: int = 10,
+    sample_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine search against the
+    full-dimension exact scan — the Matryoshka/MRL evaluation: if the
+    first ``prefix_dim`` coordinates preserve the neighborhood
+    structure, an index can store/search the short prefix (4x less
+    memory and bandwidth at 16 of 64 dims) and re-rank the shortlist
+    with full vectors; this reports exactly what that truncation
+    costs in recall, per sampled query. The decision gate before
+    adopting prefix-dim ANN at 100 TB — where vector bytes, not
+    compute, dominate the bill.
+
+    Architecture mirrors ``ivf_recall_at_k``: both arms broadcast
+    only the deterministic query sample (``id % sample_mod == 0``) —
+    map-side scans, no shuffle of the corpus; per-side norms (full
+    and prefix) fold once per row, never per pair; cosines round 6dp
+    (the suite's cosine rule) with id-ascending tie-break, so both
+    top-k sets are exactly reproducible cross-engine. Declared eval
+    baseline: the brute-force arms are the measurement, the
+    production path is the bucketed/IVF family.
+    """
+    import pyspark.sql.window as W
+
+    pre = F.slice(F.col(vec_col), 1, prefix_dim)
+    corpus = (
+        embeddings.withColumn("_nv", _norm(F.col(vec_col)))
+        .withColumn("_pv", pre)
+        .withColumn("_np", _norm(pre))
+    )
+    qs = corpus.filter((F.col(id_col) % sample_mod) == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qe"),
+        F.col("_nv").alias("_nq"),
+        F.col("_pv").alias("_qp"),
+        F.col("_np").alias("_nqp"),
+    )
+    full_cos = (
+        F.round(
+            _dot(F.col(vec_col), F.col("_qe")) / (F.col("_nv") * F.col("_nq")),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("_cos")
+    pre_cos = (
+        F.round(
+            _dot(F.col("_pv"), F.col("_qp")) / (F.col("_np") * F.col("_nqp")),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("_cos")
+    w = W.Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    exact_top = (
+        corpus.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, full_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", id_col)
+    )
+    trunc_top = (
+        corpus.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, pre_cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        # distinct names keep the arm join unambiguous (both arms
+        # share corpus lineage — the ivf_recall_at_k note)
+        .select(
+            F.col("query_id").alias("_q2"), F.col(id_col).alias("_hit_id")
+        )
+    )
+    return (
+        exact_top.join(
+            trunc_top,
+            (F.col("query_id") == F.col("_q2"))
+            & (F.col(id_col) == F.col("_hit_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit_id").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.round(F.col("n_hit") / F.col("n_exact"), 6) + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def gram_power_step(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -137,6 +137,299 @@ def ks_two_sample(
     )
 
 
+def split_conformal_coverage(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Split-conformal prediction interval + empirical coverage — the
+    distribution-free calibration gate: on a content-addressed
+    calibration half, take the k-th smallest nonconformity score with
+    k = ceil((1-alpha)(n_cal+1)) as the interval half-width q; then
+    the interval [yhat - q, yhat + q] covers a fresh point with
+    probability >= 1-alpha with NO distributional assumption
+    (exchangeability only). The eval half reports the realized
+    coverage — the number every conformal deployment monitors.
+
+    All-integer determinism: the split is md5(id) (content-addressed,
+    no RNG); the predictor is the calibration mean kept as the exact
+    RATIONAL s/n, so the nonconformity score |v - s/n| scales to the
+    integer numerator |v_cents*n - s| (DECIMAL(38,0) products — no
+    overflow at row scale); k is exact integer ceil-division; the
+    threshold q_num is an integer ORDER STATISTIC read off the
+    residual-cell histogram (min cell whose inclusive cumulative
+    count reaches k); eval coverage is an integer comparison per row
+    and one final division. Degenerate k > n_cal means an infinite
+    interval: coverage 1.0 by convention, q NULL.
+
+    Scale shape: residual cells inherit the BOUNDED cents grain
+    (r_num = |c*n - s| is a per-cell transform of the value
+    histogram, so cell count is bounded by the value RANGE, not
+    rows); the only windows run over that bounded cell relation (the
+    ks_two_sample contract). Two map-side-combined histograms, two
+    broadcast scalar joins, one bounded window.
+    """
+    v_c = F.round(F.col(value_col) * scale).cast("long")
+    half = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        v_c.alias("c"), half.alias("is_cal")
+    )
+    cal_hist = (
+        base.where("is_cal").groupBy("c").agg(F.count(F.lit(1)).alias("nv"))
+    )
+    eval_hist = (
+        base.where(~F.col("is_cal"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    cal_tot = cal_hist.agg(
+        F.sum("nv").cast("long").alias("n_cal"),
+        F.sum(F.col("c") * F.col("nv")).cast("decimal(38,0)").alias("s_cal"),
+    )
+    den_minus = alpha_den - alpha_num
+    k_expr = F.expr(
+        f"CAST(({den_minus} * (n_cal + 1) + {alpha_den} - 1)"
+        f" DIV {alpha_den} AS BIGINT)"
+    )
+    r_num = F.abs(
+        F.col("c").cast("decimal(38,0)") * F.col("n_cal") - F.col("s_cal")
+    ).cast("decimal(38,0)")
+    r_hist = (
+        cal_hist.crossJoin(F.broadcast(cal_tot))
+        .select(r_num.alias("r"), "nv")
+        .groupBy("r")
+        .agg(F.sum("nv").alias("rnv"))
+    )
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = r_hist.select("r", F.sum("rnv").over(w).alias("rcum"))
+    thr = (
+        cum.crossJoin(F.broadcast(cal_tot.select("n_cal")))
+        .where(F.col("rcum") >= k_expr)
+        .agg(F.min("r").alias("q_num"))
+    )
+    ev = (
+        eval_hist.crossJoin(F.broadcast(cal_tot))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "nv",
+            (r_num <= F.col("q_num")).alias("is_cov"),
+        )
+        .agg(
+            F.sum("nv").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("is_cov"), F.col("nv")).otherwise(0))
+            .cast("long")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        cal_tot.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "n_cal",
+            "n_eval",
+            k_expr.alias("k_rank"),
+            F.expr(
+                "CASE WHEN q_num IS NULL THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(q_num AS DOUBLE)"
+                f" / (CAST(n_cal AS DOUBLE) * {float(scale)}) END"
+            ).alias("q_hat"),
+            F.expr(
+                "CASE WHEN n_eval IS NULL OR n_eval = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                " WHEN q_num IS NULL THEN 1.0"
+                " ELSE CAST(n_cov AS DOUBLE) / CAST(n_eval AS DOUBLE) END"
+            ).alias("coverage"),
+        )
+    )
+
+
+def jsd_category_pairs(
+    df: DataFrame,
+    slice_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of
+    slices over their CATEGORY distributions — the symmetric, bounded
+    (<= ln 2) divergence a corpus pipeline uses to answer "which
+    sources disagree about the language mix" (PSI/KS compare two
+    snapshots of one numeric column; this compares all slice pairs of
+    one categorical column; ``source_mix_entropy_by_lang`` scores
+    each slice alone).
+
+    JSD(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2. Zero-mass
+    categories contribute 0 to their side's KL (0*ln0 = 0 — the CASE
+    guard), and M > 0 whenever the term is live, so no division by
+    zero exists.
+
+    Determinism doctrine: shares are single divisions of exact
+    counts, each ln is 6dp-rounded (the rounded-ln rule), per-pair
+    terms fold in CATEGORY order over the BOUNDED (slice x category)
+    grid (sort_array + aggregate == DuckDB SUM(term ORDER BY cat)),
+    -0.0 guarded with + 0.0.
+
+    Scale shape: one map-side-combined (slice, category) count, one
+    slice-grain total, a slice-PAIR x category grid join — all grains
+    bounded by |slices| and |categories|, never by rows. The pair
+    grid is |slices|^2/2 rows; for thousands of slices cap or bucket
+    upstream (documented, the copurchase group_cap doctrine).
+    """
+    c = df.groupBy(
+        F.col(slice_col).alias("s"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("s").agg(F.sum("n").cast("long").alias("ns"))
+    pairs = (
+        t.select(F.col("s").alias("source_a"), F.col("ns").alias("n_a"))
+        .join(
+            t.select(F.col("s").alias("source_b"), F.col("ns").alias("n_b")),
+            on=F.col("source_a") < F.col("source_b"),
+        )
+    )
+    cats = c.select(F.col("cat")).distinct()
+    grid = pairs.crossJoin(cats)
+    ca = c.select(
+        F.col("s").alias("source_a"),
+        F.col("cat"),
+        F.col("n").alias("na_c"),
+    )
+    cb = c.select(
+        F.col("s").alias("source_b"),
+        F.col("cat"),
+        F.col("n").alias("nb_c"),
+    )
+    joined = (
+        grid.join(ca, on=["source_a", "cat"], how="left")
+        .join(cb, on=["source_b", "cat"], how="left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "cat",
+            F.coalesce("na_c", F.lit(0)).alias("na_c"),
+            F.coalesce("nb_c", F.lit(0)).alias("nb_c"),
+        )
+    )
+    term = F.expr(
+        "0.5 * ("
+        " CASE WHEN na_c > 0 THEN"
+        "  (CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        "  * round(ln((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        "             / ((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        "                 + CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        "                / 2.0)), 6)"
+        " ELSE 0.0 END"
+        " + CASE WHEN nb_c > 0 THEN"
+        "  (CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        "  * round(ln((CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        "             / ((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        "                 + CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        "                / 2.0)), 6)"
+        " ELSE 0.0 END)"
+    )
+    folded = (
+        joined.select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.struct(F.col("cat"), term.alias("term")).alias("ct"),
+        )
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.sort_array(F.collect_list("ct")).alias("ts"))
+    )
+    return folded.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        (
+            F.aggregate(
+                F.transform("ts", lambda s: s["term"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + 0.0
+        ).alias("jsd"),
+    )
+
+
+def wasserstein_two_sample(
+    df: DataFrame,
+    value_col: str,
+    is_group1: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample 1-Wasserstein (earth-mover) distance W1 =
+    integral |F1(x) - F2(x)| dx — the INTEGRAL companion to
+    ``ks_two_sample``'s sup: KS fires on any localized gap, W1 weighs
+    drift by how much mass moved how far, which is what a
+    distribution-shift gate between corpus snapshots actually wants
+    to threshold (a 1-cent shift of everything and a 10-dollar shift
+    of 0.1% have the same KS but 1000x different W1).
+
+    Exactness: over the fixed-point cell grain the ECDFs are step
+    functions, so the integral is the finite sum over consecutive
+    cells of |cum1*n2 - cum2*n1| * (next_c - c) — every term an exact
+    integer cross-product times an integer gap, accumulated in
+    DECIMAL(38,0) (per-term products pass 2^63 at row scale; decimal
+    summation is order-free), and the statistic is ONE final division
+    by n1*n2*scale, emitted in original value units. Empty sides give
+    explicit NULL.
+
+    Scale shape: same as KS — one map-side-combined cents histogram,
+    one window over the BOUNDED cell grain (cells are bounded by the
+    value RANGE times scale, not by rows — the documented
+    bounded-grain contract; cum and lead share one WindowExec), one
+    bounded aggregate. Nothing row-scale passes the window.
+    """
+    hist = _cents_histogram(df, value_col, is_group1, scale).select(
+        "c", "n1v", (F.col("nv") - F.col("n1v")).alias("n2v")
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("c")
+    cum = hist.select(
+        "c",
+        F.sum("n1v").over(w).alias("cum1"),
+        F.sum("n2v").over(w).alias("cum2"),
+        F.lead("c").over(wl).alias("cnext"),
+    )
+    tot = cum.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    num = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cnext").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                ).cast("decimal(38,0)")
+                * (F.col("cnext") - F.col("c")).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("wnum"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+    )
+    return num.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(COALESCE(wnum, 0) AS DOUBLE)"
+            f" / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * {float(scale)})"
+            " END"
+        ).alias("w1_dist"),
+    )
+
+
 def rank_auc(
     df: DataFrame,
     score_col: str,

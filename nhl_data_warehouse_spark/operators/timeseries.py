@@ -744,6 +744,84 @@ def autocorrelation(
     )
 
 
+def seasonal_naive_backtest(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    season: int = 7,
+    split_date: str = "1997-01-01",
+    scale: int = 100,
+) -> DataFrame:
+    """Forecast-quality gate: MASE and sMAPE of the seasonal-naive
+    forecast (f(d) = y(d - season)) on a train/eval date split — the
+    standard backtest a pipeline runs BEFORE trusting any fancier
+    model, and the denominator convention (MASE scales eval error by
+    the train-period naive error) every forecasting benchmark uses.
+    MASE < 1 means the candidate beats persistence; this operator
+    scores persistence itself so the threshold is calibrated on the
+    actual series.
+
+    Determinism: daily totals are exact integer cents; the forecast
+    join is an equi-join on the shifted DATE key (no window at all —
+    day d meets day d-season by key, so gaps self-exclude
+    identically on both engines); absolute errors are integers; MASE
+    is one fixed-order double expression of four exact integers.
+    sMAPE terms 2|e|/(y+f) are per-day single divisions rounded 12dp
+    and summed as DECIMAL (the average_precision order-free recipe),
+    zero-denominator days contribute 0 by convention. Degenerate
+    splits (empty train/eval, zero train error) emit explicit NULLs.
+
+    Scale shape: one map-side-combined day-grain aggregate, one
+    day-keyed equi-join (bounded by the date span), one bounded
+    aggregate. Nothing row-scale crosses a window.
+    """
+    daily = df.groupBy(F.col(date_col).cast("date").alias("d")).agg(
+        F.sum(F.round(F.col(value_col) * scale).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    fc = daily.select(
+        F.date_add("d", season).alias("d"), F.col("v").alias("f")
+    )
+    j = daily.join(fc, on="d")
+    e = F.abs(F.col("v") - F.col("f"))
+    is_eval = F.col("d") >= F.lit(split_date).cast("date")
+    sm_term = (
+        F.when(
+            (F.col("v") + F.col("f")) > 0,
+            F.round(
+                F.lit(2.0)
+                * e.cast("double")
+                / (F.col("v") + F.col("f")).cast("double"),
+                12,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(28,12)")
+    )
+    agg = j.agg(
+        F.sum(F.when(~is_eval, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
+        F.sum(F.when(~is_eval, e)).cast("long").alias("ae_train"),
+        F.sum(F.when(is_eval, e)).cast("long").alias("ae_eval"),
+        F.sum(F.when(is_eval, sm_term)).cast("decimal(38,12)").alias("sm_dec"),
+    )
+    return agg.select(
+        "n_train",
+        "n_eval",
+        F.expr(
+            "CASE WHEN n_train = 0 OR n_eval = 0 OR ae_train = 0"
+            " THEN CAST(NULL AS DOUBLE)"
+            " ELSE (CAST(ae_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))"
+            " / (CAST(ae_train AS DOUBLE) / CAST(n_train AS DOUBLE)) END"
+        ).alias("mase"),
+        F.expr(
+            "CASE WHEN n_eval = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE CAST(sm_dec AS DOUBLE) / CAST(n_eval AS DOUBLE) END"
+        ).alias("smape"),
+    )
+
+
 def dow_seasonal_anomalies(
     df: DataFrame,
     time_col: str,

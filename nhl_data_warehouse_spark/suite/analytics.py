@@ -715,6 +715,62 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_assortativity",
+    op_ids="beyond-reference graph topology gate: Newman degree "
+    "assortativity r of the co-purchase projection (edges = part "
+    "pairs sharing >= 2 orders, the neighbor_jaccard pruning) — "
+    "hub-to-hub vs hub-to-periphery in ONE scalar, the "
+    "will-components-chain check before clustering; exact: over the "
+    "doubled directed edge list Sx=Sy/Sxx=Syy by symmetry, so r = "
+    "(M*Sxy - Sx^2)/(M*Sxx - Sx^2) from DECIMAL(38,0) integer sums, "
+    "one final division, NULL on degenerate graphs",
+    description="degree assortativity of the part co-purchase graph "
+    "(>= 2 shared orders): node count, edge count, Newman r",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        directed AS (
+            SELECT i, j FROM edges
+            UNION ALL SELECT j AS i, i AS j FROM edges
+        ),
+        deg AS (SELECT i AS n, CAST(COUNT(*) AS BIGINT) AS d
+                FROM directed GROUP BY 1),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                   SUM(CAST(du.d AS HUGEINT)) AS sx,
+                   SUM(CAST(du.d AS HUGEINT) * dv.d) AS sxy,
+                   SUM(CAST(du.d AS HUGEINT) * du.d) AS sxx
+            FROM directed e
+            JOIN deg du ON du.n = e.i
+            JOIN deg dv ON dv.n = e.j
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes,
+               CAST(m2 // 2 AS BIGINT) AS n_edges,
+               CASE WHEN m2 = 0 OR m2 * sxx - sx * sx = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+                         / CAST(m2 * sxx - sx * sx AS DOUBLE)
+               END AS assortativity
+        FROM m CROSS JOIN nn
+    """,
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return graph.degree_assortativity(
+        lineitem, group_col="l_orderkey", item_col="l_partkey", min_shared=2
+    )
+
+
+@register(
     "neighbor_jaccard_pairs",
     op_ids="beyond-reference bipartite node similarity (Jaccard of "
     "order sets — the degree-normalized co-occurrence that surfaces "

@@ -506,6 +506,152 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_value_coverage",
+    op_ids="beyond-reference distribution-free calibration gate: "
+    "split-conformal interval + empirical coverage — k-th smallest "
+    "nonconformity on a content-addressed md5 calibration half (k = "
+    "ceil(0.9*(n+1)) by exact integer ceil-division), realized "
+    "coverage on the eval half. All-integer: the predictor is the "
+    "exact RATIONAL calibration mean, so scores scale to integer "
+    "numerators |c*n - s| over the BOUNDED cents cell grain, the "
+    "threshold is an integer order statistic off the residual-cell "
+    "histogram, coverage an integer comparison + ONE division",
+    description="90% split-conformal interval on event values "
+    "(md5(event_id) split): calibration/eval sizes, rank k, interval "
+    "half-width q, and realized eval coverage",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS is_cal
+            FROM events WHERE value IS NOT NULL
+        ),
+        calh AS (SELECT c, COUNT(*) AS nv FROM base WHERE is_cal GROUP BY 1),
+        evh AS (SELECT c, COUNT(*) AS nv FROM base WHERE NOT is_cal
+                GROUP BY 1),
+        ct AS (
+            SELECT CAST(SUM(nv) AS BIGINT) AS n_cal,
+                   SUM(CAST(c AS HUGEINT) * nv) AS s_cal
+            FROM calh
+        ),
+        kk AS (
+            SELECT CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k,
+                   n_cal, s_cal
+            FROM ct
+        ),
+        rh AS (
+            SELECT ABS(CAST(c AS HUGEINT) * ct.n_cal - ct.s_cal) AS r,
+                   SUM(nv) AS rnv
+            FROM calh CROSS JOIN ct GROUP BY 1
+        ),
+        cum AS (
+            SELECT r, SUM(rnv) OVER (ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS rcum
+            FROM rh
+        ),
+        thr AS (
+            SELECT MIN(r) AS q_num FROM cum CROSS JOIN kk WHERE rcum >= kk.k
+        ),
+        ev AS (
+            SELECT CAST(SUM(nv) AS BIGINT) AS n_eval,
+                   CAST(SUM(CASE WHEN ABS(CAST(c AS HUGEINT) * kk.n_cal
+                                          - kk.s_cal) <= thr.q_num
+                                 THEN nv ELSE 0 END) AS BIGINT) AS n_cov
+            FROM evh CROSS JOIN kk CROSS JOIN thr
+        )
+        SELECT kk.n_cal, ev.n_eval, kk.k AS k_rank,
+               CASE WHEN q_num IS NULL THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(q_num AS DOUBLE)
+                         / (CAST(kk.n_cal AS DOUBLE) * 100.0)
+               END AS q_hat,
+               CASE WHEN n_eval IS NULL OR n_eval = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    WHEN q_num IS NULL THEN 1.0
+                    ELSE CAST(n_cov AS DOUBLE) / CAST(n_eval AS DOUBLE)
+               END AS coverage
+        FROM kk CROSS JOIN thr CROSS JOIN ev
+    """,
+)
+def conformal_value_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        split_conformal_coverage,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return split_conformal_coverage(
+        events, id_col="event_id", value_col="value",
+        alpha_num=1, alpha_den=10,
+    )
+
+
+@register(
+    "wasserstein_value_drift",
+    op_ids="beyond-reference earth-mover drift gate: exact two-sample "
+    "1-Wasserstein distance — the INTEGRAL companion to the KS sup "
+    "(W1 weighs drift by mass moved x distance moved; a 1-cent shift "
+    "of everything and a 10-dollar shift of 0.1% tie on KS but "
+    "differ 1000x on W1): ECDFs are steps over the cents grain, so "
+    "W1 is a finite sum of integer cross-products x integer gaps "
+    "accumulated in DECIMAL(38,0) (order-free), ONE final division; "
+    "bounded cell-grain window shared by cum and lead",
+    description="click-vs-view event value distributions: exact W1 "
+    "(earth-mover) distance in value units over the cents histogram",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT c, SUM(is1) AS n1v, COUNT(*) - SUM(is1) AS n2v
+            FROM vals GROUP BY c
+        ),
+        cum AS (
+            SELECT c,
+                   SUM(n1v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum1,
+                   SUM(n2v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum2,
+                   LEAD(c) OVER (ORDER BY c) AS cnext
+            FROM hist
+        ),
+        tot AS (
+            SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2
+            FROM cum
+        ),
+        num AS (
+            SELECT SUM(CAST(ABS(cum1 * tot.n2 - cum2 * tot.n1) AS HUGEINT)
+                       * (cnext - c)) AS wnum
+            FROM cum CROSS JOIN tot
+            WHERE cnext IS NOT NULL
+        )
+        SELECT tot.n1 AS n_click, tot.n2 AS n_view,
+               CASE WHEN tot.n1 = 0 OR tot.n2 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(COALESCE(wnum, 0) AS DOUBLE)
+                         / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)
+                            * 100.0)
+               END AS w1_dist
+        FROM tot CROSS JOIN num
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import wasserstein_two_sample
+
+    (events,) = load(spark, sf_dir, "events")
+    two = events.where(F.col("event_type").isin("click", "view"))
+    return wasserstein_two_sample(
+        two, "value", F.col("event_type") == "click"
+    ).select(
+        F.col("n1").alias("n_click"), F.col("n2").alias("n_view"), "w1_dist"
+    )
+
+
+@register(
     "ks_drift_by_priority",
     op_ids="beyond-reference SLICED two-sample Kolmogorov-Smirnov: "
     "one exact KS D per order priority (early-epoch vs late-epoch "
@@ -1663,6 +1809,73 @@ def cusum_drift_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grouped_cusum_peak(
         daily, "o_orderpriority", "d", "x", cents_scale=100
+    )
+
+
+@register(
+    "seasonal_naive_mase",
+    op_ids="beyond-reference forecast backtest gate: MASE + sMAPE of "
+    "the seasonal-naive forecast f(d)=y(d-7) on a train/eval date "
+    "split — the persistence baseline every forecasting benchmark "
+    "scales against, scored on the actual series. Determinism: "
+    "integer-cents day totals, the forecast is an EQUI-JOIN on the "
+    "shifted date key (no window; gaps self-exclude identically), "
+    "MASE one fixed-order double of four exact integers, sMAPE terms "
+    "rounded 12dp and summed as DECIMAL (the average_precision "
+    "order-free recipe), degenerate splits explicit NULL",
+    description="seasonal-naive(7) backtest of daily order revenue "
+    "split at 1997-01-01: train/eval day counts, MASE, sMAPE",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders GROUP BY 1
+        ),
+        j AS (
+            SELECT a.d, a.v, b.v AS f
+            FROM daily a JOIN daily b ON a.d = b.d + 7
+        ),
+        t AS (
+            SELECT
+                CAST(SUM(CASE WHEN d < DATE '1997-01-01' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_train,
+                CAST(SUM(CASE WHEN d >= DATE '1997-01-01' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_eval,
+                CAST(SUM(CASE WHEN d < DATE '1997-01-01'
+                              THEN ABS(v - f) END) AS BIGINT) AS ae_train,
+                CAST(SUM(CASE WHEN d >= DATE '1997-01-01'
+                              THEN ABS(v - f) END) AS BIGINT) AS ae_eval,
+                CAST(SUM(CASE WHEN d >= DATE '1997-01-01' THEN
+                    CAST(CASE WHEN v + f > 0
+                              THEN round(2.0 * CAST(ABS(v - f) AS DOUBLE)
+                                         / CAST(v + f AS DOUBLE), 12)
+                              ELSE 0.0 END AS DECIMAL(28,12))
+                END) AS DECIMAL(38,12)) AS sm_dec
+            FROM j
+        )
+        SELECT n_train, n_eval,
+               CASE WHEN n_train = 0 OR n_eval = 0 OR ae_train = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE (CAST(ae_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                         / (CAST(ae_train AS DOUBLE)
+                            / CAST(n_train AS DOUBLE))
+               END AS mase,
+               CASE WHEN n_eval = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(sm_dec AS DOUBLE) / CAST(n_eval AS DOUBLE)
+               END AS smape
+        FROM t
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return seasonal_naive_backtest(
+        orders, "o_orderdate", "o_totalprice", season=7,
+        split_date="1997-01-01",
     )
 
 

@@ -477,6 +477,52 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(documents, bits=16)
 
 
+@register(
+    "simhash_hamming_near_dups",
+    op_ids="beyond-reference SimHash near-dup PAIRING (Manku/Google "
+    "recipe — completes the simhash family: the sketch query only "
+    "fingerprints): 32-bit sketch split into 4 contiguous 8-bit "
+    "bands; pigeonhole guarantees hamming <= 3 pairs agree on some "
+    "band, so candidates come from a band-keyed self-equi-join "
+    "(expected n/256 per bucket; production 64-bit/16-bit bands -> "
+    "n/65536) and one bit_count(xor) verify — never all-pairs, "
+    "exact vs the naive join",
+    description="document pairs whose 32-bit simhash fingerprints "
+    "differ in at most 3 bits — banded candidate generation + exact "
+    "Hamming verify",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS tok
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   CASE WHEN strpos('89abcdef',
+                                    substring(md5(tok), b.bit + 1, 1)) > 0
+                        THEN 1 ELSE -1 END AS vote
+            FROM tokens, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        ),
+        sums AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY 1, 2),
+        sk AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)
+                        AS BIGINT) AS sh
+            FROM sums GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def simhash_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.simhash_band_near_dups(
+        documents, bits=32, bands=4, max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -2285,6 +2331,72 @@ def source_mix_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_lang_jsd_pairs",
+    op_ids="beyond-reference pairwise source-disagreement gate: "
+    "Jensen-Shannon divergence between every SOURCE PAIR over their "
+    "language distributions — symmetric and bounded (<= ln 2), the "
+    "which-sources-disagree matrix (PSI/KS compare two snapshots of "
+    "one numeric column; source_mix_entropy scores one slice alone). "
+    "Determinism: shares single divisions of exact counts, 6dp "
+    "rounded-ln per term, per-pair fold in category order over the "
+    "BOUNDED (pair x lang) grid, 0*ln0 CASE-guarded, -0.0 guarded",
+    description="JSD between each pair of document sources over "
+    "their language mix, with both doc counts — the redundancy / "
+    "complementarity matrix checked before weighting sources",
+    oracle="""
+        WITH c AS (
+            SELECT source AS s, lang AS cat, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        t AS (SELECT s, CAST(SUM(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+        pairs AS (
+            SELECT a.s AS source_a, a.ns AS n_a, b.s AS source_b, b.ns AS n_b
+            FROM t a JOIN t b ON a.s < b.s
+        ),
+        cats AS (SELECT DISTINCT cat FROM c),
+        grid AS (SELECT * FROM pairs CROSS JOIN cats),
+        j AS (
+            SELECT g.source_a, g.source_b, g.n_a, g.n_b, g.cat,
+                   COALESCE(ca.n, 0) AS na_c, COALESCE(cb.n, 0) AS nb_c
+            FROM grid g
+            LEFT JOIN c ca ON ca.s = g.source_a AND ca.cat = g.cat
+            LEFT JOIN c cb ON cb.s = g.source_b AND cb.cat = g.cat
+        ),
+        terms AS (
+            SELECT source_a, source_b, n_a, n_b, cat,
+                   0.5 * (
+                     CASE WHEN na_c > 0 THEN
+                       (CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       * round(ln((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE))
+                                  / ((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                      + CAST(nb_c AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE))
+                                     / 2.0)), 6)
+                     ELSE 0.0 END
+                     + CASE WHEN nb_c > 0 THEN
+                       (CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       * round(ln((CAST(nb_c AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                  / ((CAST(na_c AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                      + CAST(nb_c AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE))
+                                     / 2.0)), 6)
+                     ELSE 0.0 END
+                   ) AS term
+            FROM j
+        )
+        SELECT source_a, source_b, n_a, n_b,
+               SUM(term ORDER BY cat) + 0.0 AS jsd
+        FROM terms GROUP BY 1, 2, 3, 4
+    """,
+)
+def source_lang_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import jsd_category_pairs
+
+    (documents,) = load(spark, sf_dir, "documents")
+    return jsd_category_pairs(documents, slice_col="source", cat_col="lang")
+
+
+@register(
     "corpus_novelty_curve",
     op_ids="beyond-reference marginal-novelty / Heaps-law curve: "
     "docs split into 8 equal id-range batches (pure integer-DIV "
@@ -4075,6 +4187,78 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load(spark, sf_dir, "embeddings")
     return similarity.ivf_recall_at_k(
         embeddings, n_centroids=8, k=10, sample_mod=25
+    )
+
+
+@register(
+    "matryoshka_recall_eval",
+    op_ids="beyond-reference Matryoshka/MRL truncation evaluation: "
+    "recall@10 of 16-of-64-dim prefix cosine against the full-dim "
+    "exact scan over the deterministic query sample — the decision "
+    "gate before adopting prefix-dim ANN (4x less vector memory/"
+    "bandwidth) with full-dim re-rank; both arms broadcast only the "
+    "sampled queries, per-side norms folded once per row, 6dp cosine "
+    "+ id tie-break make both top-k sets engine-exact",
+    description="recall@10 per sampled query (vec_id % 25 == 0) of "
+    "cosine search on the first 16 of 64 embedding dims vs exact "
+    "full-dimension top-10",
+    oracle="""
+        WITH qs AS (SELECT vec_id AS qid, embedding AS qe
+                    FROM embeddings WHERE vec_id % 25 = 0),
+        exact_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT q.qid, e.vec_id,
+                         unnest(e.embedding) AS x, unnest(q.qe) AS y
+                  FROM embeddings e, qs q WHERE e.vec_id <> q.qid)
+            GROUP BY qid, vec_id
+        ),
+        exact_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM exact_dots) WHERE rn <= 10
+        ),
+        pre_dots AS (
+            SELECT qid, vec_id,
+                   SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                   SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                   SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nq
+            FROM (SELECT q.qid, e.vec_id,
+                         unnest(list_slice(e.embedding, 1, 16)) AS x,
+                         unnest(list_slice(q.qe, 1, 16)) AS y
+                  FROM embeddings e, qs q WHERE e.vec_id <> q.qid)
+            GROUP BY qid, vec_id
+        ),
+        pre_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(dot / (sqrt(na) * sqrt(nq)), 6) DESC,
+                                    vec_id ASC) AS rn
+                FROM pre_dots) WHERE rn <= 10
+        )
+        SELECT et.qid AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) + 0.0 AS recall_at_k
+        FROM exact_top et
+        LEFT JOIN pre_top pt ON pt.qid = et.qid AND pt.vec_id = et.vec_id
+        GROUP BY et.qid
+    """,
+)
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_recall_at_k(
+        embeddings, prefix_dim=16, k=10, sample_mod=25
     )
 
 

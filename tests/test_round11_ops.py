@@ -143,3 +143,241 @@ class TestBloomSpanDedup:
         assert len(rows) == 1
         assert rows[0]["n_grams"] == 8
         assert rows[0]["n_dup_grams"] == 0
+
+
+class TestSimhashBandNearDups:
+    def test_equals_naive_all_pairs(self, spark):
+        """Banded candidates + verify must equal the naive all-pairs
+        Hamming join over the (oracle-pinned) sketches — pigeonhole
+        completeness at max_hamming <= bands - 1."""
+        from nhl_data_warehouse_spark.operators.dedup import (
+            simhash,
+            simhash_band_near_dups,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = [(i, base + f" tail{i % 4}") for i in range(30)] + [
+            (100, "completely different content about database engines"),
+            (101, "completely different content about database engines ok"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sk = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+        want = set()
+        ids = sorted(sk)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                h = bin(sk[a] ^ sk[b]).count("1")
+                if h <= 3:
+                    want.add((a, b, h))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_band_near_dups(
+                df, bits=32, bands=4, max_hamming=3
+            ).collect()
+        }
+        assert got == want
+        assert want, "fixture should produce at least one near-dup pair"
+
+    def test_rejects_overwide_hamming(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            simhash_band_near_dups,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(AssertionError):
+            simhash_band_near_dups(df, bits=32, bands=4, max_hamming=4)
+
+
+class TestWassersteinTwoSample:
+    def test_identical_distributions_zero(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            wasserstein_two_sample,
+        )
+
+        rows = [(float(v), g) for v in (1, 2, 5, 9) for g in (0, 1)]
+        df = spark.createDataFrame(rows, "v double, g int")
+        out = wasserstein_two_sample(df, "v", F.col("g") == 1).collect()[0]
+        assert out["w1_dist"] == 0.0
+
+    def test_constant_shift_equals_shift(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            wasserstein_two_sample,
+        )
+
+        a = [(float(v), 1) for v in (1, 2, 3, 4)]
+        b = [(float(v) + 2.5, 0) for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(a + b, "v double, g int")
+        out = wasserstein_two_sample(df, "v", F.col("g") == 1).collect()[0]
+        assert abs(out["w1_dist"] - 2.5) < 1e-9
+
+    def test_empty_side_null(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import (
+            wasserstein_two_sample,
+        )
+
+        df = spark.createDataFrame([(1.0, 0), (2.0, 0)], "v double, g int")
+        out = wasserstein_two_sample(df, "v", F.col("g") == 1).collect()[0]
+        assert out["w1_dist"] is None
+
+
+class TestJsdCategoryPairs:
+    def test_identical_mix_zero_and_disjoint_ln2(self, spark):
+        import math
+
+        from nhl_data_warehouse_spark.operators.stats import jsd_category_pairs
+
+        rows = (
+            [("s1", "en")] * 3 + [("s1", "fr")] * 1
+            + [("s2", "en")] * 6 + [("s2", "fr")] * 2   # same mix as s1
+            + [("s3", "de")] * 4                        # disjoint from both
+        )
+        df = spark.createDataFrame(rows, "source string, lang string")
+        out = {
+            (r["source_a"], r["source_b"]): r["jsd"]
+            for r in jsd_category_pairs(df, "source", "lang").collect()
+        }
+        assert out[("s1", "s2")] == 0.0
+        assert abs(out[("s1", "s3")] - math.log(2)) < 1e-5
+        assert abs(out[("s2", "s3")] - math.log(2)) < 1e-5
+
+
+class TestSeasonalNaiveBacktest:
+    def test_known_small_series(self, spark):
+        """14 days, weekly pattern + known eval deviations: day 8..14
+        repeat days 1..7 except day 10 (+3.00) and day 13 (-1.00)."""
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            seasonal_naive_backtest,
+        )
+
+        base = [10.0, 12.0, 8.0, 15.0, 11.0, 9.0, 14.0]
+        rows = []
+        d0 = datetime.date(2025, 1, 1)
+        for i, v in enumerate(base):
+            rows.append((d0 + datetime.timedelta(days=i), v))
+        for i, v in enumerate(base):
+            dv = 3.0 if i == 2 else (-1.0 if i == 5 else 0.0)
+            rows.append((d0 + datetime.timedelta(days=7 + i), v + dv))
+        df = spark.createDataFrame(rows, "d date, v double")
+        out = seasonal_naive_backtest(
+            df, "d", "v", season=7, split_date="2025-01-08", scale=100
+        ).collect()[0]
+        # all 7 eval days have a d-7 ancestor; train days have none
+        assert out["n_train"] == 0 and out["n_eval"] == 7
+        assert out["mase"] is None  # no train days -> NULL
+        # sMAPE over the two deviating days only
+        sm = (2 * 300 / (1100 + 800) + 2 * 100 / (800 + 900)) / 7
+        assert abs(out["smape"] - sm) < 1e-9
+
+    def test_perfect_weekly_repeat_zero_smape(self, spark):
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import (
+            seasonal_naive_backtest,
+        )
+
+        d0 = datetime.date(2025, 1, 1)
+        rows = [
+            (d0 + datetime.timedelta(days=i), float(5 + (i % 7)))
+            for i in range(28)
+        ]
+        df = spark.createDataFrame(rows, "d date, v double")
+        out = seasonal_naive_backtest(
+            df, "d", "v", season=7, split_date="2025-01-15", scale=100
+        ).collect()[0]
+        assert out["smape"] == 0.0
+        assert out["mase"] is None  # train naive error is exactly 0
+
+
+class TestSplitConformalCoverage:
+    def test_known_threshold_and_coverage(self, spark):
+        """Craft ids so the md5 split is known, residuals enumerable."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            split_conformal_coverage,
+        )
+        import hashlib
+
+        rows = [(i, float(i % 10)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        out = split_conformal_coverage(
+            df, "id", "v", alpha_num=1, alpha_den=10
+        ).collect()[0]
+        # independent reference
+        cal = [v for i, v in rows
+               if hashlib.md5(str(i).encode()).hexdigest()[0] in "01234567"]
+        ev = [v for i, v in rows
+              if hashlib.md5(str(i).encode()).hexdigest()[0] not in "01234567"]
+        n = len(cal)
+        assert out["n_cal"] == n and out["n_eval"] == len(ev)
+        s = sum(int(round(v * 100)) for v in cal)
+        res = sorted(abs(int(round(v * 100)) * n - s) for v in cal)
+        k = (9 * (n + 1) + 9) // 10
+        assert out["k_rank"] == k
+        qn = res[k - 1]
+        assert abs(out["q_hat"] - qn / (n * 100.0)) < 1e-12
+        cov = sum(
+            1 for v in ev if abs(int(round(v * 100)) * n - s) <= qn
+        ) / len(ev)
+        assert abs(out["coverage"] - cov) < 1e-12
+        # conformal guarantee should roughly hold on iid halves
+        assert out["coverage"] >= 0.85
+
+
+class TestDegreeAssortativity:
+    def test_star_graph_is_minus_one(self, spark):
+        """A star is maximally disassortative: r = -1. Build baskets
+        so that hub-leaf pairs co-occur twice and leaves never pair:
+        each basket = (hub, leaf)."""
+        from nhl_data_warehouse_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        rows = []
+        g = 0
+        for leaf in range(1, 6):
+            for rep in range(2):  # two shared groups per edge
+                rows += [(g, 0), (g, leaf)]
+                g += 1
+        df = spark.createDataFrame(rows, "grp long, item long")
+        out = degree_assortativity(df, "grp", "item", min_shared=2).collect()[0]
+        assert out["n_nodes"] == 6 and out["n_edges"] == 5
+        assert abs(out["assortativity"] - (-1.0)) < 1e-12
+
+    def test_regular_graph_null(self, spark):
+        """All degrees equal (a 3-cycle) => zero variance => NULL."""
+        from nhl_data_warehouse_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        rows = []
+        g = 0
+        for a, b in [(1, 2), (2, 3), (1, 3)]:
+            for rep in range(2):
+                rows += [(g, a), (g, b)]
+                g += 1
+        df = spark.createDataFrame(rows, "grp long, item long")
+        out = degree_assortativity(df, "grp", "item", min_shared=2).collect()[0]
+        assert out["n_edges"] == 3
+        assert out["assortativity"] is None
+
+
+class TestMatryoshkaRecall:
+    def test_full_prefix_gives_perfect_recall(self, spark):
+        """prefix_dim == full dim makes both arms identical."""
+        from nhl_data_warehouse_spark.operators.similarity import (
+            matryoshka_recall_at_k,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = matryoshka_recall_at_k(
+            df, prefix_dim=8, k=5, sample_mod=20
+        ).collect()
+        assert out and all(r["recall_at_k"] == 1.0 for r in out)

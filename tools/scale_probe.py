@@ -213,6 +213,25 @@ PROBES = [
     # Youden threshold: identical shape to the AP eval (descending
     # cell sweep + all-integer argmax) — ~linear scan, flat tail
     "youden_threshold_select",
+    # round-11 batch 2: simhash banded near-dups (sketch is a narrow
+    # per-doc fold; candidates from a band-keyed self-join — bucket
+    # population n/256 at 32-bit/4-band, so pairs grow ~quadratically
+    # IN-BUCKET with doc replication: a data property of replicated
+    # near-identical docs, the LSH candidate class), W1 drift (one
+    # cents histogram + bounded cell window — ~linear scan, flat
+    # tail), JSD source pairs (bounded (source x lang) grid — ~linear
+    # scan, flat pair stage), seasonal-naive MASE (day-grain agg +
+    # date-keyed equi-join — ~linear, flat tail), conformal coverage
+    # (two cents histograms + bounded residual-cell window — ~linear
+    # scan, flat tail), assortativity (capped projection self-join +
+    # node-keyed degree joins — pair growth bounded by basket sizes,
+    # the copurchase class)
+    "simhash_hamming_near_dups",
+    "wasserstein_value_drift",
+    "source_lang_jsd_pairs",
+    "seasonal_naive_mase",
+    "conformal_value_coverage",
+    "copurchase_assortativity",
     # round-11: Bloom-accelerated 13-gram substring dedup (gram
     # explode is ~linear in tokens; the bitmap build/probe are
     # word-keyed aggregates over a FIXED 2^20-bit filter, and only
