@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -363,6 +364,74 @@ def degree_assortativity(
             " ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)"
             " / CAST(m2 * sxx - sx * sx AS DOUBLE) END"
         ).alias("assortativity"),
+    )
+
+
+def label_propagation(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_shared: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al.) over the co-occurrence projection — the DENSITY
+    community structure the connectivity operators cannot see:
+    connected components (``near_dup_clusters_*``) merge everything
+    reachable, LPA converges to locally-dominant labels, splitting a
+    chain of weakly-bridged dense groups into its groups. The
+    pre-clustering view a curation pipeline wants when CC returns one
+    giant component.
+
+    Determinism (LPA is notoriously order-sensitive; this form is
+    not): updates are SYNCHRONOUS (round t+1 reads only round t) for
+    a FIXED round count, the new label is the most frequent neighbor
+    label with ties broken by SMALLEST label — a total order, so the
+    result is a pure function of the graph. Labels start as the node
+    id. Fixed rounds rather than convergence detection keeps the
+    plan static (and the oracle unrollable); components shows the
+    converged-connectivity alternative.
+
+    Scale shape per round: one node-keyed equi-join (neighbor
+    labels), one map-side-combined (node, label) count, one window
+    PARTITIONED by node over per-node label counts (bounded by
+    degree). ``rounds`` is a fixed small constant — the plan is
+    ``rounds`` such stages; for big graphs localCheckpoint between
+    rounds caps lineage (the kiveris doctrine).
+    """
+    items = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    edges = (
+        items.join(items.select("_g", F.col("_i").alias("_j")), on="_g")
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .where(F.col("_ng") >= min_shared)
+        .select("_i", "_j")
+    )
+    directed = edges.unionByName(
+        edges.select(F.col("_j").alias("_i"), F.col("_i").alias("_j"))
+    )
+    labels = directed.select(F.col("_i").alias("_n")).distinct().select(
+        "_n", F.col("_n").alias("_lbl")
+    )
+    w = Window.partitionBy("_v").orderBy(
+        F.col("_cnt").desc(), F.col("_lbl").asc()
+    )
+    for _ in range(rounds):
+        nb = directed.join(
+            labels, on=F.col("_j") == F.col("_n")
+        ).select(F.col("_i").alias("_v"), "_lbl")
+        labels = (
+            nb.groupBy("_v", "_lbl")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_v").alias("_n"), "_lbl")
+        )
+    return labels.select(
+        F.col("_n").alias(item_col), F.col("_lbl").alias("community")
     )
 
 

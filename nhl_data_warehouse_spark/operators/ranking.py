@@ -35,6 +35,66 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def rrf_fuse(
+    arm_a: DataFrame,
+    score_a: str,
+    arm_b: DataFrame,
+    score_b: str,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval arms — the standard
+    hybrid-search combiner (RRF, Cormack et al.): score(d) =
+    sum over arms of 1/(k + rank_arm(d)), which needs NO score
+    calibration between arms (ranks only), which is why it is the
+    default fusion for lexical + vector hybrid retrieval. An arm that
+    did not retrieve the doc contributes 0.
+
+    Determinism: each arm is ranked by (score desc, id asc) — a total
+    order; each reciprocal is ONE division of exact small integers;
+    the fused score adds the two terms in fixed arm order; ties in
+    the fused ordering break on id. Output: the top ``top_n`` fused
+    docs with both arm ranks (NULL where an arm missed).
+
+    Scale shape: the arms arrive as ALREADY-BOUNDED top-N relations
+    (the retrieval stack's contract — e.g. ``bm25_scores(k=...)``
+    distributes its top-k via TakeOrdered), so the rank windows here
+    run over <= N rows each, the join is bounded x bounded, and the
+    final TakeOrdered is over <= 2N rows. Nothing in this operator
+    touches corpus-scale data; fusing F arms generalizes to F-1
+    bounded joins.
+    """
+    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col).asc())
+    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col).asc())
+    ra = arm_a.select(
+        F.col(id_col), F.row_number().over(wa).alias("rank_a")
+    )
+    rb = arm_b.select(
+        F.col(id_col).alias("_idb"), F.row_number().over(wb).alias("rank_b")
+    )
+    fused = ra.join(
+        rb, on=F.col(id_col) == F.col("_idb"), how="full_outer"
+    ).select(
+        F.coalesce(F.col(id_col), F.col("_idb")).alias(id_col),
+        "rank_a",
+        "rank_b",
+        (
+            F.expr(
+                f"CASE WHEN rank_a IS NULL THEN 0.0"
+                f" ELSE 1.0 / CAST({k_rrf} + rank_a AS DOUBLE) END"
+            )
+            + F.expr(
+                f"CASE WHEN rank_b IS NULL THEN 0.0"
+                f" ELSE 1.0 / CAST({k_rrf} + rank_b AS DOUBLE) END"
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(top_n)
+
+
 def ndcg_mrr_at_k(
     df: DataFrame,
     group_col: str,

@@ -248,6 +248,109 @@ def split_conformal_coverage(
     )
 
 
+def grouped_split_conformal_coverage(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-slice split-conformal intervals + coverage — the SLICED
+    twin of ``split_conformal_coverage`` (group-conditional coverage
+    is what a deployment actually needs: the marginal guarantee can
+    hide one badly-covered slice behind well-covered ones). Same
+    all-integer construction per slice; EVERY stage is keyed by the
+    slice — histograms on (g, cell), residual cells on (g, r), the
+    cumulative window PARTITIONED by g, per-slice thresholds and
+    coverage equi-joined on g — so there is NO unpartitioned stage at
+    all (the grouped_cusum_peak doctrine). Slices with no calibration
+    rows emit no row (no interval without calibration); slices with
+    no eval rows report NULL coverage.
+    """
+    v_c = F.round(F.col(value_col) * scale).cast("long")
+    half = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), v_c.alias("c"), half.alias("is_cal")
+    )
+    cal_hist = (
+        base.where("is_cal")
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    eval_hist = (
+        base.where(~F.col("is_cal"))
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    cal_tot = cal_hist.groupBy("g").agg(
+        F.sum("nv").cast("long").alias("n_cal"),
+        F.sum(F.col("c") * F.col("nv")).cast("decimal(38,0)").alias("s_cal"),
+    )
+    den_minus = alpha_den - alpha_num
+    k_expr = F.expr(
+        f"CAST(({den_minus} * (n_cal + 1) + {alpha_den} - 1)"
+        f" DIV {alpha_den} AS BIGINT)"
+    )
+    r_num = F.abs(
+        F.col("c").cast("decimal(38,0)") * F.col("n_cal") - F.col("s_cal")
+    ).cast("decimal(38,0)")
+    r_hist = (
+        cal_hist.join(cal_tot, on="g")
+        .select("g", r_num.alias("r"), "nv")
+        .groupBy("g", "r")
+        .agg(F.sum("nv").alias("rnv"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = r_hist.select("g", "r", F.sum("rnv").over(w).alias("rcum"))
+    thr = (
+        cum.join(cal_tot.select("g", "n_cal"), on="g")
+        .where(F.col("rcum") >= k_expr)
+        .groupBy("g")
+        .agg(F.min("r").alias("q_num"))
+    )
+    ev = (
+        eval_hist.join(cal_tot, on="g")
+        .join(thr, on="g", how="left")
+        .select("g", "nv", (r_num <= F.col("q_num")).alias("is_cov"))
+        .groupBy("g")
+        .agg(
+            F.sum("nv").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("is_cov"), F.col("nv")).otherwise(0))
+            .cast("long")
+            .alias("n_cov"),
+        )
+    )
+    return (
+        cal_tot.join(thr, on="g", how="left")
+        .join(ev, on="g", how="left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_cal",
+            F.coalesce("n_eval", F.lit(0)).cast("long").alias("n_eval"),
+            k_expr.alias("k_rank"),
+            F.expr(
+                "CASE WHEN q_num IS NULL THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(q_num AS DOUBLE)"
+                f" / (CAST(n_cal AS DOUBLE) * {float(scale)}) END"
+            ).alias("q_hat"),
+            F.expr(
+                "CASE WHEN n_eval IS NULL OR n_eval = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                " WHEN q_num IS NULL THEN 1.0"
+                " ELSE CAST(n_cov AS DOUBLE) / CAST(n_eval AS DOUBLE) END"
+            ).alias("coverage"),
+        )
+    )
+
+
 def jsd_category_pairs(
     df: DataFrame,
     slice_col: str,

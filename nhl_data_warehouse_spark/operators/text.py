@@ -528,6 +528,53 @@ def span_contamination(
     )
 
 
+def tf_norm_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Length-normalized term-frequency retrieval arm: score =
+    round(query-term hits / doc length, 6) — the deliberately simple
+    lexical arm used to exercise rank FUSION (``ranking.rrf_fuse``)
+    against BM25; its ranking differs from BM25's exactly where
+    BM25's saturation and idf matter, which is what makes the fused
+    list a real test. Entirely per-row expressions (token array size
+    + a filtered count — no explode, no shuffle) followed by one
+    distributed TakeOrdered; docs with zero hits drop out (they have
+    no rank in this arm).
+    """
+    arr = _ws_tokens(text_col)
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.size(arr).alias("dl"),
+            F.size(
+                F.filter(arr, lambda t: F.array_contains(terms_arr, t))
+            ).alias("tf_hits"),
+        )
+        .where((F.col("dl") > 0) & (F.col("tf_hits") > 0))
+        .select(
+            id_col,
+            "dl",
+            "tf_hits",
+            (
+                F.round(
+                    F.col("tf_hits").cast("double")
+                    / F.col("dl").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tf_norm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("tf_norm").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def bloom_span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

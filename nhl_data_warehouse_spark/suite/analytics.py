@@ -771,6 +771,65 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_propagation_communities",
+    op_ids="beyond-reference density community detection: "
+    "synchronous label propagation (Raghavan LPA) over the "
+    "co-purchase projection — the locally-dominant-label structure "
+    "connectivity clustering cannot see (CC merges everything "
+    "reachable; LPA splits weakly-bridged dense groups). "
+    "DETERMINISTIC LPA: synchronous rounds (t+1 reads only t), fixed "
+    "3 rounds, most-frequent neighbor label with smallest-label "
+    "tie-break — a pure function of the graph; per round one "
+    "node-keyed join + (node,label) combine + degree-bounded "
+    "per-node window",
+    description="community label per part after 3 synchronous LPA "
+    "rounds on the >= 2-shared-orders co-purchase graph",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        directed AS (
+            SELECT i, j FROM edges
+            UNION ALL SELECT j AS i, i AS j FROM edges
+        ),
+        l0 AS (SELECT DISTINCT i AS n, i AS lbl FROM directed),
+        r1 AS (SELECT d.i AS v, l0.lbl, COUNT(*) AS cnt
+               FROM directed d JOIN l0 ON l0.n = d.j GROUP BY 1, 2),
+        l1 AS (SELECT v AS n, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM r1) WHERE rn = 1),
+        r2 AS (SELECT d.i AS v, l1.lbl, COUNT(*) AS cnt
+               FROM directed d JOIN l1 ON l1.n = d.j GROUP BY 1, 2),
+        l2 AS (SELECT v AS n, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM r2) WHERE rn = 1),
+        r3 AS (SELECT d.i AS v, l2.lbl, COUNT(*) AS cnt
+               FROM directed d JOIN l2 ON l2.n = d.j GROUP BY 1, 2),
+        l3 AS (SELECT v AS n, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+                   FROM r3) WHERE rn = 1)
+        SELECT n AS l_partkey, lbl AS community FROM l3
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return graph.label_propagation(
+        lineitem, group_col="l_orderkey", item_col="l_partkey",
+        min_shared=2, rounds=3,
+    )
+
+
+@register(
     "neighbor_jaccard_pairs",
     op_ids="beyond-reference bipartite node similarity (Jaccard of "
     "order sets — the degree-normalized co-occurrence that surfaces "

@@ -586,6 +586,97 @@ def conformal_value_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_coverage_by_type",
+    op_ids="beyond-reference SLICED split-conformal: one interval + "
+    "realized coverage per event type (group-conditional coverage — "
+    "the marginal guarantee can hide a badly-covered slice), every "
+    "stage keyed by the slice: (g, cell) histograms, (g, r) residual "
+    "cells, cumulative window PARTITIONED by g, per-slice threshold "
+    "and coverage equi-joins — NO unpartitioned stage at all (the "
+    "grouped_cusum_peak doctrine); same all-integer construction as "
+    "the global gate",
+    description="per-event-type 90% split-conformal interval "
+    "(md5(event_id) split): calibration/eval sizes, rank k, interval "
+    "half-width, realized coverage",
+    oracle="""
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS is_cal
+            FROM events WHERE value IS NOT NULL
+        ),
+        calh AS (SELECT g, c, COUNT(*) AS nv FROM base WHERE is_cal
+                 GROUP BY 1, 2),
+        evh AS (SELECT g, c, COUNT(*) AS nv FROM base WHERE NOT is_cal
+                GROUP BY 1, 2),
+        ct AS (
+            SELECT g, CAST(SUM(nv) AS BIGINT) AS n_cal,
+                   SUM(CAST(c AS HUGEINT) * nv) AS s_cal
+            FROM calh GROUP BY 1
+        ),
+        kk AS (
+            SELECT g, n_cal, s_cal,
+                   CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k
+            FROM ct
+        ),
+        rh AS (
+            SELECT calh.g,
+                   ABS(CAST(c AS HUGEINT) * ct.n_cal - ct.s_cal) AS r,
+                   SUM(nv) AS rnv
+            FROM calh JOIN ct ON ct.g = calh.g GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g, r, SUM(rnv) OVER (PARTITION BY g ORDER BY r
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS rcum
+            FROM rh
+        ),
+        thr AS (
+            SELECT cum.g, MIN(r) AS q_num
+            FROM cum JOIN kk ON kk.g = cum.g
+            WHERE rcum >= kk.k GROUP BY 1
+        ),
+        ev AS (
+            SELECT evh.g, CAST(SUM(nv) AS BIGINT) AS n_eval,
+                   CAST(SUM(CASE WHEN ABS(CAST(c AS HUGEINT) * kk.n_cal
+                                          - kk.s_cal) <= thr.q_num
+                                 THEN nv ELSE 0 END) AS BIGINT) AS n_cov
+            FROM evh
+            JOIN kk ON kk.g = evh.g
+            LEFT JOIN thr ON thr.g = evh.g
+            GROUP BY 1
+        )
+        SELECT kk.g AS event_type, kk.n_cal,
+               CAST(COALESCE(ev.n_eval, 0) AS BIGINT) AS n_eval,
+               kk.k AS k_rank,
+               CASE WHEN q_num IS NULL THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(q_num AS DOUBLE)
+                         / (CAST(kk.n_cal AS DOUBLE) * 100.0)
+               END AS q_hat,
+               CASE WHEN ev.n_eval IS NULL OR ev.n_eval = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    WHEN q_num IS NULL THEN 1.0
+                    ELSE CAST(n_cov AS DOUBLE) / CAST(ev.n_eval AS DOUBLE)
+               END AS coverage
+        FROM kk
+        LEFT JOIN thr ON thr.g = kk.g
+        LEFT JOIN ev ON ev.g = kk.g
+    """,
+)
+def conformal_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        grouped_split_conformal_coverage,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    return grouped_split_conformal_coverage(
+        events, group_col="event_type", id_col="event_id",
+        value_col="value", alpha_num=1, alpha_den=10,
+    )
+
+
+@register(
     "wasserstein_value_drift",
     op_ids="beyond-reference earth-mover drift gate: exact two-sample "
     "1-Wasserstein distance — the INTEGRAL companion to the KS sup "

@@ -2983,6 +2983,101 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rank_fusion",
+    op_ids="beyond-reference hybrid-retrieval Reciprocal Rank Fusion "
+    "(Cormack RRF, the default lexical+vector combiner — needs no "
+    "score calibration, ranks only): BM25 top-50 fused with a "
+    "length-normalized TF top-50 arm via 1/(60+rank) + 1/(60+rank); "
+    "arms arrive as bounded top-N relations so the rank windows, "
+    "full-outer join and final TakeOrdered all run over <= 2N rows — "
+    "nothing corpus-scale inside the fusion",
+    description="top-20 fused (RRF k=60) documents for the fixed "
+    "4-term query from the BM25 arm and the TF/length arm, with both "
+    "arm ranks (NULL where an arm missed)",
+    oracle=f"""
+        WITH {_DOCS_ARR_CTE},
+        dl AS (SELECT doc_id, len(arr) AS dl FROM docs),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(len(arr)) AS sum_dl
+                  FROM docs),
+        toks AS (SELECT doc_id, unnest(arr) AS term FROM docs),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN {str(_BM25_TERMS)}
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT term,
+                   CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE)
+                                        - CAST(df_docs AS DOUBLE) + 0.5)
+                                        / (CAST(df_docs AS DOUBLE) + 0.5)), 6)
+                        AS DECIMAL(12,6)) AS idf
+            FROM (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1), stats
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   CAST(round((CAST(idf AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.2))
+                              / (CAST(tf AS DOUBLE)
+                                 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                                                 / (CAST(sum_dl AS DOUBLE)
+                                                    / CAST(n_docs AS DOUBLE)))),
+                              12) AS DECIMAL(24,12)) AS c
+            FROM tf JOIN idf USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id, stats
+        ),
+        arm_a AS (
+            SELECT doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+            FROM contrib GROUP BY 1
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+        ),
+        tfarm AS (
+            SELECT doc_id, len(arr) AS dl,
+                   len(list_filter(arr,
+                       x -> list_contains(
+                           ['spark', 'join', 'window', 'sketch'], x)))
+                       AS tf_hits
+            FROM docs
+        ),
+        arm_b AS (
+            SELECT doc_id,
+                   round(CAST(tf_hits AS DOUBLE) / CAST(dl AS DOUBLE), 6)
+                       + 0.0 AS tf_norm
+            FROM tfarm WHERE dl > 0 AND tf_hits > 0
+            ORDER BY tf_norm DESC, doc_id ASC LIMIT 50
+        ),
+        ra AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                           AS INT) AS rank_a
+               FROM arm_a),
+        rb AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY tf_norm DESC,
+                                              doc_id ASC) AS INT) AS rank_b
+               FROM arm_b),
+        f AS (
+            SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+                   (CASE WHEN rank_a IS NULL THEN 0.0
+                         ELSE 1.0 / CAST(60 + rank_a AS DOUBLE) END
+                    + CASE WHEN rank_b IS NULL THEN 0.0
+                           ELSE 1.0 / CAST(60 + rank_b AS DOUBLE) END)
+                       AS rrf_score
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        )
+        SELECT doc_id, rank_a, rank_b, rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.ranking import rrf_fuse
+
+    (documents,) = load(spark, sf_dir, "documents")
+    arm_a = text.bm25_scores(documents, list(_BM25_TERMS), k=50)
+    arm_b = text.tf_norm_scores(documents, list(_BM25_TERMS), k=50)
+    return rrf_fuse(
+        arm_a, "bm25", arm_b, "tf_norm", id_col="doc_id",
+        k_rrf=60, top_n=20,
+    )
+
+
+@register(
     "pmi_collocations",
     op_ids="beyond-reference PMI collocation mining (corpus-wide "
     "bigram vs unigram pointwise mutual information — tokenizer "

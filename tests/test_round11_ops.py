@@ -381,3 +381,139 @@ class TestMatryoshkaRecall:
             df, prefix_dim=8, k=5, sample_mod=20
         ).collect()
         assert out and all(r["recall_at_k"] == 1.0 for r in out)
+
+
+class TestRrfFuse:
+    def test_known_two_arm_fusion(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, s double"
+        )
+        b = spark.createDataFrame(
+            [(3, 0.95), (4, 0.5)], "doc_id long, s2 double"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse(a, "s", b, "s2", k_rrf=60, top_n=10).collect()
+        }
+        assert rows[3]["rank_a"] == 3 and rows[3]["rank_b"] == 1
+        assert abs(rows[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-12
+        assert rows[1]["rank_b"] is None
+        assert abs(rows[1]["rrf_score"] - 1 / 61) < 1e-12
+        assert rows[4]["rank_a"] is None
+        # doc 3 (in both arms) must outrank every single-arm doc
+        assert rows[3]["rrf_score"] > max(
+            v["rrf_score"] for k, v in rows.items() if k != 3
+        )
+
+    def test_tie_break_is_id_ascending(self, spark):
+        from nhl_data_warehouse_spark.operators.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(5, 1.0), (2, 1.0)], "doc_id long, s double"
+        )
+        b = spark.createDataFrame([(9, 1.0)], "doc_id long, s2 double")
+        rows = {
+            r["doc_id"]: r["rank_a"]
+            for r in rrf_fuse(a, "s", b, "s2").collect()
+            if r["rank_a"] is not None
+        }
+        assert rows == {2: 1, 5: 2}
+
+
+class TestGroupedConformal:
+    def test_matches_global_on_single_group(self, spark):
+        """With one slice, the grouped form must equal the global."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_split_conformal_coverage,
+            split_conformal_coverage,
+        )
+
+        rows = [(i, "only", float((i * 7) % 23)) for i in range(800)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        glob = split_conformal_coverage(df, "id", "v").collect()[0]
+        grp = grouped_split_conformal_coverage(
+            df, "g", "id", "v"
+        ).collect()[0]
+        assert grp["g"] == "only"
+        for c in ("n_cal", "n_eval", "k_rank", "q_hat", "coverage"):
+            assert grp[c] == glob[c]
+
+    def test_slices_are_independent(self, spark):
+        """A slice's interval must not see other slices' residuals:
+        adding a huge-variance slice leaves the small slice's row
+        unchanged."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            grouped_split_conformal_coverage,
+        )
+
+        small = [(i, "s", float(i % 5)) for i in range(400)]
+        big = [(10_000 + i, "b", float((i * 997) % 10_000)) for i in range(400)]
+        one = grouped_split_conformal_coverage(
+            spark.createDataFrame(small, "id long, g string, v double"),
+            "g", "id", "v",
+        ).collect()[0]
+        both = {
+            r["g"]: r
+            for r in grouped_split_conformal_coverage(
+                spark.createDataFrame(
+                    small + big, "id long, g string, v double"
+                ),
+                "g", "id", "v",
+            ).collect()
+        }
+        assert tuple(both["s"]) == tuple(one)
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_weak_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: CC would merge
+        them; 3-round deterministic LPA keeps two communities, each
+        labeled by its smallest member."""
+        from nhl_data_warehouse_spark.operators.graph import label_propagation
+
+        rows = []
+        g = 0
+
+        def clique(members):
+            nonlocal g
+            for x in members:
+                for y in members:
+                    if x < y:
+                        for _ in range(2):  # >= 2 shared groups per edge
+                            rows.append((g, x))
+                            rows.append((g, y))
+                            g += 1
+
+        clique([1, 2, 3, 4])
+        clique([10, 11, 12, 13])
+        for _ in range(2):  # the weak bridge 4-10
+            rows.append((g, 4))
+            rows.append((g, 10))
+            g += 1
+        df = spark.createDataFrame(rows, "grp long, item long")
+        out = {
+            r["item"]: r["community"]
+            for r in label_propagation(
+                df, "grp", "item", min_shared=2, rounds=3
+            ).collect()
+        }
+        assert {out[1], out[2], out[3]} == {1}
+        assert {out[11], out[12], out[13]} == {10}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import label_propagation
+
+        rows = [(g, i) for g in range(40) for i in (g % 7, (g % 7) + 7)]
+        df = spark.createDataFrame(rows, "grp long, item long")
+        a = sorted(map(tuple, label_propagation(df, "grp", "item").collect()))
+        b = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    df.repartition(13, "item"), "grp", "item"
+                ).collect(),
+            )
+        )
+        assert a == b

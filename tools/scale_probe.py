@@ -232,6 +232,16 @@ PROBES = [
     "seasonal_naive_mase",
     "conformal_value_coverage",
     "copurchase_assortativity",
+    # round-11 batch 3: RRF fusion (arms are bounded top-50
+    # relations; corpus-scale work is the arms' own scans — expect
+    # ~linear in docs from the BM25/TF arms, flat fusion tail),
+    # sliced conformal (per-type cents histograms + slice-partitioned
+    # bounded windows — ~linear scan, flat tail), and LPA communities
+    # (3 fixed rounds of node-keyed joins over the capped projection
+    # — edge growth bounded by basket sizes, the copurchase class)
+    "hybrid_rank_fusion",
+    "conformal_coverage_by_type",
+    "label_propagation_communities",
     # round-11: Bloom-accelerated 13-gram substring dedup (gram
     # explode is ~linear in tokens; the bitmap build/probe are
     # word-keyed aggregates over a FIXED 2^20-bit filter, and only
