@@ -280,6 +280,82 @@ def ewma(
     return out.drop("__kb")
 
 
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key — the
+    level+trend extension of ``ewma`` for series that drift: l_t =
+    alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1}), b_t = beta*(l_t -
+    l_{t-1}) + (1-beta)*b_{t-1}, seeded l_1 = y_1, b_1 = 0. Emits
+    the running level, trend, and the one-step forecast l + b per
+    observation — the anomaly baseline that keeps up with a trending
+    series where plain EWMA lags by a constant.
+
+    Same dispatch economics as ``ewma``: ``applyInPandas`` over
+    COARSE key buckets (per-group Python dispatch ~1 ms; the
+    recursion itself loops per key INSIDE the bucket frame in one
+    call). The two-state recursion has no pandas kernel, so it runs
+    as an explicit numpy loop — linear per key, exactly the ops of
+    the definition in order, which is what makes it bit-reproducible
+    against a plain-SQL recursion (the oracle uses a RECURSIVE CTE
+    stepping rank t -> t+1 with the identical double expressions; a
+    DuckDB list_reduce struct fold was REJECTED: its 1.0 accumulator
+    updates fields in place mid-lambda, silently corrupting any
+    recursion whose fields read each other's old values).
+
+    Alpha/beta must be FP-exact pairs (0.5/0.25 etc.) for the
+    bit-for-bit contract — the ewma caveat verbatim.
+    """
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    schema = (
+        f"{fields}, holt_level double, holt_trend double,"
+        " holt_forecast double"
+    )
+    a, bt = float(alpha), float(beta)
+
+    def smooth(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values([key_col, order_col]).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        keys = pdf[key_col].to_numpy()
+        lev = np.empty(len(pdf))
+        trd = np.empty(len(pdf))
+        prev_key = None
+        l = b = 0.0
+        for i in range(len(pdf)):
+            y = vals[i]
+            if keys[i] != prev_key:
+                l, b = y, 0.0
+                prev_key = keys[i]
+            else:
+                ln = a * y + (1.0 - a) * (l + b)
+                b = bt * (ln - l) + (1.0 - bt) * b
+                l = ln
+            lev[i] = l
+            trd[i] = b
+        pdf["holt_level"] = lev
+        pdf["holt_trend"] = trd
+        pdf["holt_forecast"] = lev + trd
+        return pdf
+
+    bucketed = df.withColumn(
+        "__kb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
+    out = bucketed.groupBy("__kb").applyInPandas(
+        smooth, f"__kb bigint, {schema}"
+    )
+    return out.drop("__kb")
+
+
 def cusum_positive(
     df: DataFrame,
     order_col: str,

@@ -1606,6 +1606,57 @@ def ewma_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_monthly_spend",
+    op_ids="beyond-reference two-state recursive smoothing (Holt "
+    "level+trend — the EWMA extension that keeps up with trending "
+    "series; unbounded-depth recursion SQL windows cannot express): "
+    "bucketed applyInPandas with an explicit per-key numpy loop, "
+    "bit-reproducible vs a RECURSIVE-CTE oracle stepping rank t->t+1 "
+    "with identical double expressions (DuckDB's list_reduce struct "
+    "fold REJECTED — its in-place accumulator corrupts multi-field "
+    "recursions); FP-exact alpha=0.5/beta=0.25",
+    description="Holt linear smoothing of each customer's monthly "
+    "spend: running level, trend, and one-step forecast per month",
+    oracle="""
+        WITH RECURSIVE m AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS spend,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+                   ) AS rn
+            FROM orders GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT o_custkey, rn, month, spend,
+                   spend AS l, CAST(0 AS DOUBLE) AS b
+            FROM m WHERE rn = 1
+            UNION ALL
+            SELECT m.o_custkey, m.rn, m.month, m.spend,
+                   0.5 * m.spend + 0.5 * (h.l + h.b) AS l,
+                   0.25 * ((0.5 * m.spend + 0.5 * (h.l + h.b)) - h.l)
+                       + 0.75 * h.b AS b
+            FROM h JOIN m ON m.o_custkey = h.o_custkey AND m.rn = h.rn + 1
+        )
+        SELECT o_custkey, month, spend,
+               l AS holt_level, b AS holt_trend, l + b AS holt_forecast
+        FROM h
+    """,
+)
+def holt_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend"))
+    return timeseries.holt_linear(
+        monthly, "o_custkey", "month", "spend", alpha=0.5, beta=0.25
+    )
+
+
+@register(
     "value_mad_by_type",
     op_ids="beyond-reference robust dispersion via GROUPED_AGG pandas "
     "UDF (the vectorized-UDAF API surface: per-group Arrow batch, "
@@ -1910,6 +1961,122 @@ def ab_value_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("B"))
     return welch_ab_stats(
         events.withColumn("variant", variant), "variant", "value"
+    )
+
+
+@register(
+    "cuped_adjusted_ab",
+    op_ids="beyond-reference variance-reduced experimentation "
+    "(CUPED, Deng et al. — what an experimentation platform actually "
+    "ships on top of the Welch gate): per-user pre/post cent totals "
+    "via ONE user-keyed combine, md5 content-addressed variants, "
+    "pooled theta = cov(pre,post)/var(pre) and both variants' "
+    "adjusted means as fixed-order doubles over DECIMAL(38,0) moment "
+    "sums; var_reduction = squared pre/post correlation; zero "
+    "pre-variance -> explicit NULLs",
+    description="CUPED-adjusted A/B comparison of per-user post-"
+    "period event spend (split 2024-01-16, pre-period as covariate): "
+    "variant sizes, raw and adjusted means, theta, variance "
+    "reduction, adjusted diff",
+    oracle="""
+        WITH pu AS (
+            SELECT user_id AS u,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        v AS (
+            SELECT x, y,
+                   substring(md5(CAST(u AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS ia
+            FROM pu
+        ),
+        m AS (
+            SELECT CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   SUM(CASE WHEN ia THEN CAST(x AS HUGEINT) END) AS sxa,
+                   SUM(CASE WHEN ia THEN CAST(y AS HUGEINT) END) AS sya,
+                   SUM(CASE WHEN NOT ia THEN CAST(x AS HUGEINT) END) AS sxb,
+                   SUM(CASE WHEN NOT ia THEN CAST(y AS HUGEINT) END) AS syb,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM v
+        )
+        SELECT n_a, n_b,
+               (CAST(sya AS DOUBLE) / n_a) / 100.0 AS mean_post_a,
+               (CAST(syb AS DOUBLE) / n_b) / 100.0 AS mean_post_b,
+               CASE WHEN (n_a + n_b) * sxx - (sxa + sxb) * (sxa + sxb) > 0
+                    THEN CAST((n_a + n_b) * sxy
+                              - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                         / CAST((n_a + n_b) * sxx
+                                - (sxa + sxb) * (sxa + sxb) AS DOUBLE)
+               END AS theta,
+               CASE WHEN (n_a + n_b) * sxx - (sxa + sxb) * (sxa + sxb) > 0
+                    THEN (CAST(sya AS DOUBLE) / n_a
+                          - (CAST((n_a + n_b) * sxy
+                                  - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                             / CAST((n_a + n_b) * sxx
+                                    - (sxa + sxb) * (sxa + sxb) AS DOUBLE))
+                            * (CAST(sxa AS DOUBLE) / n_a
+                               - CAST(sxa + sxb AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))) / 100.0
+               END AS adj_mean_a,
+               CASE WHEN (n_a + n_b) * sxx - (sxa + sxb) * (sxa + sxb) > 0
+                    THEN (CAST(syb AS DOUBLE) / n_b
+                          - (CAST((n_a + n_b) * sxy
+                                  - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                             / CAST((n_a + n_b) * sxx
+                                    - (sxa + sxb) * (sxa + sxb) AS DOUBLE))
+                            * (CAST(sxb AS DOUBLE) / n_b
+                               - CAST(sxa + sxb AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))) / 100.0
+               END AS adj_mean_b,
+               CASE WHEN (n_a + n_b) * sxx - (sxa + sxb) * (sxa + sxb) > 0
+                    THEN ((CAST(sya AS DOUBLE) / n_a
+                           - (CAST((n_a + n_b) * sxy
+                                   - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                              / CAST((n_a + n_b) * sxx
+                                     - (sxa + sxb) * (sxa + sxb) AS DOUBLE))
+                             * (CAST(sxa AS DOUBLE) / n_a
+                                - CAST(sxa + sxb AS DOUBLE)
+                                  / CAST(n_a + n_b AS DOUBLE)))
+                          - (CAST(syb AS DOUBLE) / n_b
+                             - (CAST((n_a + n_b) * sxy
+                                     - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                                / CAST((n_a + n_b) * sxx
+                                       - (sxa + sxb) * (sxa + sxb) AS DOUBLE))
+                               * (CAST(sxb AS DOUBLE) / n_b
+                                  - CAST(sxa + sxb AS DOUBLE)
+                                    / CAST(n_a + n_b AS DOUBLE)))) / 100.0
+               END AS adj_diff,
+               CASE WHEN (n_a + n_b) * sxx - (sxa + sxb) * (sxa + sxb) > 0
+                     AND (n_a + n_b) * syy - (sya + syb) * (sya + syb) > 0
+                    THEN CAST((n_a + n_b) * sxy
+                              - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                         * CAST((n_a + n_b) * sxy
+                                - (sxa + sxb) * (sya + syb) AS DOUBLE)
+                         / (CAST((n_a + n_b) * sxx
+                                 - (sxa + sxb) * (sxa + sxb) AS DOUBLE)
+                            * CAST((n_a + n_b) * syy
+                                   - (sya + syb) * (sya + syb) AS DOUBLE))
+               END AS var_reduction
+        FROM m
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.regression import cuped_adjusted_ab
+
+    (events,) = load(spark, sf_dir, "events")
+    return cuped_adjusted_ab(
+        events, user_col="user_id", value_col="value", time_col="ts",
+        split_ts="2024-01-16 00:00:00",
     )
 
 

@@ -517,3 +517,100 @@ class TestLabelPropagation:
             )
         )
         assert a == b
+
+
+class TestCupedAdjustedAb:
+    def test_matches_python_reference(self, spark):
+        """Independent numpy-free reference on crafted per-user
+        pre/post data with a known md5 split."""
+        import hashlib
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.regression import (
+            cuped_adjusted_ab,
+        )
+
+        pre_t = datetime.datetime(2024, 1, 10)
+        post_t = datetime.datetime(2024, 1, 20)
+        rows = []
+        for u in range(200):
+            rows.append((u, pre_t, float(u % 13)))
+            rows.append((u, post_t, float((u % 13) * 2 + u % 3)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = cuped_adjusted_ab(
+            df, "user_id", "value", "ts", "2024-01-16 00:00:00"
+        ).collect()[0]
+        xs, ys, ia = {}, {}, {}
+        for u in range(200):
+            xs[u] = int(round((u % 13) * 100))
+            ys[u] = int(round(((u % 13) * 2 + u % 3) * 100))
+            ia[u] = hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567"
+        n = 200
+        sx = sum(xs.values()); sy = sum(ys.values())
+        sxy = sum(xs[u] * ys[u] for u in xs)
+        sxx = sum(xs[u] * xs[u] for u in xs)
+        theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        na = sum(ia.values()); nb = n - na
+        sya = sum(ys[u] for u in ys if ia[u]); sxa = sum(xs[u] for u in xs if ia[u])
+        mya, mxa, mx = sya / na, sxa / na, sx / n
+        adj_a = (mya - theta * (mxa - mx)) / 100.0
+        assert out["n_a"] == na and out["n_b"] == nb
+        assert abs(out["theta"] - theta) < 1e-12
+        assert abs(out["adj_mean_a"] - adj_a) < 1e-9
+        assert 0.0 < out["var_reduction"] <= 1.0
+
+    def test_zero_pre_variance_nulls(self, spark):
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.regression import (
+            cuped_adjusted_ab,
+        )
+
+        post_t = datetime.datetime(2024, 1, 20)
+        rows = [(u, post_t, float(u)) for u in range(50)]  # no pre events
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = cuped_adjusted_ab(
+            df, "user_id", "value", "ts", "2024-01-16 00:00:00"
+        ).collect()[0]
+        assert out["theta"] is None
+        assert out["adj_mean_a"] is None and out["adj_diff"] is None
+        assert out["mean_post_a"] is not None  # raw means survive
+
+
+class TestHoltLinear:
+    def test_matches_explicit_recursion(self, spark):
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import holt_linear
+
+        series = {1: [10.0, 12.0, 15.0, 11.0], 2: [5.0], 3: [7.0, 7.0, 7.0]}
+        rows = [
+            (k, datetime.date(2025, 1 + i, 1), v)
+            for k, vs in series.items()
+            for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows, "k long, month date, v double")
+        got = {
+            (r["k"], r["month"].month): (
+                r["holt_level"], r["holt_trend"], r["holt_forecast"]
+            )
+            for r in holt_linear(df, "k", "month", "v").collect()
+        }
+        for k, vs in series.items():
+            l, b = vs[0], 0.0
+            for i, y in enumerate(vs):
+                if i > 0:
+                    ln = 0.5 * y + 0.5 * (l + b)
+                    b = 0.25 * (ln - l) + 0.75 * b
+                    l = ln
+                assert got[(k, 1 + i)] == (l, b, l + b)
+
+    def test_constant_series_flat(self, spark):
+        import datetime
+
+        from nhl_data_warehouse_spark.operators.timeseries import holt_linear
+
+        rows = [(1, datetime.date(2025, 1 + i, 1), 9.0) for i in range(6)]
+        df = spark.createDataFrame(rows, "k long, month date, v double")
+        for r in holt_linear(df, "k", "month", "v").collect():
+            assert r["holt_level"] == 9.0 and r["holt_trend"] == 0.0

@@ -242,6 +242,13 @@ PROBES = [
     "hybrid_rank_fusion",
     "conformal_coverage_by_type",
     "label_propagation_communities",
+    # round-11 batch 4: CUPED (one user-keyed combine + a single-row
+    # conditional reduce — ~linear in events, flat tail) and Holt
+    # smoothing (bucketed applyInPandas two-state recursion — ~linear
+    # in monthly rows; replication with remapped custkeys multiplies
+    # keys, per-key series length fixed)
+    "cuped_adjusted_ab",
+    "holt_monthly_spend",
     # round-11: Bloom-accelerated 13-gram substring dedup (gram
     # explode is ~linear in tokens; the bitmap build/probe are
     # word-keyed aggregates over a FIXED 2^20-bit filter, and only
