@@ -19,6 +19,8 @@ Two tiers, mirroring how ANN systems scale:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1276,4 +1278,67 @@ def gram_power_step(
             "i",
             (F.col("_w").cast("double") / F.col("_n")).alias("component"),
         )
+    )
+
+
+def embedding_robust_profile(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension ROBUST profile of an embedding corpus: median,
+    MAD, and the robust-z outlier count (|x - med| > 3 * 1.4826 *
+    mad) for each coordinate — the rank-based twin of
+    ``embedding_standardize``'s mean/std moments. Robust statistics
+    are what an embedding QA gate actually wants: one corrupted
+    vector (a NaN-replaced batch, an unnormalized import) moves a
+    dimension's stddev arbitrarily but its MAD not at all, so the
+    outlier column localizes WHICH dims carry junk mass.
+
+    Determinism: numpy's interpolated median over exact doubles
+    matches DuckDB's ``median``/``mad`` bit-for-bit (the
+    ``mad_by_group`` contract); the outlier threshold is the same
+    fixed product of doubles on both engines; counts are integers.
+
+    Scale contract: one posexplode (d x n rows, narrow), one
+    GROUPED_AGG pandas aggregate over the BOUNDED dimension grain —
+    64 groups, each materializing one Arrow batch of n doubles (the
+    grouped-agg boundedness contract: dims are bounded, rows are
+    not, so the group axis must be the bounded one — which it is).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _med(v: pd.Series) -> float:
+        a = v.dropna().to_numpy(dtype="float64")
+        return float(np.median(a)) if a.size else None
+
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        a = v.dropna().to_numpy(dtype="float64")
+        if a.size == 0:
+            return None
+        return float(np.median(np.abs(a - np.median(a))))
+
+    @pandas_udf("long")
+    def _nout(v: pd.Series) -> int:
+        a = v.dropna().to_numpy(dtype="float64")
+        if a.size == 0:
+            return 0
+        m = np.median(a)
+        md = np.median(np.abs(a - m))
+        return int((np.abs(a - m) > 3.0 * 1.4826 * md).sum())
+
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(v.dropna().size)
+
+    vals = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("d0", "x")
+    ).select((F.col("d0") + 1).cast("long").alias("dim"), "x")
+    return vals.groupBy("dim").agg(
+        _n(F.col("x")).alias("n"),
+        _med(F.col("x")).alias("med"),
+        _mad(F.col("x")).alias("mad"),
+        _nout(F.col("x")).alias("n_outliers"),
     )

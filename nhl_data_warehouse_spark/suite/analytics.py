@@ -588,6 +588,45 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivm_join_view_merge",
+    op_ids="beyond-reference incremental JOIN-view maintenance: "
+    "d(F JOIN D) = dF JOIN D for a static dimension side, so the "
+    "join-bearing mart refreshes as merge(agg(base JOIN dim), "
+    "agg(delta JOIN dim)) — only the delta pays the join, the "
+    "O(delta) nightly pattern for join views (incremental_agg_merge "
+    "is the join-free half); exactly equal to from-scratch recompute "
+    "by distributivity, which IS what the oracle computes",
+    description="orders split 90/10 by orderkey into base/delta, "
+    "nation revenue view maintained incrementally (delta joins "
+    "customer alone, partial aggregates merged) — oracle recomputes "
+    "the full join directly",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+)
+def ivm_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.incremental import join_view_delta
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    base = orders.where(F.col("o_orderkey") % 10 < 9)
+    delta = orders.where(F.col("o_orderkey") % 10 == 9)
+    return join_view_delta(
+        base,
+        delta,
+        customer.select("c_custkey", "c_nationkey"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        group_col="c_nationkey",
+        value_col=F.col("o_totalprice").cast("decimal(18,2)"),
+        out_col="revenue",
+    )
+
+
+@register(
     "incremental_agg_merge",
     op_ids="beyond-reference incremental aggregate maintenance: "
     "algebraic partial states (count/sum/sumsq/min/max) merged across "

@@ -3954,6 +3954,42 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_robust_profile",
+    op_ids="beyond-reference robust embedding QA gate: per-dimension "
+    "median, MAD, and robust-z outlier count (|x - med| > 3*1.4826*"
+    "mad) — the rank-based twin of the mean/std standardize moments "
+    "(one corrupted import moves a dim's stddev arbitrarily, its MAD "
+    "not at all, so n_outliers localizes junk mass); GROUPED_AGG "
+    "pandas aggregate over the BOUNDED 64-dim grain, numpy "
+    "interpolated median == DuckDB median/mad bit-for-bit (the "
+    "mad_by_group contract)",
+    description="per-dimension robust profile of the embedding "
+    "corpus: count, median, MAD, and 3-sigma-equivalent robust "
+    "outlier count",
+    oracle="""
+        WITH vals AS (
+            SELECT d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS d) m
+        ),
+        st AS (
+            SELECT dim, CAST(COUNT(x) AS BIGINT) AS n,
+                   median(x) AS med, mad(x) AS mad
+            FROM vals GROUP BY 1
+        )
+        SELECT st.dim, st.n, st.med, st.mad,
+               CAST(SUM(CASE WHEN ABS(v.x - st.med)
+                                  > 3.0 * 1.4826 * st.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM vals v JOIN st ON st.dim = v.dim
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def embedding_robust_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_robust_profile(embeddings)
+
+
+@register(
     "embedding_standardize",
     op_ids="beyond-reference feature normalization (per-dimension "
     "z-scores from exact fixed-point sufficient statistics; 64-key "

@@ -614,3 +614,58 @@ class TestHoltLinear:
         df = spark.createDataFrame(rows, "k long, month date, v double")
         for r in holt_linear(df, "k", "month", "v").collect():
             assert r["holt_level"] == 9.0 and r["holt_trend"] == 0.0
+
+
+class TestIvmJoinView:
+    def test_equals_full_recompute_and_delta_only_joins(self, spark):
+        from nhl_data_warehouse_spark.operators.incremental import (
+            join_view_delta,
+        )
+
+        facts = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(100)],
+            "fk long, custkey long, amount double",
+        )
+        dim = spark.createDataFrame(
+            [(c, c % 2) for c in range(4)], "c long, nation long"
+        )
+        base = facts.where(F.col("fk") % 10 < 9)
+        delta = facts.where(F.col("fk") % 10 == 9)
+        inc = {
+            r["nation"]: r["revenue"]
+            for r in join_view_delta(
+                base, delta, dim, "custkey", "c", "nation",
+                F.col("amount"), "revenue",
+            ).collect()
+        }
+        full = {
+            r["nation"]: r["rev"]
+            for r in facts.join(dim, facts.custkey == dim.c)
+            .groupBy("nation")
+            .agg(F.sum("amount").cast("double").alias("rev"))
+            .collect()
+        }
+        assert inc == full
+
+
+class TestEmbeddingRobustProfile:
+    def test_planted_outlier_dim(self, spark):
+        from nhl_data_warehouse_spark.operators.similarity import (
+            embedding_robust_profile,
+        )
+
+        rows = []
+        for i in range(101):
+            v = [0.0, float(i % 7) - 3.0]
+            if i == 50:
+                v[0] = 1000.0  # lone wild value in dim 1
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["dim"]: r for r in embedding_robust_profile(df).collect()}
+        # dim 1: constant 0 except one wild value -> med 0, mad 0,
+        # the wild value is the single outlier
+        assert out[1]["med"] == 0.0 and out[1]["mad"] == 0.0
+        assert out[1]["n_outliers"] == 1
+        # dim 2: symmetric spread, no robust outliers
+        assert out[2]["n_outliers"] == 0
+        assert out[2]["n"] == 101

@@ -242,6 +242,13 @@ PROBES = [
     "hybrid_rank_fusion",
     "conformal_coverage_by_type",
     "label_propagation_communities",
+    # round-11 batch 5: join-view IVM (delta-sized join + bounded
+    # merge — ~linear in orders, flat merge tail) and the robust
+    # embedding profile (posexplode + 64-group Arrow batches —
+    # ~linear in vectors; per-group batch grows with rows: the
+    # documented grouped-agg boundedness contract)
+    "ivm_join_view_merge",
+    "embedding_robust_profile",
     # round-11 batch 4: CUPED (one user-keyed combine + a single-row
     # conditional reduce — ~linear in events, flat tail) and Holt
     # smoothing (bucketed applyInPandas two-state recursion — ~linear
