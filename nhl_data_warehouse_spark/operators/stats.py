@@ -461,6 +461,81 @@ def jsd_category_pairs(
     )
 
 
+def qq_drift_deciles(
+    df: DataFrame,
+    value_col: str,
+    is_group1: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile-quantile drift table at the deciles: for each q in
+    10..90, the EXACT discrete upper quantile of both samples and
+    their difference — the localization report for a drift alarm (KS
+    says THAT the distributions differ, W1 says HOW MUCH moved; the
+    QQ table says WHERE: tails vs body, which the remediation
+    actually needs).
+
+    Exact order statistics, no interpolation: quantile q of side s =
+    the smallest cents cell whose inclusive cumulative count reaches
+    ceil(q * n_s / 100) (integer ceil-division) — the
+    derive_cell_minutes discrete-upper-quantile recipe, per side.
+    Values emit as value-units doubles (one /scale division);
+    differences subtract the exact integer cells first.
+
+    Scale shape: one cents histogram per side (map-side combined),
+    cumulative windows over the BOUNDED cell grain (the
+    ks_two_sample contract), a 9-row decile grid broadcast against
+    the cell relation, one (decile)-keyed min aggregate per side,
+    one 9-row join. Empty sides produce no rows for their deciles
+    (inner join: the table needs both quantiles).
+    """
+    hist = _cents_histogram(df, value_col, is_group1, scale).select(
+        "c", "n1v", (F.col("nv") - F.col("n1v")).alias("n2v")
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "c",
+        F.sum("n1v").over(w).alias("cum1"),
+        F.sum("n2v").over(w).alias("cum2"),
+    )
+    tot = cum.agg(
+        F.max("cum1").cast("long").alias("n1"),
+        F.max("cum2").cast("long").alias("n2"),
+    )
+    deciles = F.explode(
+        F.array(*[F.lit(q) for q in range(10, 100, 10)])
+    ).alias("decile")
+    grid = cum.crossJoin(F.broadcast(tot)).select(
+        "c", "cum1", "cum2", "n1", "n2", deciles
+    )
+    qa = (
+        grid.where(
+            (F.col("n1") > 0)
+            & (F.col("cum1") * 100 >= F.col("decile") * F.col("n1"))
+        )
+        .groupBy("decile")
+        .agg(F.min("c").alias("ca"))
+    )
+    qb = (
+        grid.where(
+            (F.col("n2") > 0)
+            & (F.col("cum2") * 100 >= F.col("decile") * F.col("n2"))
+        )
+        .groupBy("decile")
+        .agg(F.min("c").alias("cb"))
+    )
+    return (
+        qa.join(qb, on="decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            (F.col("ca").cast("double") / scale).alias("q1"),
+            (F.col("cb").cast("double") / scale).alias("q2"),
+            ((F.col("ca") - F.col("cb")).cast("double") / scale).alias(
+                "q_diff"
+            ),
+        )
+    )
+
+
 def wasserstein_two_sample(
     df: DataFrame,
     value_col: str,

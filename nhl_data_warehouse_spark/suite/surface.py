@@ -677,6 +677,70 @@ def conformal_coverage_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qq_drift_deciles",
+    op_ids="beyond-reference drift LOCALIZATION: exact decile QQ "
+    "table between the two samples (KS says THAT, W1 says HOW MUCH, "
+    "this says WHERE — tails vs body); discrete upper quantiles via "
+    "integer cross-multiplication (100*cum >= q*n) over the bounded "
+    "cents cell grain, 9-row decile grid broadcast, per-side keyed "
+    "min, one 9-row join — the derive_cell_minutes recipe per decile",
+    description="click-vs-view event value deciles side by side "
+    "with exact differences — which part of the distribution moved",
+    oracle="""
+        WITH vals AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT c, SUM(is1) AS n1v, COUNT(*) - SUM(is1) AS n2v
+            FROM vals GROUP BY c
+        ),
+        cum AS (
+            SELECT c,
+                   SUM(n1v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum1,
+                   SUM(n2v) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum2
+            FROM hist
+        ),
+        tot AS (
+            SELECT CAST(MAX(cum1) AS BIGINT) AS n1,
+                   CAST(MAX(cum2) AS BIGINT) AS n2
+            FROM cum
+        ),
+        grid AS (
+            SELECT c, cum1, cum2, n1, n2, decile
+            FROM cum CROSS JOIN tot
+            CROSS JOIN (SELECT unnest(range(10, 100, 10)) AS decile)
+        ),
+        qa AS (
+            SELECT decile, MIN(c) AS ca FROM grid
+            WHERE n1 > 0 AND cum1 * 100 >= decile * n1 GROUP BY 1
+        ),
+        qb AS (
+            SELECT decile, MIN(c) AS cb FROM grid
+            WHERE n2 > 0 AND cum2 * 100 >= decile * n2 GROUP BY 1
+        )
+        SELECT CAST(qa.decile AS BIGINT) AS decile,
+               CAST(ca AS DOUBLE) / 100 AS q1,
+               CAST(cb AS DOUBLE) / 100 AS q2,
+               CAST(ca - cb AS DOUBLE) / 100 AS q_diff
+        FROM qa JOIN qb USING (decile)
+    """,
+)
+def qq_drift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import qq_drift_deciles
+
+    (events,) = load(spark, sf_dir, "events")
+    two = events.where(F.col("event_type").isin("click", "view"))
+    return qq_drift_deciles(two, "value", F.col("event_type") == "click")
+
+
+@register(
     "wasserstein_value_drift",
     op_ids="beyond-reference earth-mover drift gate: exact two-sample "
     "1-Wasserstein distance — the INTEGRAL companion to the KS sup "

@@ -669,3 +669,32 @@ class TestEmbeddingRobustProfile:
         # dim 2: symmetric spread, no robust outliers
         assert out[2]["n_outliers"] == 0
         assert out[2]["n"] == 101
+
+
+class TestQqDriftDeciles:
+    def test_known_small_samples(self, spark):
+        """Group 1 = 1..10, group 2 = 11..20 — every decile of g2 is
+        exactly 10 above g1's (discrete upper quantile on ints)."""
+        from nhl_data_warehouse_spark.operators.stats import qq_drift_deciles
+
+        rows = [(float(v), 1) for v in range(1, 11)] + [
+            (float(v), 0) for v in range(11, 21)
+        ]
+        df = spark.createDataFrame(rows, "v double, g int")
+        out = {
+            r["decile"]: (r["q1"], r["q2"], r["q_diff"])
+            for r in qq_drift_deciles(df, "v", F.col("g") == 1).collect()
+        }
+        assert set(out) == {10, 20, 30, 40, 50, 60, 70, 80, 90}
+        for q in out:
+            # upper quantile of 1..10 at q% is ceil(q/10); of 11..20 is +10
+            want1 = float(-(-q * 10 // 100))
+            assert out[q] == (want1, want1 + 10.0, -10.0)
+
+    def test_empty_side_emits_no_rows(self, spark):
+        from nhl_data_warehouse_spark.operators.stats import qq_drift_deciles
+
+        df = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0)], "v double, g int"
+        )
+        assert qq_drift_deciles(df, "v", F.col("g") == 1).count() == 0

@@ -242,6 +242,9 @@ PROBES = [
     "hybrid_rank_fusion",
     "conformal_coverage_by_type",
     "label_propagation_communities",
+    # round-11 batch 6: QQ decile drift (cents histograms + bounded
+    # cell windows + a 9-row grid — ~linear scan, flat tail)
+    "qq_drift_deciles",
     # round-11 batch 5: join-view IVM (delta-sized join + bounded
     # merge — ~linear in orders, flat merge tail) and the robust
     # embedding profile (posexplode + 64-group Arrow batches —
