@@ -775,6 +775,61 @@ def simhash(
     )
 
 
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation scorecard for exact dedup: the cluster-size
+    distribution and the token savings of keeping one representative
+    per exact-content cluster — the number a data lead actually asks
+    for before approving a dedup pass ("how much smaller does the
+    corpus get?"), broken down by duplication multiplicity so a few
+    mega-clusters are distinguishable from a long tail of pairs.
+
+    Exactness: exact duplicates share their token count, so per-
+    cluster savings are (size - 1) * tokens — all integers; one row
+    per distinct cluster size with cluster/doc/dup-doc counts and
+    total tokens saved.
+
+    Scale shape: content collapses to 32-byte md5 keys before any
+    shuffle (the dedup_exact contract); one hash-keyed aggregate to
+    cluster grain, one size-keyed aggregate to the bounded
+    multiplicity grain. Token counts are per-row expressions.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    per_h = (
+        df.select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.size(arr).cast("long").alias("_tok"),
+        )
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("_tok").alias("_tok1"),
+        )
+    )
+    return (
+        per_h.groupBy(F.col("_n").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("_n") - 1).cast("long").alias("n_dup_docs"),
+            F.sum((F.col("_n") - 1) * F.col("_tok1"))
+            .cast("long")
+            .alias("tokens_saved"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            "n_dup_docs",
+            "tokens_saved",
+        )
+    )
+
+
 def simhash_band_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -569,3 +569,55 @@ def neighbor_jaccard(
             F.col("jaccard").desc(), F.col("item_a").asc(), F.col("item_b").asc()
         ).limit(top_k)
     return out
+
+
+def clustering_coefficients(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient cc(v) = 2*T(v) /
+    (deg(v)*(deg(v)-1)) — how close each node's neighborhood is to a
+    clique, the node-level density gauge that turns the raw triangle
+    counts (``triangle_counts``) into a comparable [0,1] score
+    (assortativity summarizes the whole graph in one scalar; this is
+    the per-node field: dedup-cluster cores score ~1, bridge nodes
+    ~0). Nodes of degree < 2 have no defined coefficient — explicit
+    NULL.
+
+    Exactness: one division of exact integers per node (2*T and
+    deg*(deg-1) both exact); everything else is counts.
+
+    Scale shape: inherits the O(m^1.5) degree-ordered wedge scheme
+    from ``triangle_counts``; degrees are one map-side-combined
+    aggregate over the canonicalized edge relation; the final join is
+    node-keyed. Same |V|-broadcast assumption as triangle_counts.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("_a"),
+            F.greatest(F.col(a), F.col(b)).alias("_b"),
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, a, b)
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree < 2 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)"
+                " / CAST(degree * (degree - 1) AS DOUBLE) END"
+            ).alias("clustering_coeff"),
+        )
+    )

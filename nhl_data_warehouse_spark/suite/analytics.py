@@ -980,6 +980,78 @@ _COSUPPLY_EDGES_SQL = """
 
 
 @register(
+    "cosupply_clustering_coeff",
+    op_ids="beyond-reference per-node LOCAL clustering coefficient "
+    "cc(v) = 2*T(v)/(deg(v)*(deg(v)-1)) — the [0,1] neighborhood-"
+    "density field that makes triangle counts comparable across "
+    "nodes (assortativity is the one-scalar graph summary; this is "
+    "its per-node refinement: cluster cores ~1, bridges ~0); "
+    "inherits the O(m^1.5) degree-ordered wedge scheme, one exact "
+    "integer division per node, degree<2 explicit NULL",
+    description="per-supplier local clustering coefficient on the "
+    "co-supply graph (> 1.1x mean shared parts): degree, triangle "
+    "count, coefficient",
+    oracle=f"""
+        WITH {_COSUPPLY_EDGES_SQL},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM edges
+                UNION ALL SELECT b FROM edges
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        tcount AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT x AS node FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri)
+            GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree < 2 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+               END AS clustering_coeff
+        FROM deg d LEFT JOIN tcount t USING (node)
+    """,
+)
+def cosupply_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    shared = (
+        ps.alias("p1")
+        .join(
+            ps.alias("p2"),
+            (F.col("p1.l_partkey") == F.col("p2.l_partkey"))
+            & (F.col("p1.l_suppkey") < F.col("p2.l_suppkey")),
+        )
+        .groupBy(
+            F.col("p1.l_suppkey").alias("a"), F.col("p2.l_suppkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    mean_shared = shared.agg(
+        (F.sum("n_shared").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    edges = (
+        shared.join(F.broadcast(mean_shared))
+        .filter(F.col("n_shared").cast("double") > 1.1 * F.col("m"))
+        .select("a", "b")
+    )
+    return clustering_coefficients(edges, "a", "b")
+
+
+@register(
     "triangle_cosupply",
     op_ids="beyond-reference distributed triangle counting (degree-ordered "
     "orientation — Suri-Vassilvitskii wedge scheme, O(m^1.5) shuffle bound)",

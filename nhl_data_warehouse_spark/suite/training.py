@@ -478,6 +478,38 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_savings_report",
+    op_ids="beyond-reference dedup DECISION scorecard: exact-cluster "
+    "size distribution + token savings of keeping one representative "
+    "per cluster (mega-clusters vs pair tail distinguishable by "
+    "multiplicity) — content collapses to md5 before any shuffle, "
+    "two keyed aggregates (hash grain then bounded multiplicity "
+    "grain), savings exact integers ((size-1) * shared token count)",
+    description="per cluster-size: exact-duplicate clusters, docs, "
+    "duplicate docs, and whitespace-tokens saved by keeping one "
+    "representative per cluster",
+    oracle="""
+        WITH per_h AS (
+            SELECT md5(text) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(len(list_filter(string_split(text, ' '),
+                                       t -> t <> ''))) AS tok1
+            FROM documents GROUP BY 1
+        )
+        SELECT n AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(n * COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+               CAST(SUM((n - 1) * tok1) AS BIGINT) AS tokens_saved
+        FROM per_h GROUP BY 1
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.dedup_savings_report(documents)
+
+
+@register(
     "simhash_hamming_near_dups",
     op_ids="beyond-reference SimHash near-dup PAIRING (Manku/Google "
     "recipe — completes the simhash family: the sketch query only "

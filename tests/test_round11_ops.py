@@ -698,3 +698,42 @@ class TestQqDriftDeciles:
             [(1.0, 0), (2.0, 0)], "v double, g int"
         )
         assert qq_drift_deciles(df, "v", F.col("g") == 1).count() == 0
+
+
+class TestClusteringCoefficients:
+    def test_known_graph(self, spark):
+        """Triangle 1-2-3 plus pendant 4 attached to 1:
+        cc(2)=cc(3)=1 (deg 2, 1 triangle), cc(1)=1/3 (deg 3),
+        cc(4)=NULL (deg 1)."""
+        from nhl_data_warehouse_spark.operators.graph import (
+            clustering_coefficients,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (1, 4)], "a long, b long"
+        )
+        out = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+        assert out[2]["clustering_coeff"] == 1.0
+        assert out[3]["clustering_coeff"] == 1.0
+        assert abs(out[1]["clustering_coeff"] - 1 / 3) < 1e-15
+        assert out[4]["clustering_coeff"] is None
+        assert out[1]["degree"] == 3 and out[1]["n_triangles"] == 1
+
+
+class TestDedupSavingsReport:
+    def test_planted_clusters(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            dedup_savings_report,
+        )
+
+        docs = (
+            [(i, "three tokens here") for i in range(3)]      # size-3 cluster
+            + [(10, "a pair of four tokens"), (11, "a pair of four tokens")]
+            + [(20, "unique one"), (21, "another unique doc")]
+        )
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["cluster_size"]: r for r in dedup_savings_report(df).collect()}
+        assert out[3]["n_clusters"] == 1 and out[3]["tokens_saved"] == 2 * 3
+        assert out[2]["n_clusters"] == 1 and out[2]["tokens_saved"] == 5
+        assert out[1]["n_clusters"] == 2 and out[1]["tokens_saved"] == 0
+        assert out[3]["n_docs"] == 3 and out[3]["n_dup_docs"] == 2

@@ -242,6 +242,15 @@ PROBES = [
     "hybrid_rank_fusion",
     "conformal_coverage_by_type",
     "label_propagation_communities",
+    # round-11 batch 7: dedup savings scorecard (md5-keyed cluster
+    # agg + bounded multiplicity grain — ~linear in docs; replicated
+    # docs with remapped ids share text, so cluster sizes grow
+    # linearly with the factor: savings growth is the data property
+    # being measured) and the local clustering coefficient (inherits
+    # the O(m^1.5) wedge scheme + node-keyed degree join — the
+    # triangle_cosupply growth class)
+    "dedup_savings_report",
+    "cosupply_clustering_coeff",
     # round-11 batch 6: QQ decile drift (cents histograms + bounded
     # cell windows + a 9-row grid — ~linear scan, flat tail)
     "qq_drift_deciles",
