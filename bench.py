@@ -205,6 +205,10 @@ def main() -> None:
         "n_errors": len(errors),
         "queries_full": frozen_name,
     }
+    # carry the idle-box floor into the tail-capture-safe summary too
+    if "value_uncontended" in payload:
+        compact["value_uncontended"] = payload["value_uncontended"]
+        compact["uncontended_source"] = payload["uncontended_source"]
     print(json.dumps(compact))
 
 
