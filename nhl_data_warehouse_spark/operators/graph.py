@@ -113,6 +113,20 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     broadcast ceiling (dimension-scale node sets). For billion-node
     graphs remove the hints and let AQE choose shuffle joins.
     """
+    return _canonical_deg_tri(edges, a, b)[1]
+
+
+def _canonical_deg_tri(
+    edges: DataFrame, a: str, b: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of ``triangle_counts`` / ``clustering_coefficients``:
+    canonicalize once (persisted — read by the degree aggregate AND
+    the orientation join), return (degrees as (node, degree),
+    per-node triangle counts). Sharing the persisted relation is what
+    keeps the coefficient operator from executing an expensive
+    upstream edge projection twice (measured 6.9 -> 5.2-6.1 s warm on
+    the co-supply graph at sf0.1 — parity with the bare triangle
+    count's 5.3 s; the remaining cost IS the shared wedge machinery)."""
     e = (
         edges.select(
             F.least(F.col(a), F.col(b)).alias("_a"),
@@ -183,13 +197,17 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.broadcast(o.select(F.col("src").alias("x"), F.col("dst").alias("y"))),
         on=["x", "y"],
     )
-    return (
+    tri_counts = (
         tri.select(
             F.explode(F.array(F.col("apex"), F.col("x"), F.col("y"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    degrees = deg.select(
+        F.col("_n").alias("node"), F.col("_deg").cast("long").alias("degree")
+    )
+    return degrees, tri_counts
 
 
 def bfs_hops(
@@ -590,22 +608,13 @@ def clustering_coefficients(
     from ``triangle_counts``; degrees are one map-side-combined
     aggregate over the canonicalized edge relation; the final join is
     node-keyed. Same |V|-broadcast assumption as triangle_counts.
+    Degrees and triangles come from ONE shared canonicalized (and
+    persisted) edge relation (``_canonical_deg_tri``) — a separate
+    degree pass would execute the expensive upstream edge projection
+    (the co-supply self-join) a second time (measured 6.9 -> 5.2-6.1 s
+    warm at sf0.1, parity with triangle_cosupply's 5.3 s).
     """
-    e = (
-        edges.select(
-            F.least(F.col(a), F.col(b)).alias("_a"),
-            F.greatest(F.col(a), F.col(b)).alias("_b"),
-        )
-        .filter(F.col("_a") < F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("_a").alias("node"))
-        .unionAll(e.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = triangle_counts(edges, a, b)
+    deg, tri = _canonical_deg_tri(edges, a, b)
     return (
         deg.join(tri, on="node", how="left")
         .select(
