@@ -777,7 +777,6 @@ def simhash(
 
 def dedup_savings_report(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Curation scorecard for exact dedup: the cluster-size
@@ -790,7 +789,8 @@ def dedup_savings_report(
     Exactness: exact duplicates share their token count, so per-
     cluster savings are (size - 1) * tokens — all integers; one row
     per distinct cluster size with cluster/doc/dup-doc counts and
-    total tokens saved.
+    total tokens saved. (The report is computed purely from content —
+    no id column participates, so none is taken: ADVICE r11.)
 
     Scale shape: content collapses to 32-byte md5 keys before any
     shuffle (the dedup_exact contract); one hash-keyed aggregate to

@@ -89,7 +89,12 @@ def pagerank(
     return ranks.select(F.col("__node").alias(node_col), "rank")
 
 
-def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Per-node triangle participation counts on an undirected graph,
     via degree-ordered edge orientation (the MapReduce scheme of
     Suri & Vassilvitskii, "Counting Triangles and the Curse of the
@@ -112,12 +117,20 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     broadcast into both lookups — valid while |V| fits Spark's ~8 GB
     broadcast ceiling (dimension-scale node sets). For billion-node
     graphs remove the hints and let AQE choose shuffle joins.
+
+    ``cache_registry`` (ADVICE r11, the prefix_sum_cells pattern):
+    the shared core persists two relations; library callers pass a
+    list and unpersist its entries when done, instead of stranding
+    two cache entries per call.
     """
-    return _canonical_deg_tri(edges, a, b)[1]
+    return _canonical_deg_tri(edges, a, b, cache_registry)[1]
 
 
 def _canonical_deg_tri(
-    edges: DataFrame, a: str, b: str
+    edges: DataFrame,
+    a: str,
+    b: str,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of ``triangle_counts`` / ``clustering_coefficients``:
     canonicalize once (persisted — read by the degree aggregate AND
@@ -136,6 +149,8 @@ def _canonical_deg_tri(
         .distinct()
     )
     e = e.persist()  # read 3x: two degree projections + the orient join
+    if cache_registry is not None:
+        cache_registry.append(e)
     deg = (
         e.select(F.col("_a").alias("_n"))
         .unionAll(e.select(F.col("_b").alias("_n")))
@@ -176,6 +191,8 @@ def _canonical_deg_tri(
     # read 3x (wedge self-join both sides + closing-edge probe): pin it
     # so canonicalize/degree/orient runs once, not three times
     o = o.persist()
+    if cache_registry is not None:
+        cache_registry.append(o)
     o1, o2 = o.alias("o1"), o.alias("o2")
     lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
         (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
@@ -590,7 +607,10 @@ def neighbor_jaccard(
 
 
 def clustering_coefficients(
-    edges: DataFrame, a: str = "a", b: str = "b"
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-node LOCAL clustering coefficient cc(v) = 2*T(v) /
     (deg(v)*(deg(v)-1)) — how close each node's neighborhood is to a
@@ -613,8 +633,9 @@ def clustering_coefficients(
     degree pass would execute the expensive upstream edge projection
     (the co-supply self-join) a second time (measured 6.9 -> 5.2-6.1 s
     warm at sf0.1, parity with triangle_cosupply's 5.3 s).
+    ``cache_registry``: see ``triangle_counts`` (ADVICE r11).
     """
-    deg, tri = _canonical_deg_tri(edges, a, b)
+    deg, tri = _canonical_deg_tri(edges, a, b, cache_registry)
     return (
         deg.join(tri, on="node", how="left")
         .select(

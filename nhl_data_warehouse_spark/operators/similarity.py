@@ -19,8 +19,6 @@ Two tiers, mirroring how ANN systems scale:
 
 from __future__ import annotations
 
-import pandas as pd  # module-level so pandas_udf string hints resolve
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1305,23 +1303,29 @@ def embedding_robust_profile(
     grouped-agg boundedness contract: dims are bounded, rows are
     not, so the group axis must be the bounded one — which it is).
     """
+    # pandas is needed only inside these UDF bodies, so it is not a
+    # module-import-time dependency (ADVICE r11). The explicit
+    # PandasUDFType form is REQUIRED here, not style: under
+    # ``from __future__ import annotations`` hint strings resolve in
+    # module globals, where ``pd`` no longer lives (the round-4
+    # learning; hint inference raises UNSUPPORTED_SIGNATURE).
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("double")
-    def _med(v: pd.Series) -> float:
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _med(v):
         a = v.dropna().to_numpy(dtype="float64")
         return float(np.median(a)) if a.size else None
 
-    @pandas_udf("double")
-    def _mad(v: pd.Series) -> float:
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _mad(v):
         a = v.dropna().to_numpy(dtype="float64")
         if a.size == 0:
             return None
         return float(np.median(np.abs(a - np.median(a))))
 
-    @pandas_udf("long")
-    def _nout(v: pd.Series) -> int:
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _nout(v):
         a = v.dropna().to_numpy(dtype="float64")
         if a.size == 0:
             return 0
@@ -1329,8 +1333,8 @@ def embedding_robust_profile(
         md = np.median(np.abs(a - m))
         return int((np.abs(a - m) > 3.0 * 1.4826 * md).sum())
 
-    @pandas_udf("long")
-    def _n(v: pd.Series) -> int:
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
         return int(v.dropna().size)
 
     vals = embeddings.select(

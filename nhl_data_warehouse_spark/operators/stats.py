@@ -105,10 +105,12 @@ def ks_two_sample(
 
     The sup is taken over integer cross-products — D_num =
     max |cum1*n2 - cum2*n1| — so the only floating-point operation is
-    the final division D = D_num / (n1*n2). (Overflow bound:
-    cum1*n2 <= n1*n2 must fit int64, i.e. both samples below ~3e9
-    rows; past that, pre-aggregate or widen to decimal.) One row out:
-    (n1, n2, d_stat).
+    the final division D = D_num / (n1*n2). The factors are cast to
+    DECIMAL(19,0) before multiplying, so each cross-product is
+    computed exactly in DECIMAL(38,0) — no int64 wrap once
+    n1*n2 >= 2^63 (~3e9 rows per side), the regime a drift gate
+    between corpus snapshots actually runs at (ADVICE r11). One row
+    out: (n1, n2, d_stat).
     """
     hist = _cents_histogram(df, value_col, is_group1, scale).select(
         "c", "n1v", (F.col("nv") - F.col("n1v")).alias("n2v")
@@ -121,9 +123,10 @@ def ks_two_sample(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
     )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     dnum = cum.crossJoin(F.broadcast(tot)).agg(
-        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
-        .cast("long")
+        F.max(F.abs(dec("cum1") * dec("n2") - dec("cum2") * dec("n1")))
+        .cast("decimal(38,0)")
         .alias("dnum"),
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -553,9 +556,12 @@ def wasserstein_two_sample(
     Exactness: over the fixed-point cell grain the ECDFs are step
     functions, so the integral is the finite sum over consecutive
     cells of |cum1*n2 - cum2*n1| * (next_c - c) — every term an exact
-    integer cross-product times an integer gap, accumulated in
-    DECIMAL(38,0) (per-term products pass 2^63 at row scale; decimal
-    summation is order-free), and the statistic is ONE final division
+    integer cross-product times an integer gap. The cross-product
+    FACTORS are cast to DECIMAL(19,0) before multiplying (per-term
+    products pass 2^63 at row scale, so the multiply itself must run
+    in decimal, not BIGINT — ADVICE r11), the terms accumulate in
+    DECIMAL(38,0) (decimal summation is order-free), and the
+    statistic is ONE final division
     by n1*n2*scale, emitted in original value units. Empty sides give
     explicit NULL.
 
@@ -586,9 +592,12 @@ def wasserstein_two_sample(
         .agg(
             F.sum(
                 F.abs(
-                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
-                ).cast("decimal(38,0)")
-                * (F.col("cnext") - F.col("c")).cast("decimal(38,0)")
+                    F.col("cum1").cast("decimal(19,0)")
+                    * F.col("n2").cast("decimal(19,0)")
+                    - F.col("cum2").cast("decimal(19,0)")
+                    * F.col("n1").cast("decimal(19,0)")
+                )
+                * (F.col("cnext") - F.col("c")).cast("decimal(19,0)")
             )
             .cast("decimal(38,0)")
             .alias("wnum"),
@@ -1353,7 +1362,9 @@ def grouped_ks_two_sample(
     PARTITIONS by the slice (the grouped_cusum_peak pattern), so
     unlike the global operator there is NO unpartitioned stage at
     all. Same integer algebra: D_num = max |cum1*n2 - cum2*n1| per
-    slice, ONE double division at the end; slices with an empty side
+    slice with the factors cast to DECIMAL(19,0) first (exact past
+    the int64 cross-product bound, the ks_two_sample fix — ADVICE
+    r11), ONE double division at the end; slices with an empty side
     emit explicit NULL (the rank_auc degenerate-class guard).
     """
     vals = df.where(F.col(value_col).isNotNull()).select(
@@ -1384,9 +1395,14 @@ def grouped_ks_two_sample(
         .groupBy("g", "n1", "n2")
         .agg(
             F.max(
-                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                F.abs(
+                    F.col("cum1").cast("decimal(19,0)")
+                    * F.col("n2").cast("decimal(19,0)")
+                    - F.col("cum2").cast("decimal(19,0)")
+                    * F.col("n1").cast("decimal(19,0)")
+                )
             )
-            .cast("long")
+            .cast("decimal(38,0)")
             .alias("dnum")
         )
     )

@@ -42,17 +42,18 @@ from nhl_data_warehouse_spark.suite import surface  # noqa: E402,F401
 # driver artifact landing after the round's final commit rotates the
 # window automatically instead of tripping a hand-pinned list
 # (round-7's only pytest red). Queries with no driver verdict yet
-# (added since the last artifact) keep their registration order at
-# the BACK of the registry: the rotation queue reaches them after the
-# stale cohorts drain.
+# (added since the last artifact) lead the window since round 12
+# (VERDICT r11 item 1): first checks outrank re-verification, so a
+# new query can no longer spill past the window round after round.
 
 
 def _derive_priority(artifact_dir, registry_names) -> list[str]:
-    """Stalest-first window order from CORRECTNESS_r*.json:
-    the stalest last-green cohort, then queries with NO driver
-    verdict yet (the least-proven — VERDICT r7 item 3 puts them
-    right after the stalest cohort so they get their first check
-    without displacing it), then the second-stalest cohort.
+    """Window order from CORRECTNESS_r*.json: queries with NO driver
+    verdict yet lead (VERDICT r11 item 1 — `weekly_seasonal_decompose`
+    spilled past the ~50-slot window three rounds running under the
+    old stalest-cohort-first order, so first checks now outrank
+    re-verification), then the stalest last-green cohort, then the
+    second-stalest cohort.
 
     Pure function of (artifact directory, registered names) so tests
     can replay it against a tmpdir with a simulated next-round
@@ -97,7 +98,7 @@ def _derive_priority(artifact_dir, registry_names) -> list[str]:
     failed_only = [
         n for n in registry_names if n in checked_ever and n not in last_green
     ]
-    return failed_only + stalest + never_checked + second
+    return failed_only + never_checked + stalest + second
 
 
 _REPO_ROOT = __import__("pathlib").Path(__file__).resolve().parents[2]

@@ -71,15 +71,14 @@ def test_every_registered_query_builds_a_plan(spark):
 
 def test_driver_window_composition():
     """The external driver checks the first ~50 registered queries.
-    From round 7 on, every query has been driver-green at least once
-    (VERDICT r6), so the window's job is STALEST-FIRST re-verification
-    with one insertion (VERDICT r7 item 3): the stalest last-green
-    cohort leads, queries with NO driver verdict yet come immediately
-    after it (least proven — they get their first check without
-    displacing the stalest), and the second-stalest cohort fills the
-    rest. Derived from CORRECTNESS_r*.json at import time
-    (`_derive_priority`), so this asserts the POLICY, not a pinned
-    list."""
+    Since round 12 (VERDICT r11 item 1) queries with NO driver verdict
+    yet LEAD the window — under the old stalest-cohort-first order a
+    new query could spill past the ~50-slot window round after round
+    (`weekly_seasonal_decompose` did, three rounds running). After the
+    first-checks come the stalest last-green cohort, then the
+    second-stalest cohort. Derived from CORRECTNESS_r*.json at import
+    time (`_derive_priority`), so this asserts the POLICY, not a
+    pinned list."""
     import json
     import re
     from pathlib import Path
@@ -105,7 +104,7 @@ def test_driver_window_composition():
     stalest = sorted(n for n in checked if last_green[n] == cohorts[0])
     second = sorted(n for n in checked if last_green[n] == cohorts[1])
     never_checked = [n for n in REGISTRY if n not in checked_ever]
-    expected = stalest + never_checked + second
+    expected = never_checked + stalest + second
     assert _PRIORITY == expected, (
         f"window policy violated; cohorts={cohorts}; "
         f"missing={sorted(set(expected) - set(_PRIORITY))} "
@@ -113,10 +112,10 @@ def test_driver_window_composition():
     )
     # the registry is reordered so the driver's window IS the priority
     assert list(REGISTRY)[: len(_PRIORITY)] == _PRIORITY
-    # every never-checked query sits inside the first-check reach:
-    # right after the stalest cohort, before the second
+    # every never-checked query leads the window: a first check can
+    # never again be displaced past the ~50-slot reach by re-checks
     for n in never_checked:
-        assert _PRIORITY.index(n) < len(stalest) + len(never_checked)
+        assert _PRIORITY.index(n) < len(never_checked)
 
 
 def test_priority_rotates_when_next_driver_artifact_lands(tmp_path):
