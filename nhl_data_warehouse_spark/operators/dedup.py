@@ -727,52 +727,51 @@ def simhash(
     grouping by the sketch (or bucketing on bit-bands) finds near-dups
     with ONE aggregation — no pairwise work at all.
 
-    bits <= 32 (md5 hex length). Computed as a single per-row fold
-    (``F.aggregate`` over the hashed-token array with a struct of
-    ``bits`` running vote sums, finished into the integer sketch) —
-    a narrow map, no explode, no shuffle: the per-document sketch is
-    embarrassingly parallel and the plan reflects that at any scale.
-    Each token is md5-hashed exactly once (the hash array is the
-    fold's input). Documents with no tokens are dropped, matching the
-    relational formulation where they produce no rows.
+    bits <= 32 (md5 hex length). Computed as posexploded token hashes
+    -> ``bits`` conditional sums grouped by document — every
+    expression whole-stage-codegen'd, with the vote aggregation
+    map-side combined so the one Exchange carries only (id, bits
+    longs) per document. An earlier zero-shuffle formulation (one
+    per-row ``F.aggregate`` fold over the hashed-token array with a
+    ``bits``-field struct accumulator) was REJECTED by measurement
+    (VERDICT r11 item 3): higher-order-function lambdas evaluate
+    interpreted, and at a 100k-doc corpus the fold measured 7.8 s vs
+    2.5 s warm-median for this form — the same 3x interpreted-lambda
+    penalty the cdc_chunks A/B found (BASELINE.md round-12 notes).
+    The narrow doc-grain shuffle is cheap; the per-token CPU is not.
+    Documents with no tokens produce no rows, matching the relational
+    formulation.
     """
     assert bits <= 32
-    hashed_tokens = F.transform(
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
-        lambda t: F.md5(t),
+    toks = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+        .select(id_col, F.md5("_t").alias("_h"))
     )
-    bit_range = list(range(bits))
-    init = F.struct(*[F.lit(0).cast("long").alias(f"s{b}") for b in bit_range])
     # hex digits order '0'-'9' < 'a'-'f', so >= '8' is exactly the
     # high-bit test (same set as the oracle's strpos('89abcdef', ch))
-    sketch = F.aggregate(
-        F.col("_hashes"),
-        init,
-        lambda acc, h: F.struct(
-            *[
-                (
-                    acc[f"s{b}"]
-                    + F.when(h.substr(b + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-                ).alias(f"s{b}")
-                for b in bit_range
-            ]
-        ),
-        lambda acc: reduce(
-            add,
-            [
-                F.when(acc[f"s{b}"] > 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b in bit_range
-            ],
-        ),
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").substr(b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        scale_out(df)
-        .select(F.col(id_col), hashed_tokens.alias("_hashes"))
-        .filter(F.size("_hashes") > 0)
-        .select(id_col, sketch.alias("simhash"))
+    sketch = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits)
+        ],
     )
+    return votes.select(id_col, sketch.alias("simhash"))
 
 
 def dedup_savings_report(
