@@ -829,6 +829,67 @@ def dedup_savings_report(
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-grain exact dedup scorecard — the CCNet paragraph-hash
+    step (Wenzek et al., "CCNet", LREC'20 §3; the sub-document grain
+    real pipelines dedup FIRST, because boilerplate — nav bars, cookie
+    banners, license footers — repeats across pages whose documents
+    are otherwise unique, so doc-level MinHash/SimHash never sees it).
+
+    Semantics: split each document on ``delim`` (a Java regex — the
+    default matches literal blank-line boundaries), trim each segment,
+    drop segments shorter than ``min_chars``; a paragraph OCCURRENCE
+    is duplicated iff its trimmed text occurs anywhere else in the
+    corpus (corpus frequency > 1 over all occurrences, same-doc
+    repeats included — CCNet's hash-multiset rule). Output is the
+    per-document removal scorecard: (id, n_paras, n_dup_paras,
+    chars_total, chars_dup) — the numbers that decide whether a
+    boilerplate-strip pass is worth running on a source.
+
+    Scale shape: the paragraph text NEVER shuffles — each occurrence
+    collapses map-side to a narrow (id, md5, length) row (the
+    dedup_exact contract); frequency is one hash-keyed map-side-
+    combined aggregate; the flag join is a hash-grain equi-join of
+    narrow rows; per-doc stats are one id-keyed aggregate. All counts
+    exact integers.
+    """
+    seg = F.trim(F.col("_p"))
+    paras = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), delim)).alias("_p"),
+        )
+        .where(F.length(seg) >= min_chars)
+        .select(
+            id_col,
+            F.md5(seg).alias("_h"),
+            F.length(seg).cast("long").alias("_len"),
+        )
+    )
+    freq = paras.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        paras.join(freq, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_paras"),
+            F.sum("_len").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("_n") > 1, F.col("_len")).otherwise(0))
+            .cast("long")
+            .alias("chars_dup"),
+        )
+    )
+
+
 def simhash_band_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -510,6 +510,47 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "paragraph_dedup_stats",
+    op_ids="beyond-reference paragraph-grain exact dedup (the CCNet "
+    "paragraph-hash step — the sub-document grain that catches "
+    "cross-page boilerplate doc-level MinHash/SimHash never sees): "
+    "split on a delimiter, md5 each trimmed paragraph, corpus "
+    "frequency over all occurrences, per-doc removal scorecard; "
+    "paragraph text never shuffles — occurrences collapse map-side "
+    "to (id, md5, length) rows before the hash-grain frequency join",
+    description="per document: paragraph count, paragraphs duplicated "
+    "anywhere in the corpus, and the character mass a paragraph-grain "
+    "boilerplate strip would remove (delimiter ' table ' stands in "
+    "for blank-line boundaries on the newline-free testdata corpus)",
+    oracle="""
+        WITH paras AS (
+            SELECT doc_id, trim(p) AS p
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' table ')) AS p
+                  FROM documents)
+            WHERE length(trim(p)) >= 1
+        ),
+        norm AS (
+            SELECT doc_id, md5(p) AS h, length(p) AS len FROM paras
+        ),
+        freq AS (SELECT h, COUNT(*) AS n FROM norm GROUP BY h)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_paras,
+               CAST(SUM(len) AS BIGINT) AS chars_total,
+               CAST(SUM(CASE WHEN n > 1 THEN len ELSE 0 END) AS BIGINT)
+                   AS chars_dup
+        FROM norm JOIN freq USING (h)
+        GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_stats(documents, delim=" table ")
+
+
+@register(
     "simhash_hamming_near_dups",
     op_ids="beyond-reference SimHash near-dup PAIRING (Manku/Google "
     "recipe — completes the simhash family: the sketch query only "

@@ -277,6 +277,13 @@ PROBES = [
     # ~linear with a sublinear probe/verify tail; rising FPR from a
     # fuller filter only widens the verify slice, never the answer)
     "bloom_13g_substring_dedup",
+    # round-12: paragraph-grain exact dedup (CCNet paragraph-hash —
+    # explode on the delimiter is ~linear in corpus bytes; occurrences
+    # collapse map-side to (id, md5, len) so the frequency agg and
+    # flag join are hash-grain keyed ops; replication with remapped
+    # doc ids multiplies occurrences of the SAME paragraphs, so
+    # dup fractions rise with factor — the data property measured)
+    "paragraph_dedup_stats",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
