@@ -1685,10 +1685,11 @@ def youden_j_threshold(
     swept via the same descending cumulative TP/FP as
     ``average_precision`` — one window over <= scale+1 CELLS, never
     rows. Ties take the LOWEST threshold (the most inclusive cut).
-    (Overflow bound: tp * N <= P * N must fit int64 — both classes
-    below ~3e9 rows, the ks_two_sample caveat; widen to decimal
-    past that.) One row out: (n_pos, n_neg, threshold, j_stat,
-    tpr, fpr), NULL metrics on a single-class input.
+    The tp*N / fp*P cross-products are computed with the factors cast
+    to DECIMAL(19,0) (exact past the int64 bound at ~3e9 rows per
+    class — the same widening as ks_two_sample, ADVICE r11). One row
+    out: (n_pos, n_neg, threshold, j_stat, tpr, fpr), NULL metrics on
+    a single-class input.
     """
     hist = _cents_histogram(df, score_col, is_positive, scale)
     w = (
@@ -1710,8 +1711,13 @@ def youden_j_threshold(
         "fp",
         "n_pos",
         "n_neg",
-        (F.col("tp") * F.col("n_neg") - F.col("fp") * F.col("n_pos"))
-        .cast("long")
+        (
+            F.col("tp").cast("decimal(19,0)")
+            * F.col("n_neg").cast("decimal(19,0)")
+            - F.col("fp").cast("decimal(19,0)")
+            * F.col("n_pos").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
         .alias("jint"),
     )
     best = scored.groupBy("n_pos", "n_neg").agg(
@@ -1741,4 +1747,79 @@ def youden_j_threshold(
             "CASE WHEN n_neg = 0 THEN CAST(NULL AS DOUBLE)"
             " ELSE CAST(fp_at AS DOUBLE) / CAST(n_neg AS DOUBLE) END"
         ).alias("fpr"),
+    )
+
+
+def classifier_gate_report(
+    df: DataFrame,
+    score_col: str,
+    is_positive: Column,
+    group_col: str,
+    weight_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Apply the Youden-selected operating point to the corpus — the
+    link from "a classifier exists" to "the classifier GATES the
+    corpus" (VERDICT r11 item 5): select the threshold with
+    ``youden_j_threshold`` on the labeled scores, then report per
+    ``group_col`` (source, language, shard) how many documents — and
+    how much ``weight_col`` mass (tokens, bytes) — survive the cut.
+    This is the table a data lead reads before flipping a model-based
+    quality filter on: which sources lose how much.
+
+    Gate semantics at the integer grain: a row is kept iff
+    round(score*scale) >= the selected threshold CELL (recovered
+    exactly from the one-row threshold via round(threshold*scale) —
+    cells are integers, so the double round-trip is exact inside
+    2^53). A NULL threshold (single-class labels) keeps everything —
+    an undefined operating point must fail OPEN for a report (the
+    numbers then say "no gate"). ``kept_frac`` is the one IEEE
+    division.
+
+    Scale shape: scoring stays whatever the caller's plan was (for
+    the hashed classifier: map-side explode + one doc-grain combine);
+    the threshold is ONE broadcast row off the bounded cell sweep;
+    the gate itself adds NO shuffle before the final group-keyed
+    aggregate — the keep flag is a per-row integer compare against
+    the broadcast scalar.
+    """
+    thr = youden_j_threshold(df, score_col, is_positive, scale).select(
+        F.round(F.col("threshold") * scale).cast("long").alias("_thr_c")
+    )
+    wexpr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cell = F.round(F.col(score_col) * scale).cast("long")
+    gated = df.select(
+        F.col(group_col), wexpr.alias("_w"), cell.alias("_c")
+    ).crossJoin(F.broadcast(thr))
+    keep = F.when(F.col("_thr_c").isNull(), F.lit(True)).otherwise(
+        F.col("_c") >= F.col("_thr_c")
+    )
+    return (
+        gated.select(group_col, "_w", keep.alias("_keep"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("_w").cast("long").alias("weight_total"),
+            F.sum(F.when(F.col("_keep"), F.col("_w")).otherwise(0))
+            .cast("long")
+            .alias("weight_kept"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "weight_total",
+            "weight_kept",
+            (
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_frac"),
+        )
     )

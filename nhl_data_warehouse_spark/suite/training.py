@@ -5741,6 +5741,106 @@ def classifier_pr_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classifier_corpus_gate",
+    op_ids="beyond-reference end-to-end model-based corpus gating "
+    "(VERDICT r11 item 5 — the missing link from 'classifier exists' "
+    "to 'classifier gates the corpus'): hashed-linear scores -> "
+    "Youden operating point -> per-source kept/dropped doc and token "
+    "mass; the gate is a per-row integer compare against ONE "
+    "broadcast threshold cell, no shuffle before the source-keyed "
+    "aggregate",
+    description="per source: documents and token mass surviving the "
+    "quality classifier at its Youden-selected threshold — the "
+    "which-sources-lose-how-much table read before enabling a "
+    "model-based filter",
+    oracle=f"""
+        WITH {_HLQ_EVAL_CTES},
+        yj AS (
+            SELECT CAST(round(p.quality_score * 1000000) AS BIGINT) AS c,
+                   CASE WHEN l.is_good THEN 1 ELSE 0 END AS y
+            FROM pred p JOIN labels l USING (doc_id)
+        ),
+        yh AS (
+            SELECT c, CAST(SUM(y) AS BIGINT) AS n1v,
+                   CAST(COUNT(*) AS BIGINT) AS nv
+            FROM yj GROUP BY 1
+        ),
+        yc AS (
+            SELECT c,
+                   SUM(n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   SUM(nv - n1v) OVER (ORDER BY c DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM yh
+        ),
+        yt AS (
+            SELECT CAST(SUM(n1v) AS BIGINT) AS n_pos,
+                   CAST(SUM(nv - n1v) AS BIGINT) AS n_neg
+            FROM yh
+        ),
+        ys AS (
+            SELECT c, CAST(tp * n_neg - fp * n_pos AS BIGINT) AS jint
+            FROM yc CROSS JOIN yt
+        ),
+        thr AS (
+            SELECT CASE WHEN (SELECT n_pos FROM yt) = 0
+                          OR (SELECT n_neg FROM yt) = 0
+                        THEN CAST(NULL AS BIGINT)
+                        ELSE (SELECT MIN(c) FROM ys
+                              WHERE jint = (SELECT MAX(jint) FROM ys))
+                   END AS thr_c
+        ),
+        scored AS (
+            SELECT d.source,
+                   COALESCE(a.n_tokens, 0) AS w,
+                   CAST(round(p.quality_score * 1000000) AS BIGINT) AS c
+            FROM documents d
+            JOIN pred p USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN t.thr_c IS NULL OR c >= t.thr_c
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(w) AS BIGINT) AS weight_total,
+               CAST(SUM(CASE WHEN t.thr_c IS NULL OR c >= t.thr_c
+                             THEN w ELSE 0 END) AS BIGINT) AS weight_kept,
+               CAST(SUM(CASE WHEN t.thr_c IS NULL OR c >= t.thr_c
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+        FROM scored CROSS JOIN thr t
+        GROUP BY source
+    """,
+)
+def classifier_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        classifier_gate_report,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    pred = text.hashed_linear_quality(
+        documents, n_buckets=256, bias=0.0, threshold=0.5, salt="hlq-v1"
+    ).select("doc_id", "n_tokens", "quality_score")
+    labels = text.quality_score(documents).select(
+        "doc_id", (F.col("quality_decile") >= 6).alias("is_good")
+    )
+    joined = (
+        pred.join(labels, on="doc_id")
+        .join(documents.select("doc_id", "source"), on="doc_id")
+    )
+    return classifier_gate_report(
+        joined,
+        "quality_score",
+        F.col("is_good"),
+        "source",
+        weight_col="n_tokens",
+        scale=1_000_000,
+    )
+
+
+@register(
     "brier_murphy_decomposition",
     op_ids="beyond-reference calibration diagnostics: Murphy "
     "decomposition of the quality classifier's Brier score into "

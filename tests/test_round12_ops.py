@@ -179,3 +179,91 @@ class TestParagraphDedupStats:
             hashlib.md5(b"hello world").hexdigest()
             == hashlib.md5("hello world".encode()).hexdigest()
         )
+
+
+class TestClassifierGateReport:
+    def test_gate_matches_reference(self, spark):
+        """Youden threshold on a hand-built score/label set, then the
+        per-group scorecard — checked against hand-computed keeps.
+        Scores: positives at .9/.8/.7, negatives at .4/.3; J is
+        maximized (tp=3, fp=0) at any cell in (.4, .7]; lowest-
+        threshold tie-break picks 0.7."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            classifier_gate_report,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("s1", 0.9, True, 10),
+            ("s1", 0.8, True, 20),
+            ("s2", 0.7, True, 30),
+            ("s2", 0.4, False, 40),
+            ("s2", 0.3, False, 50),
+        ]
+        df = spark.createDataFrame(
+            rows, "src string, score double, good boolean, toks int"
+        )
+        got = {
+            r["src"]: r
+            for r in classifier_gate_report(
+                df, "score", F.col("good"), "src", weight_col="toks"
+            ).collect()
+        }
+        assert got["s1"]["n_kept"] == 2 and got["s1"]["weight_kept"] == 30
+        assert got["s2"]["n_kept"] == 1 and got["s2"]["weight_kept"] == 30
+        assert got["s2"]["weight_total"] == 120
+        assert abs(got["s2"]["kept_frac"] - 1 / 3) < 1e-12
+
+    def test_single_class_fails_open(self, spark):
+        """NULL threshold (all labels one class) must keep everything
+        — an undefined operating point fails OPEN for a report."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            classifier_gate_report,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("s", 0.1, True, 5), ("s", 0.9, True, 7)],
+            "src string, score double, good boolean, toks int",
+        )
+        row = classifier_gate_report(
+            df, "score", F.col("good"), "src", weight_col="toks"
+        ).collect()[0]
+        assert row["n_kept"] == row["n_docs"] == 2
+        assert row["weight_kept"] == row["weight_total"] == 12
+        assert row["kept_frac"] == 1.0
+
+    def test_threshold_is_broadcast_not_shuffled(self, spark):
+        """Scale pin: the gate compare joins the one-row threshold via
+        a broadcast (BroadcastNestedLoopJoin/BroadcastExchange), and
+        no hash-partition Exchange sits between that join and the
+        partial group aggregate — the gate adds no corpus shuffle."""
+        from nhl_data_warehouse_spark.operators.stats import (
+            classifier_gate_report,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("s1", 0.9, True, 1), ("s2", 0.2, False, 1)] * 10,
+            "src string, score double, good boolean, toks int",
+        )
+        out = classifier_gate_report(
+            df, "score", F.col("good"), "src", weight_col="toks"
+        )
+        out.collect()  # finalize AQE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        lines = plan.splitlines()
+        bcast = max(
+            i for i, ln in enumerate(lines) if "Broadcast" in ln
+        )
+        partial = [
+            i
+            for i, ln in enumerate(lines)
+            if "HashAggregate" in ln and "partial_count" in ln and i < bcast
+        ]
+        assert partial, "no partial group aggregate above the broadcast join"
+        between = lines[max(partial) : bcast]
+        assert not any("Exchange hashpartitioning" in ln for ln in between), (
+            "gate added a corpus shuffle:\n" + "\n".join(between)
+        )

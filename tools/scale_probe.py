@@ -284,6 +284,12 @@ PROBES = [
     # doc ids multiplies occurrences of the SAME paragraphs, so
     # dup fractions rise with factor — the data property measured)
     "paragraph_dedup_stats",
+    # round-12: end-to-end classifier corpus gate (hashed-linear
+    # scoring is the model_quality_classifier scan + doc-grain
+    # combine; the Youden sweep runs over bounded score cells; the
+    # gate compare is per-row against ONE broadcast threshold —
+    # expect ~linear in tokens, flat threshold/gate tail)
+    "classifier_corpus_gate",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
