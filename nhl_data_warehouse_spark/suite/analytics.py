@@ -869,6 +869,80 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "copurchase_kcore",
+    op_ids="beyond-reference k-core decomposition (Matula-Beck "
+    "synchronous peeling, fixed 4 rounds — the label_propagation "
+    "determinism doctrine): repeatedly delete nodes of degree < k; "
+    "the survivors are the maximal mutually-dense subgraph — the "
+    "is-there-a-dense-core-at-all gauge (template farms survive "
+    "high-k peeling; organic near-dup pairs fall out round 1). Per "
+    "round one map-side degree aggregate + two |V|-broadcast "
+    "semi-joins; edges only shrink; converged at both test scales "
+    "so the fixed-round result IS the exact 2-core",
+    description="2-core of the >= 2-shared-orders co-purchase graph "
+    "after 4 synchronous peel rounds: surviving parts with their "
+    "in-core degree",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT a.l_partkey AS i, b.l_partkey AS j
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        d1 AS (SELECT n, COUNT(*) AS deg FROM (
+                   SELECT i AS n FROM e0 UNION ALL SELECT j FROM e0)
+               GROUP BY n),
+        k1 AS MATERIALIZED (SELECT n FROM d1 WHERE deg >= 2),
+        e1 AS MATERIALIZED (
+            SELECT e.i, e.j FROM e0 e
+            JOIN k1 ka ON e.i = ka.n JOIN k1 kb ON e.j = kb.n),
+        d2 AS (SELECT n, COUNT(*) AS deg FROM (
+                   SELECT i AS n FROM e1 UNION ALL SELECT j FROM e1)
+               GROUP BY n),
+        k2 AS MATERIALIZED (SELECT n FROM d2 WHERE deg >= 2),
+        e2 AS MATERIALIZED (
+            SELECT e.i, e.j FROM e1 e
+            JOIN k2 ka ON e.i = ka.n JOIN k2 kb ON e.j = kb.n),
+        d3 AS (SELECT n, COUNT(*) AS deg FROM (
+                   SELECT i AS n FROM e2 UNION ALL SELECT j FROM e2)
+               GROUP BY n),
+        k3 AS MATERIALIZED (SELECT n FROM d3 WHERE deg >= 2),
+        e3 AS MATERIALIZED (
+            SELECT e.i, e.j FROM e2 e
+            JOIN k3 ka ON e.i = ka.n JOIN k3 kb ON e.j = kb.n),
+        d4 AS (SELECT n, COUNT(*) AS deg FROM (
+                   SELECT i AS n FROM e3 UNION ALL SELECT j FROM e3)
+               GROUP BY n),
+        k4 AS MATERIALIZED (SELECT n FROM d4 WHERE deg >= 2),
+        e4 AS MATERIALIZED (
+            SELECT e.i, e.j FROM e3 e
+            JOIN k4 ka ON e.i = ka.n JOIN k4 kb ON e.j = kb.n)
+        SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (SELECT i AS n FROM e4 UNION ALL SELECT j FROM e4)
+        GROUP BY n
+    """,
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators import graph
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("_g"), F.col("l_partkey").alias("_i")
+    ).distinct()
+    edges = (
+        items.join(items.select("_g", F.col("_i").alias("_j")), on="_g")
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .where(F.col("_ng") >= 2)
+        .select(F.col("_i").alias("a"), F.col("_j").alias("b"))
+    )
+    return graph.kcore_peel(edges, k=2, rounds=4)
+
+
+@register(
     "neighbor_jaccard_pairs",
     op_ids="beyond-reference bipartite node similarity (Jaccard of "
     "order sets — the degree-normalized co-occurrence that surfaces "

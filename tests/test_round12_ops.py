@@ -267,3 +267,83 @@ class TestClassifierGateReport:
         assert not any("Exchange hashpartitioning" in ln for ln in between), (
             "gate added a corpus shuffle:\n" + "\n".join(between)
         )
+
+
+class TestKcorePeel:
+    @staticmethod
+    def _ref(edges, k, rounds):
+        """Naive single-node synchronous peel."""
+        from collections import Counter
+
+        e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        for _ in range(rounds):
+            deg = Counter()
+            for i, j in e:
+                deg[i] += 1
+                deg[j] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            e = {(i, j) for i, j in e if i in keep and j in keep}
+        deg = Counter()
+        for i, j in e:
+            deg[i] += 1
+            deg[j] += 1
+        return dict(deg)
+
+    EDGES = [
+        # a 4-clique (survives k=3) with a pendant path hanging off
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),  # peels off at k>=2 round by round
+        ("x", "y"),  # isolated edge, gone at k=2 immediately
+    ]
+
+    def test_matches_naive_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.graph import kcore_peel
+
+        df = spark.createDataFrame(self.EDGES, "a string, b string")
+        for k in (2, 3):
+            got = {
+                r["node"]: r["core_degree"]
+                for r in kcore_peel(df, k=k, rounds=4).collect()
+            }
+            assert got == self._ref(self.EDGES, k, 4), f"k={k}"
+        # semantics spot-checks: the 3-core is exactly the clique
+        got3 = {
+            r["node"]
+            for r in kcore_peel(df, k=3, rounds=4).collect()
+        }
+        assert got3 == {"a", "b", "c", "d"}
+
+    def test_pendant_chain_needs_multiple_rounds(self, spark):
+        """f peels in round 1 (deg 1), THEN e peels in round 2 — the
+        synchronous multi-round semantics, not a one-shot filter."""
+        from nhl_data_warehouse_spark.operators.graph import kcore_peel
+
+        df = spark.createDataFrame(self.EDGES, "a string, b string")
+        one_round = {
+            r["node"] for r in kcore_peel(df, k=2, rounds=1).collect()
+        }
+        four_rounds = {
+            r["node"] for r in kcore_peel(df, k=2, rounds=4).collect()
+        }
+        assert "e" in one_round and "e" not in four_rounds
+        assert four_rounds == {"a", "b", "c", "d"}
+
+    def test_randomized_vs_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (f"n{rng.randint(0, 25)}", f"n{rng.randint(0, 25)}")
+            for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        from nhl_data_warehouse_spark.operators.graph import kcore_peel
+
+        df = spark.createDataFrame(edges, "a string, b string")
+        for k in (2, 3, 4):
+            got = {
+                r["node"]: r["core_degree"]
+                for r in kcore_peel(df, k=k, rounds=5).collect()
+            }
+            assert got == self._ref(edges, k, 5), f"k={k}"

@@ -290,6 +290,12 @@ PROBES = [
     # gate compare is per-row against ONE broadcast threshold —
     # expect ~linear in tokens, flat threshold/gate tail)
     "classifier_corpus_gate",
+    # round-12: k-core peeling (4 fixed synchronous rounds over the
+    # co-purchase projection; per round one degree combine + two
+    # |V|-broadcast semi-joins, each round localCheckpoint-ed so the
+    # projection runs once — edge growth bounded by basket sizes,
+    # the copurchase class; survivors shrink monotonically)
+    "copurchase_kcore",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
