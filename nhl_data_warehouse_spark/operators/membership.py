@@ -163,94 +163,3 @@ def bloom_prefiltered_new_rows(
     )
     return definite_new.unionByName(survivors.select(*definite_new.columns))
 
-
-def countmin_build(
-    df: DataFrame,
-    key_col: str,
-    width: int = 1024,
-    depth: int = 4,
-) -> DataFrame:
-    """Count-Min sketch as a (row, col, cnt) RELATION — the frequency
-    member of the sketch-relation family (Bloom = membership, HLL =
-    distinct, TopK = heavy hitters; CMS answers "about how often does
-    key x occur" in fixed space, Cormode & Muthukrishnan 2005).
-
-    Same doctrine as the Bloom relation: the sketch lives as at most
-    ``depth * width`` rows built by ONE map-side-combined aggregate —
-    never a driver-side array — and hashing is md5-window derived
-    (row r's column = int(8-hex window r of md5(key)) mod width), so
-    the sketch contents and every estimate, INCLUDING the collision
-    overcounts, are bit-reproducible on any engine or partitioning.
-    depth <= 4 (one md5 digest carries four 8-hex windows).
-
-    Scale shape: keys explode to ``depth`` narrow (row, col) pairs
-    map-side; the aggregate collapses to the FIXED sketch grain
-    before any shuffle. Point estimates (``countmin_estimate``) never
-    underestimate: every cell the key hashes to counted ALL its
-    occurrences plus colliders, so min over rows >= true count.
-    """
-    assert 1 <= depth <= 4, "one md5 digest carries four 8-hex windows"
-    fp = F.md5(F.col(key_col).cast("string"))
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                (
-                    F.conv(F.substring(fp, 1 + 8 * r, 8), 16, 10).cast("long")
-                    % width
-                ).alias("col"),
-            )
-            for r in range(depth)
-        ]
-    )
-    return (
-        df.select(F.explode(pairs).alias("_p"))
-        .select("_p.row", "_p.col")
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-
-
-def countmin_estimate(
-    sketch: DataFrame,
-    keys: DataFrame,
-    key_col: str,
-    width: int = 1024,
-    depth: int = 4,
-) -> DataFrame:
-    """Point-frequency estimates off a ``countmin_build`` relation:
-    for each probe key, min over the ``depth`` rows of the counter at
-    the key's column — the classic CMS upper-bound estimate (exact
-    count <= estimate, with overcount bounded by collisions).
-
-    Scale shape: probes explode to ``depth`` narrow pairs and
-    equi-join the BOUNDED (depth*width rows) sketch — broadcast-sized
-    by construction; one key-grain min aggregate. A probe key that
-    hits an empty cell (never counted) estimates 0 via the left join.
-    """
-    assert 1 <= depth <= 4
-    fp = F.md5(F.col(key_col).cast("string"))
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"),
-                (
-                    F.conv(F.substring(fp, 1 + 8 * r, 8), 16, 10).cast("long")
-                    % width
-                ).alias("col"),
-            )
-            for r in range(depth)
-        ]
-    )
-    probes = keys.select(
-        F.col(key_col), F.explode(pairs).alias("_p")
-    ).select(key_col, "_p.row", "_p.col")
-    return (
-        probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
-        .groupBy(key_col)
-        .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
-            .cast("long")
-            .alias("cms_estimate")
-        )
-    )

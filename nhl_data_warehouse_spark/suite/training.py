@@ -6356,83 +6356,6 @@ def bloom_membership_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "countmin_token_freq",
-    op_ids="beyond-reference Count-Min sketch as a (row, col, cnt) "
-    "relation (Cormode-Muthukrishnan; the FREQUENCY member of the "
-    "sketch-relation family next to the Bloom membership bitmap): "
-    "md5-window hashing so sketch contents and every collision "
-    "overcount are bit-reproducible cross-engine; build is one "
-    "map-side-combined aggregate to the fixed depth*width grain; "
-    "estimates never underestimate (min over rows >= true count, "
-    "pinned per token against the exact arm)",
-    description="per distinct token: exact corpus frequency, the "
-    "4x64 Count-Min estimate, and the collision overcount — the "
-    "fixed-space frequency sketch next to its exact oracle arm",
-    oracle=f"""
-        WITH toks AS (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS tok
-            FROM documents
-        ),
-        pairs AS (
-            SELECT tok, r.r AS row,
-                   CASE r.r
-                     WHEN 0 THEN {_hex_int_sql("substring(md5(tok), 1, 8)", 8)} % 64
-                     WHEN 1 THEN {_hex_int_sql("substring(md5(tok), 9, 8)", 8)} % 64
-                     WHEN 2 THEN {_hex_int_sql("substring(md5(tok), 17, 8)", 8)} % 64
-                     ELSE {_hex_int_sql("substring(md5(tok), 25, 8)", 8)} % 64
-                   END AS col
-            FROM toks, (SELECT unnest(generate_series(0, 3)) AS r) r
-        ),
-        sketch AS (
-            SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM pairs GROUP BY 1, 2
-        ),
-        exact AS (
-            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
-            FROM toks GROUP BY tok
-        ),
-        est AS (
-            SELECT p.tok, CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
-            FROM (SELECT DISTINCT tok, row, col FROM pairs) p
-            JOIN sketch s ON p.row = s.row AND p.col = s.col
-            GROUP BY p.tok
-        )
-        SELECT e.tok AS token, e.exact_n, s.cms_estimate,
-               CAST(s.cms_estimate - e.exact_n AS BIGINT) AS overcount
-        FROM exact e JOIN est s ON e.tok = s.tok
-    """,
-)
-def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nhl_data_warehouse_spark.operators.membership import (
-        countmin_build,
-        countmin_estimate,
-    )
-
-    (documents,) = load(spark, sf_dir, "documents")
-    toks = documents.select(
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("token")
-    )
-    sketch = countmin_build(toks, "token", width=64, depth=4)
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_n")
-    )
-    est = countmin_estimate(
-        sketch, exact.select("token"), "token", width=64, depth=4
-    )
-    return exact.join(est, on="token").select(
-        "token",
-        "exact_n",
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("exact_n"))
-        .cast("long")
-        .alias("overcount"),
-    )
-
-
-@register(
     "approx_topk_heavy_hitters",
     op_ids="beyond-reference heavy-hitters sketch (Spark 4 "
     "approx_top_k — Space-Saving family), completing the sketch "

@@ -349,82 +349,6 @@ class TestKcorePeel:
             assert got == self._ref(edges, k, 5), f"k={k}"
 
 
-class TestCountMinSketch:
-    def _ref(self, keys, width, depth):
-        """Naive CMS reference with the same md5-window hashing."""
-        from collections import Counter
-
-        cells = Counter()
-        for k in keys:
-            h = hashlib.md5(str(k).encode()).hexdigest()
-            for r in range(depth):
-                cells[(r, int(h[8 * r : 8 * r + 8], 16) % width)] += 1
-        est = {}
-        for k in set(keys):
-            h = hashlib.md5(str(k).encode()).hexdigest()
-            est[k] = min(
-                cells[(r, int(h[8 * r : 8 * r + 8], 16) % width)]
-                for r in range(depth)
-            )
-        return cells, est
-
-    def test_matches_reference_and_never_underestimates(self, spark):
-        from collections import Counter
-
-        from nhl_data_warehouse_spark.operators.membership import (
-            countmin_build,
-            countmin_estimate,
-        )
-
-        keys = (["apple"] * 5 + ["pear"] * 3 + ["plum"] * 2
-                + [f"k{i}" for i in range(40)])
-        df = spark.createDataFrame([(k,) for k in keys], "key string")
-        width, depth = 16, 4  # narrow -> collisions guaranteed
-        sketch = countmin_build(df, "key", width=width, depth=depth)
-        ref_cells, ref_est = self._ref(keys, width, depth)
-        got_cells = {
-            (r["row"], r["col"]): r["cnt"] for r in sketch.collect()
-        }
-        assert got_cells == {c: n for c, n in ref_cells.items() if n}
-        probes = spark.createDataFrame(
-            [(k,) for k in set(keys)], "key string"
-        )
-        got = {
-            r["key"]: r["cms_estimate"]
-            for r in countmin_estimate(
-                sketch, probes, "key", width=width, depth=depth
-            ).collect()
-        }
-        exact = Counter(keys)
-        assert got == ref_est
-        assert all(got[k] >= exact[k] for k in exact), "CMS underestimated"
-
-    def test_sketch_grain_is_bounded(self, spark):
-        from nhl_data_warehouse_spark.operators.membership import (
-            countmin_build,
-        )
-
-        df = spark.range(5000).select(
-            F.col("id").cast("string").alias("key")
-        )
-        n = countmin_build(df, "key", width=32, depth=4).count()
-        assert n <= 4 * 32
-
-    def test_unseen_probe_estimates_zero_or_collision(self, spark):
-        from nhl_data_warehouse_spark.operators.membership import (
-            countmin_build,
-            countmin_estimate,
-        )
-
-        df = spark.createDataFrame([("only",)], "key string")
-        sketch = countmin_build(df, "key", width=1024, depth=4)
-        probes = spark.createDataFrame([("absent",)], "key string")
-        row = countmin_estimate(
-            sketch, probes, "key", width=1024, depth=4
-        ).collect()[0]
-        assert row["cms_estimate"] in (0, 1)  # 0 unless all 4 cells collide
-
-
 class TestBenfordFirstDigit:
     def test_matches_manual_chi2(self, spark):
         import math

@@ -296,12 +296,8 @@ PROBES = [
     # projection runs once — edge growth bounded by basket sizes,
     # the copurchase class; survivors shrink monotonically)
     "copurchase_kcore",
-    # round-12: Count-Min frequency sketch (token explode ~linear;
-    # build collapses to the FIXED 4x64 grain map-side; the estimate
-    # join probes the bounded sketch — expect ~linear scan, flat
-    # sketch/probe tail) and the Benford screen (one conditional
+    # round-12: Benford first-digit screen (one conditional
     # aggregate to a single row — ~linear scan, flat tail)
-    "countmin_token_freq",
     "benford_price_first_digit",
 ]
 
