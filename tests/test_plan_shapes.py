@@ -74,9 +74,16 @@ def test_narrow_ops_have_no_shuffle(spark, registry):
 
 
 def test_sketches_shuffle_at_most_once(spark, registry):
-    # scale_out's explicit repartition is the only allowed exchange in
-    # the per-document sketches (simhash/fingerprint are per-row folds)
-    assert plan_of(registry["simhash_sketch"].fn(spark, SF)).count("Exchange") <= 1
+    # doc_fingerprints is a per-row fold: scale_out's explicit
+    # repartition is its only allowed exchange. simhash gained exactly
+    # ONE more in round 12 — the doc-grain vote combine (id + 32 longs
+    # after map-side partial agg): the zero-shuffle HOF fold was
+    # REJECTED by measurement (7.84 s vs 2.47 s at a 100k-doc corpus,
+    # interpreted lambda eval — BASELINE.md round-12 notes), so the
+    # pinned contract is repartition + one narrow combine, nothing else.
+    plan = plan_of(registry["simhash_sketch"].fn(spark, SF))
+    assert plan.count("Exchange") <= 2
+    assert "partial_sum" in plan, "vote combine must be map-side partial"
     assert plan_of(registry["doc_fingerprints"].fn(spark, SF)).count("Exchange") <= 1
 
 
