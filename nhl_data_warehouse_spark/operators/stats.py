@@ -1824,56 +1824,3 @@ def classifier_gate_report(
         )
     )
 
-
-def benford_first_digit(
-    df: DataFrame,
-    value_col: str,
-) -> DataFrame:
-    """Benford's-law first-digit goodness of fit — the classic
-    data-quality / fabrication screen for naturally-occurring
-    positive amounts (prices, populations, transaction values):
-    under Benford the first significant digit d occurs with
-    P(d) = log10(1 + 1/d), and synthetic, capped, or hand-entered
-    values bend the curve (Nigrini's forensic-accounting standard).
-    The chi-square statistic against the Benford expectation is the
-    one-number gate.
-
-    Rows with value < 1 are excluded (their first significant digit
-    lives below the integer point; the screen targets amount-like
-    columns where that is noise), as are NULLs.
-
-    Determinism: the nine digit counts are exact integers from ONE
-    map-side-combined conditional aggregate (no shuffle beyond the
-    single global row); chi2 is one fixed-order double expression
-    over those integers with the Benford probabilities embedded as
-    shared literals — bit-identical on any engine or partitioning.
-    Output one row: (n, d1..d9, chi2_stat); NULL chi2 when n = 0.
-    """
-    fd = F.substring(
-        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
-    ).cast("int")
-    vals = df.where(
-        F.col(value_col).isNotNull() & (F.col(value_col) >= 1)
-    ).select(fd.alias("_d"))
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
-        F.sum(F.when(F.col("_d") == d, 1).otherwise(0))
-        .cast("long")
-        .alias(f"d{d}")
-        for d in range(1, 10)
-    ]
-    counts = vals.agg(*aggs)
-    import math
-
-    terms = " + ".join(
-        f"(CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        f" * (CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        f" / (CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        for d in range(1, 10)
-    )
-    return counts.select(
-        "n",
-        *[f"d{d}" for d in range(1, 10)],
-        F.expr(
-            f"CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE) ELSE {terms} END"
-        ).alias("chi2_stat"),
-    )

@@ -505,59 +505,6 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _benford_terms_sql() -> str:
-    """The chi2 expression with the SAME probability literals (and
-    the same left-to-right term order) the Spark operator embeds —
-    repr of the identical Python doubles, so both engines evaluate
-    the identical fixed-order expression."""
-    import math
-
-    return " + ".join(
-        f"(CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        f" * (CAST(d{d} AS DOUBLE) - CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        f" / (CAST(n AS DOUBLE) * {math.log10(1 + 1 / d)!r})"
-        for d in range(1, 10)
-    )
-
-
-@register(
-    "benford_price_first_digit",
-    op_ids="beyond-reference Benford first-digit goodness of fit "
-    "(Nigrini's forensic data-quality screen for amount-like "
-    "columns): nine exact integer digit counts from ONE map-side-"
-    "combined conditional aggregate, chi2 against log10(1+1/d) as a "
-    "single fixed-order double expression over shared literals",
-    description="one-row Benford scorecard for order totals: n, the "
-    "nine first-digit counts, and the chi-square statistic against "
-    "the Benford expectation",
-    oracle=f"""
-        WITH v AS (
-            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                                       AS VARCHAR), 1, 1) AS INTEGER) AS d
-            FROM orders
-            WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
-        ),
-        c AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   {", ".join(
-                       f"CAST(SUM(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS BIGINT) AS d{d}"
-                       for d in range(1, 10)
-                   )}
-            FROM v
-        )
-        SELECT n, {", ".join(f"d{d}" for d in range(1, 10))},
-               CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
-                    ELSE {_benford_terms_sql()} END AS chi2_stat
-        FROM c
-    """,
-)
-def benford_price_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nhl_data_warehouse_spark.operators.stats import benford_first_digit
-
-    (orders,) = load(spark, sf_dir, "orders")
-    return benford_first_digit(orders, "o_totalprice")
-
-
 @register(
     "conformal_value_coverage",
     op_ids="beyond-reference distribution-free calibration gate: "

@@ -347,59 +347,3 @@ class TestKcorePeel:
                 for r in kcore_peel(df, k=k, rounds=5).collect()
             }
             assert got == self._ref(edges, k, 5), f"k={k}"
-
-
-class TestBenfordFirstDigit:
-    def test_matches_manual_chi2(self, spark):
-        import math
-
-        from nhl_data_warehouse_spark.operators.stats import (
-            benford_first_digit,
-        )
-
-        vals = [1.5, 19.0, 123.0, 2.0, 29.9, 31.4, 999.0, 0.5, None, 4.0]
-        df = spark.createDataFrame(
-            [(v,) for v in vals], "v double"
-        )
-        row = benford_first_digit(df, "v").collect()[0]
-        used = [v for v in vals if v is not None and v >= 1]
-        assert row["n"] == len(used)
-        from collections import Counter
-
-        cnt = Counter(int(str(int(v))[0]) for v in used)
-        for d in range(1, 10):
-            assert row[f"d{d}"] == cnt.get(d, 0)
-        n = len(used)
-        chi2 = sum(
-            (cnt.get(d, 0) - n * math.log10(1 + 1 / d)) ** 2
-            / (n * math.log10(1 + 1 / d))
-            for d in range(1, 10)
-        )
-        assert abs(row["chi2_stat"] - chi2) < 1e-9
-
-    def test_empty_input_null_chi2(self, spark):
-        from nhl_data_warehouse_spark.operators.stats import (
-            benford_first_digit,
-        )
-
-        df = spark.createDataFrame([(0.5,), (None,)], "v double")
-        row = benford_first_digit(df, "v").collect()[0]
-        assert row["n"] == 0 and row["chi2_stat"] is None
-
-    def test_benford_ish_data_scores_low(self, spark):
-        """Geometric growth is the canonical Benford generator — its
-        chi2 must be far below a uniform-first-digit set of the same
-        size (the screen must separate the two)."""
-        from nhl_data_warehouse_spark.operators.stats import (
-            benford_first_digit,
-        )
-
-        geo = [1.0 * (1.087 ** i) for i in range(300)]
-        uni = [float(d) * 10 for d in range(1, 10)] * 34
-        chi_g = benford_first_digit(
-            spark.createDataFrame([(v,) for v in geo], "v double"), "v"
-        ).collect()[0]["chi2_stat"]
-        chi_u = benford_first_digit(
-            spark.createDataFrame([(v,) for v in uni], "v double"), "v"
-        ).collect()[0]["chi2_stat"]
-        assert chi_g < chi_u / 5

@@ -296,9 +296,6 @@ PROBES = [
     # projection runs once — edge growth bounded by basket sizes,
     # the copurchase class; survivors shrink monotonically)
     "copurchase_kcore",
-    # round-12: Benford first-digit screen (one conditional
-    # aggregate to a single row — ~linear scan, flat tail)
-    "benford_price_first_digit",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
