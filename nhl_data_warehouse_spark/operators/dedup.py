@@ -890,6 +890,84 @@ def paragraph_dedup_stats(
     )
 
 
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    name_col: str = "name",
+    max_dist: int = 2,
+    block_width: int | None = None,
+) -> DataFrame:
+    """Entity-resolution near-dup pairing by EDIT DISTANCE with
+    length blocking — the string-grain similarity the token/shingle
+    family cannot express (minhash/simhash/jaccard see token sets;
+    "red widget" vs "hot widget" is 3 edits but shares half its
+    tokens; a typo'd SKU shares almost none). Levenshtein is the
+    standard ER verify for names/titles/SKUs, and both engines
+    implement the identical classic DP, so the oracle is exact.
+
+    Completeness without all-pairs (the classic length-key blocking):
+    two strings within edit distance d differ in length by at most d,
+    so the PROBE side of the self-join emits each distinct name into
+    the (at most two) length blocks covering [len-d, len+d] with
+    block width >= 2d+1, the build side keeps only its own block,
+    and every qualifying pair meets in exactly ONE (probe-expanded,
+    build-own) block — no candidate is missed, no pair duplicates
+    (the build side's single block is always inside the probe's
+    window). The quadratic work is per-block, bounded by the name-
+    length distribution, never corpus-wide; levenshtein runs only on
+    block-mates passing the |len diff| <= d filter.
+
+    Operates at the DISTINCT-name grain (names collapse map-side with
+    their record counts before any join — the dedup_exact contract),
+    so record multiplicity never inflates the pair join. Output:
+    (name_a, name_b, edit_dist, n_recs_a, n_recs_b) with
+    name_a < name_b.
+    """
+    b = block_width if block_width is not None else 2 * max_dist + 1
+    assert b >= 2 * max_dist + 1, "blocks must cover the ±d length window"
+    names = (
+        df.select(F.col(name_col).alias("_nm"))
+        .groupBy("_nm")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .withColumn("_len", F.length("_nm"))
+    )
+    probe = names.select(
+        "_nm",
+        "_cnt",
+        "_len",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("_len") - max_dist) / b),
+                    F.floor(F.col("_len") / b),
+                    F.floor((F.col("_len") + max_dist) / b),
+                )
+            )
+        ).alias("_blk"),
+    )
+    build = names.select(
+        F.col("_nm").alias("_nm2"),
+        F.col("_cnt").alias("_cnt2"),
+        F.col("_len").alias("_len2"),
+        F.floor(F.col("_len") / b).alias("_blk"),
+    )
+    return (
+        probe.join(build, on="_blk")
+        .where(
+            (F.col("_nm") < F.col("_nm2"))
+            & (F.abs(F.col("_len") - F.col("_len2")) <= max_dist)
+        )
+        .withColumn("_ed", F.levenshtein(F.col("_nm"), F.col("_nm2")))
+        .where(F.col("_ed") <= max_dist)
+        .select(
+            F.col("_nm").alias("name_a"),
+            F.col("_nm2").alias("name_b"),
+            F.col("_ed").cast("long").alias("edit_dist"),
+            F.col("_cnt").alias("n_recs_a"),
+            F.col("_cnt2").alias("n_recs_b"),
+        )
+    )
+
+
 def simhash_band_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

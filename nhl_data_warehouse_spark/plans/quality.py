@@ -183,3 +183,43 @@ def observed_write(
     observed = df.observe(obs, *aggs)
     result = action(observed)
     return result, obs.get
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content fingerprint of a relation — the
+    reconciliation gate for copies, migrations, and engine swaps
+    ("did the rows survive the move bit-for-bit?"): checksum equality
+    plus row-count equality certifies content equality up to hash
+    collision, with NO sort and NO row shuffle. This engine's own
+    correctness harness is exactly this scenario (Spark vs DuckDB on
+    the same parquet), so the fingerprint uses md5 — bit-identical in
+    any engine — never an engine-private hash.
+
+    Per row: the named columns are cast to string (callers must pick
+    cross-engine-stable forms — integer cents for doubles, ISO dates;
+    the suite convention), NULL becomes an explicit sentinel so
+    ("a", NULL) and (NULL, "a") cannot collide through concat_ws\'s
+    null-dropping, fields join on the unit separator \\x1f, and the
+    first 12 hex of md5 (48 bits) become the row term. The checksum
+    is the SUM of row terms — addition commutes, so the result is
+    partitioning- and order-independent, and the aggregate is ONE
+    map-side-combined pass. The sum accumulates in DECIMAL(38,0)
+    (load-bearing: a BIGINT sum of 48-bit terms wraps past ~2^15
+    rows) and is emitted modulo the Mersenne prime 2^61-1 as BIGINT
+    (the driver-safe final type).
+
+    Output one row: (n_rows, checksum).
+    """
+    sep = "\x1f"
+    sent = "\x00"
+    canon = F.concat_ws(
+        sep,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in cols],
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(term.cast("decimal(38,0)")) % F.lit(2305843009213693951))
+        .cast("long")
+        .alias("checksum"),
+    )

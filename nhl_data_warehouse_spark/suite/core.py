@@ -197,6 +197,74 @@ def null_count_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_table_checksum",
+    op_ids="beyond-reference reconciliation gate: order-independent "
+    "md5 table checksum (sum of 48-bit row fingerprints in "
+    "DECIMAL(38,0), emitted mod the Mersenne prime 2^61-1) — "
+    "checksum + row count certify a copy/migration/engine-swap "
+    "preserved content, with no sort and ONE map-side-combined "
+    "aggregate; md5 (never an engine-private hash) makes the "
+    "fingerprint portable, which this very oracle check exercises",
+    description="one-row (n_rows, checksum) content fingerprint of "
+    "orders over engine-stable column forms (integer cents, ISO "
+    "date) — equal on both engines by construction",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 17592186044416
+                      + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 1099511627776
+                      + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 68719476736
+                      + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) * 4294967296
+                      + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) * 268435456
+                      + (instr('0123456789abcdef', substring(h, 6, 1)) - 1) * 16777216
+                      + (instr('0123456789abcdef', substring(h, 7, 1)) - 1) * 1048576
+                      + (instr('0123456789abcdef', substring(h, 8, 1)) - 1) * 65536
+                      + (instr('0123456789abcdef', substring(h, 9, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substring(h, 10, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substring(h, 11, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substring(h, 12, 1)) - 1))
+                    % 2305843009213693951 AS BIGINT) AS checksum
+        FROM (
+            SELECT md5(concat_ws(chr(31),
+                       COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+                       COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+                       COALESCE(o_orderstatus, chr(0)),
+                       COALESCE(o_orderpriority, chr(0)),
+                       COALESCE(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                     AS VARCHAR), chr(0)),
+                       COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                                chr(0)))) AS h
+            FROM orders
+        )
+    """,
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.plans.quality import table_checksum
+
+    (orders,) = load(spark, sf_dir, "orders")
+    stable = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    return table_checksum(
+        stable,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "price_cents",
+            "order_date",
+        ],
+    )
+
+
+@register(
     "data_quality_report",
     op_ids="A1 generalized: the full dbt-style gate family (null, "
     "unique, accepted_values, freshness) as ONE aggregation pass "

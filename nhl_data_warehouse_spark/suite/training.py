@@ -551,6 +551,40 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partname_edit_near_dups",
+    op_ids="beyond-reference entity-resolution near-dup pairing by "
+    "EDIT DISTANCE with length-key blocking — the string-grain "
+    "similarity the token/shingle family cannot express (a typo'd "
+    "SKU shares no shingles; levenshtein is the classic ER verify): "
+    "probe side emits each distinct name into the <= 2 length blocks "
+    "covering [len-d, len+d] (width >= 2d+1 guarantees completeness "
+    "with zero duplicate pairs), build side keeps its own block, so "
+    "the quadratic work is per-block, never corpus-wide; names "
+    "collapse to (name, count) map-side before the join",
+    description="distinct part-name pairs within edit distance 3, "
+    "found via length-blocked levenshtein with record counts per "
+    "name — the entity-resolution dedup verify",
+    oracle="""
+        WITH names AS (
+            SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM part GROUP BY 1
+        )
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist,
+               a.cnt AS n_recs_a, b.cnt AS n_recs_b
+        FROM names a JOIN names b ON a.nm < b.nm
+        WHERE abs(length(a.nm) - length(b.nm)) <= 3
+          AND levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def partname_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load(spark, sf_dir, "part")
+    return dedup.blocked_edit_distance_pairs(
+        part, name_col="p_name", max_dist=3
+    )
+
+
+@register(
     "simhash_hamming_near_dups",
     op_ids="beyond-reference SimHash near-dup PAIRING (Manku/Google "
     "recipe — completes the simhash family: the sketch query only "

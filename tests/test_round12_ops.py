@@ -347,3 +347,152 @@ class TestKcorePeel:
                 for r in kcore_peel(df, k=k, rounds=5).collect()
             }
             assert got == self._ref(edges, k, 5), f"k={k}"
+
+
+class TestBlockedEditDistance:
+    def _ref(self, names, d):
+        import itertools
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        from collections import Counter
+
+        cnt = Counter(names)
+        out = set()
+        for a, b in itertools.combinations(sorted(cnt), 2):
+            e = lev(a, b)
+            if e <= d:
+                out.add((a, b, e, cnt[a], cnt[b]))
+        return out
+
+    NAMES = [
+        "red widget", "red widget", "ted widget", "red gadget",
+        "blue bolt", "blue bolts", "glue bolt",
+        "a", "ab", "abcd",  # short strings across block boundaries
+        "completely different string",
+    ]
+
+    def test_matches_allpairs_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            blocked_edit_distance_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(n,) for n in self.NAMES], "name string"
+        )
+        for d in (1, 2, 3):
+            got = {
+                (r["name_a"], r["name_b"], r["edit_dist"],
+                 r["n_recs_a"], r["n_recs_b"])
+                for r in blocked_edit_distance_pairs(
+                    df, "name", max_dist=d
+                ).collect()
+            }
+            assert got == self._ref(self.NAMES, d), f"d={d}"
+
+    def test_blocking_is_complete_randomized(self, spark):
+        """Random strings with lengths straddling block boundaries:
+        the length-blocked join must find EXACTLY the all-pairs
+        qualifying set (completeness is the whole point of emitting
+        probe rows into the ±d window blocks)."""
+        import random
+
+        rng = random.Random(3)
+        names = [
+            "".join(rng.choices("abc", k=rng.randint(1, 12)))
+            for _ in range(60)
+        ]
+        from nhl_data_warehouse_spark.operators.dedup import (
+            blocked_edit_distance_pairs,
+        )
+
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        got = {
+            (r["name_a"], r["name_b"], r["edit_dist"])
+            for r in blocked_edit_distance_pairs(
+                df, "name", max_dist=2
+            ).collect()
+        }
+        want = {(a, b, e) for a, b, e, _, _ in self._ref(names, 2)}
+        assert got == want
+
+    def test_no_duplicate_pairs(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            blocked_edit_distance_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(n,) for n in self.NAMES], "name string"
+        )
+        rows = blocked_edit_distance_pairs(df, "name", max_dist=3).collect()
+        pairs = [(r["name_a"], r["name_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+
+class TestTableChecksum:
+    def test_order_and_partitioning_independent(self, spark):
+        from nhl_data_warehouse_spark.plans.quality import table_checksum
+
+        rows = [(1, "a"), (2, "b"), (3, None), (4, "d")]
+        df1 = spark.createDataFrame(rows, "k int, v string").repartition(7)
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "k int, v string"
+        ).coalesce(1)
+        c1 = table_checksum(df1, ["k", "v"]).collect()[0]
+        c2 = table_checksum(df2, ["k", "v"]).collect()[0]
+        assert (c1["n_rows"], c1["checksum"]) == (c2["n_rows"], c2["checksum"])
+
+    def test_detects_single_cell_change(self, spark):
+        from nhl_data_warehouse_spark.plans.quality import table_checksum
+
+        base = [(i, f"v{i}") for i in range(50)]
+        mut = list(base)
+        mut[17] = (17, "v17x")
+        a = table_checksum(
+            spark.createDataFrame(base, "k int, v string"), ["k", "v"]
+        ).collect()[0]
+        b = table_checksum(
+            spark.createDataFrame(mut, "k int, v string"), ["k", "v"]
+        ).collect()[0]
+        assert a["n_rows"] == b["n_rows"] and a["checksum"] != b["checksum"]
+
+    def test_null_position_not_confusable(self, spark):
+        """("a", NULL) vs (NULL, "a") must checksum differently —
+        the sentinel defeats concat_ws's null dropping."""
+        from nhl_data_warehouse_spark.plans.quality import table_checksum
+
+        a = table_checksum(
+            spark.createDataFrame([("a", None)], "x string, y string"),
+            ["x", "y"],
+        ).collect()[0]["checksum"]
+        b = table_checksum(
+            spark.createDataFrame([(None, "a")], "x string, y string"),
+            ["x", "y"],
+        ).collect()[0]["checksum"]
+        assert a != b
+
+    def test_matches_python_reference(self, spark):
+        import hashlib as hl
+
+        from nhl_data_warehouse_spark.plans.quality import table_checksum
+
+        rows = [(1, "a"), (2, None)]
+        df = spark.createDataFrame(rows, "k int, v string")
+        got = table_checksum(df, ["k", "v"]).collect()[0]
+        total = 0
+        for k, v in rows:
+            canon = "\x1f".join(
+                [str(k), v if v is not None else "\x00"]
+            )
+            total += int(hl.md5(canon.encode()).hexdigest()[:12], 16)
+        assert got["checksum"] == total % 2305843009213693951

@@ -296,6 +296,14 @@ PROBES = [
     # projection runs once — edge growth bounded by basket sizes,
     # the copurchase class; survivors shrink monotonically)
     "copurchase_kcore",
+    # round-12: blocked edit-distance ER pairing (names collapse to
+    # the distinct-name grain map-side; the levenshtein join is
+    # per-length-block — replication with remapped ids multiplies
+    # record counts but the DISTINCT-name grain is fixed, so expect
+    # ~flat beyond the scan) and the md5 table checksum (one
+    # map-side-combined aggregate — ~linear scan, flat tail)
+    "partname_edit_near_dups",
+    "orders_table_checksum",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
