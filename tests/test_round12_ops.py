@@ -496,3 +496,30 @@ class TestTableChecksum:
             )
             total += int(hl.md5(canon.encode()).hexdigest()[:12], 16)
         assert got["checksum"] == total % 2305843009213693951
+
+
+def test_edit_distance_plan_no_cartesian_and_name_grain(spark):
+    """Scale pins for blocked_edit_distance_pairs: the pair join must
+    be a block-keyed equi-join (never CartesianProduct), and the
+    distinct-name collapse (groupBy name) must sit BELOW the join —
+    record multiplicity collapses map-side before any pairing."""
+    from nhl_data_warehouse_spark.operators.dedup import (
+        blocked_edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(n,) for n in ["aaa", "aab", "bbb", "aaa", "cc"]], "name string"
+    )
+    out = blocked_edit_distance_pairs(df, "name", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    join_at = min(
+        i for i, ln in enumerate(lines) if "Join" in ln and "_blk" in ln
+    )
+    agg_below = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "_nm" in ln and i > join_at
+    ]
+    assert agg_below, "name-grain aggregate must feed the join from below"
