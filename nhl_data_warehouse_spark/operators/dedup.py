@@ -740,7 +740,11 @@ def simhash(
     penalty the cdc_chunks A/B found (BASELINE.md round-12 notes).
     The narrow doc-grain shuffle is cheap; the per-token CPU is not.
     Documents with no tokens produce no rows, matching the relational
-    formulation.
+    formulation. The sketch is per-ID, not per-row: rows sharing
+    ``id_col`` pool their token votes into ONE sketch (the groupBy
+    grain — a multi-shard ingest of the same document fingerprints
+    the union of its shards; pre-dedup rows if per-row sketches are
+    wanted).
     """
     assert bits <= 32
     toks = (
@@ -857,7 +861,13 @@ def paragraph_dedup_stats(
     dedup_exact contract); frequency is one hash-keyed map-side-
     combined aggregate; the flag join is a hash-grain equi-join of
     narrow rows; per-doc stats are one id-keyed aggregate. All counts
-    exact integers.
+    exact integers. The narrow occurrence relation is persisted: the
+    frequency build and the flag-join probe both read it, and their
+    exchanges differ (partial counts vs (id, h, len)) so ReuseExchange
+    cannot share them — without the pin the corpus-scale
+    split/trim/md5 projection executes twice (code-review r12; the
+    fuzzyjoin/_canonical_deg_tri convention). Released by the
+    session's ``release_cached`` caller contract.
     """
     seg = F.trim(F.col("_p"))
     paras = (
@@ -872,7 +882,7 @@ def paragraph_dedup_stats(
             F.md5(seg).alias("_h"),
             F.length(seg).cast("long").alias("_len"),
         )
-    )
+    ).persist()
     freq = paras.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
     return (
         paras.join(freq, on="_h")
@@ -890,19 +900,26 @@ def paragraph_dedup_stats(
     )
 
 
-def blocked_edit_distance_pairs(
+def length_blocked_edit_pairs(
     df: DataFrame,
     name_col: str = "name",
     max_dist: int = 2,
     block_width: int | None = None,
 ) -> DataFrame:
     """Entity-resolution near-dup pairing by EDIT DISTANCE with
-    length blocking — the string-grain similarity the token/shingle
-    family cannot express (minhash/simhash/jaccard see token sets;
-    "red widget" vs "hot widget" is 3 edits but shares half its
-    tokens; a typo'd SKU shares almost none). Levenshtein is the
-    standard ER verify for names/titles/SKUs, and both engines
+    LOSSLESS length blocking — the string-grain similarity the
+    token/shingle family cannot express (minhash/simhash/jaccard see
+    token sets; "red widget" vs "hot widget" is 3 edits but shares
+    half its tokens; a typo'd SKU shares almost none). Levenshtein is
+    the standard ER verify for names/titles/SKUs, and both engines
     implement the identical classic DP, so the oracle is exact.
+
+    Sibling operator: ``fuzzyjoin.blocked_edit_distance_pairs`` is
+    the LOSSY recall point of the same family — it additionally
+    blocks on a shared prefix, which shrinks blocks (cheaper) but
+    misses pairs whose edit touches the prefix ("src1" vs "xrc1").
+    This operator's length-only blocking is complete: every pair
+    within ``max_dist`` is found. Pick by recall requirement.
 
     Completeness without all-pairs (the classic length-key blocking):
     two strings within edit distance d differ in length by at most d,

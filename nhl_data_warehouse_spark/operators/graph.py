@@ -506,7 +506,11 @@ def kcore_peel(
     read round t's edges, and round t+1 reads their output, so an
     unpinned loop re-executes the whole upstream projection
     ~2^rounds times — measured 235 s -> 9 s at sf0.01 on the
-    co-purchase graph when the checkpoint was added.
+    co-purchase graph when the checkpoint was added. The checkpoint
+    blocks are reclaimed by the session's ``release_cached`` caller
+    contract (the connected-components/packing convention — its RDD
+    sweep exists precisely because localCheckpoint output is not in
+    the catalog).
     """
     e = (
         edges.select(

@@ -162,4 +162,3 @@ def bloom_prefiltered_new_rows(
         history.select(key_col).distinct(), on=key_col, how="left_anti"
     )
     return definite_new.unionByName(survivors.select(*definite_new.columns))
-

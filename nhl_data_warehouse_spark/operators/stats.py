@@ -1688,8 +1688,14 @@ def youden_j_threshold(
     The tp*N / fp*P cross-products are computed with the factors cast
     to DECIMAL(19,0) (exact past the int64 bound at ~3e9 rows per
     class — the same widening as ks_two_sample, ADVICE r11). One row
-    out: (n_pos, n_neg, threshold, j_stat, tpr, fpr), NULL metrics on
-    a single-class input.
+    out: (n_pos, n_neg, threshold, j_stat, tpr, fpr). Single-class
+    input degenerates PARTIALLY, not wholesale: ``j_stat`` and the
+    empty class's rate go NULL, but ``threshold`` still emits the
+    lowest observed cell (every cut ties at J=0) and the nonempty
+    class's rate is 1.0 — callers detecting an undefined operating
+    point must branch on ``j_stat IS NULL``, not on the threshold
+    (``classifier_gate_report`` does exactly this). An empty score
+    histogram emits ZERO rows.
     """
     hist = _cents_histogram(df, score_col, is_positive, scale)
     w = (
@@ -1771,9 +1777,18 @@ def classifier_gate_report(
     round(score*scale) >= the selected threshold CELL (recovered
     exactly from the one-row threshold via round(threshold*scale) —
     cells are integers, so the double round-trip is exact inside
-    2^53). A NULL threshold (single-class labels) keeps everything —
-    an undefined operating point must fail OPEN for a report (the
-    numbers then say "no gate"). ``kept_frac`` is the one IEEE
+    2^53). Fail-OPEN contract: when the operating point is UNDEFINED
+    — single-class labels (``youden_j_threshold`` then emits a
+    degenerate min-cell threshold with ``j_stat`` NULL) or an empty
+    score histogram (the sweep emits zero rows) — the gate keeps
+    everything, so the report's numbers say "no gate" instead of
+    silently dropping rows or vanishing. Both branches are realized
+    below: the threshold cell is NULLed when ``j_stat`` is NULL, and
+    the one-row property is restored by a min-aggregate over the
+    (possibly empty) sweep output, so the broadcast join never drops
+    the corpus. Under a REAL threshold, rows whose score is NULL are
+    not kept (a NULL cell fails the >= compare) — an unscorable row
+    does not pass a score gate. ``kept_frac`` is the one IEEE
     division.
 
     Scale shape: scoring stays whatever the caller's plan was (for
@@ -1783,8 +1798,19 @@ def classifier_gate_report(
     aggregate — the keep flag is a per-row integer compare against
     the broadcast scalar.
     """
-    thr = youden_j_threshold(df, score_col, is_positive, scale).select(
-        F.round(F.col("threshold") * scale).cast("long").alias("_thr_c")
+    thr = (
+        youden_j_threshold(df, score_col, is_positive, scale)
+        .select(
+            F.when(
+                F.col("j_stat").isNull(), F.lit(None).cast("long")
+            )
+            .otherwise(F.round(F.col("threshold") * scale).cast("long"))
+            .alias("_tc")
+        )
+        # min over <=1 rows: always exactly ONE row out (NULL when the
+        # sweep was empty or the operating point undefined) — the
+        # cross join below must never drop the corpus
+        .agg(F.min("_tc").alias("_thr_c"))
     )
     wexpr = (
         F.col(weight_col).cast("long")
@@ -1823,4 +1849,3 @@ def classifier_gate_report(
             ).alias("kept_frac"),
         )
     )
-

@@ -579,7 +579,7 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def partname_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = load(spark, sf_dir, "part")
-    return dedup.blocked_edit_distance_pairs(
+    return dedup.length_blocked_edit_pairs(
         part, name_col="p_name", max_dist=3
     )
 

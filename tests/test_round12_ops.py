@@ -384,7 +384,7 @@ class TestBlockedEditDistance:
 
     def test_matches_allpairs_reference(self, spark):
         from nhl_data_warehouse_spark.operators.dedup import (
-            blocked_edit_distance_pairs,
+            length_blocked_edit_pairs,
         )
 
         df = spark.createDataFrame(
@@ -394,7 +394,7 @@ class TestBlockedEditDistance:
             got = {
                 (r["name_a"], r["name_b"], r["edit_dist"],
                  r["n_recs_a"], r["n_recs_b"])
-                for r in blocked_edit_distance_pairs(
+                for r in length_blocked_edit_pairs(
                     df, "name", max_dist=d
                 ).collect()
             }
@@ -413,13 +413,13 @@ class TestBlockedEditDistance:
             for _ in range(60)
         ]
         from nhl_data_warehouse_spark.operators.dedup import (
-            blocked_edit_distance_pairs,
+            length_blocked_edit_pairs,
         )
 
         df = spark.createDataFrame([(n,) for n in names], "name string")
         got = {
             (r["name_a"], r["name_b"], r["edit_dist"])
-            for r in blocked_edit_distance_pairs(
+            for r in length_blocked_edit_pairs(
                 df, "name", max_dist=2
             ).collect()
         }
@@ -428,13 +428,13 @@ class TestBlockedEditDistance:
 
     def test_no_duplicate_pairs(self, spark):
         from nhl_data_warehouse_spark.operators.dedup import (
-            blocked_edit_distance_pairs,
+            length_blocked_edit_pairs,
         )
 
         df = spark.createDataFrame(
             [(n,) for n in self.NAMES], "name string"
         )
-        rows = blocked_edit_distance_pairs(df, "name", max_dist=3).collect()
+        rows = length_blocked_edit_pairs(df, "name", max_dist=3).collect()
         pairs = [(r["name_a"], r["name_b"]) for r in rows]
         assert len(pairs) == len(set(pairs))
 
@@ -499,18 +499,18 @@ class TestTableChecksum:
 
 
 def test_edit_distance_plan_no_cartesian_and_name_grain(spark):
-    """Scale pins for blocked_edit_distance_pairs: the pair join must
+    """Scale pins for length_blocked_edit_pairs: the pair join must
     be a block-keyed equi-join (never CartesianProduct), and the
     distinct-name collapse (groupBy name) must sit BELOW the join —
     record multiplicity collapses map-side before any pairing."""
     from nhl_data_warehouse_spark.operators.dedup import (
-        blocked_edit_distance_pairs,
+        length_blocked_edit_pairs,
     )
 
     df = spark.createDataFrame(
         [(n,) for n in ["aaa", "aab", "bbb", "aaa", "cc"]], "name string"
     )
-    out = blocked_edit_distance_pairs(df, "name", max_dist=2)
+    out = length_blocked_edit_pairs(df, "name", max_dist=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     lines = plan.splitlines()
@@ -523,3 +523,41 @@ def test_edit_distance_plan_no_cartesian_and_name_grain(spark):
         if "HashAggregate" in ln and "_nm" in ln and i > join_at
     ]
     assert agg_below, "name-grain aggregate must feed the join from below"
+
+
+def test_gate_fails_open_on_empty_score_histogram(spark):
+    """All-NULL scores: the Youden sweep emits zero rows; the gate's
+    min-aggregate restores the one-row threshold (NULL) and the
+    report keeps every row instead of vanishing (code-review r12)."""
+    from nhl_data_warehouse_spark.operators.stats import (
+        classifier_gate_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("s", None, True, 5), ("s", None, False, 7)],
+        "src string, score double, good boolean, toks int",
+    )
+    row = classifier_gate_report(
+        df, "score", F.col("good"), "src", weight_col="toks"
+    ).collect()[0]
+    assert row["n_docs"] == row["n_kept"] == 2
+    assert row["weight_kept"] == 12 and row["kept_frac"] == 1.0
+
+
+def test_gate_null_score_rows_drop_under_real_threshold(spark):
+    """With a defined operating point, an unscorable (NULL-score) row
+    must NOT pass the score gate."""
+    from nhl_data_warehouse_spark.operators.stats import (
+        classifier_gate_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("s", 0.9, True, 1), ("s", 0.2, False, 1), ("s", None, True, 1)],
+        "src string, score double, good boolean, toks int",
+    )
+    row = classifier_gate_report(
+        df, "score", F.col("good"), "src", weight_col="toks"
+    ).collect()[0]
+    assert row["n_docs"] == 3 and row["n_kept"] == 1
