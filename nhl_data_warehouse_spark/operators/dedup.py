@@ -27,6 +27,8 @@ from operator import add
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nhl_data_warehouse_spark.operators.caching import pin
+
 
 def normalized_text(col="text") -> F.Column:
     """Canonical text for fingerprinting: lowercase, punctuation
@@ -246,6 +248,7 @@ def minhash_band_candidates(
     n_hashes: int = 8,
     band_size: int = 2,
     star_cap: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket key,
     self-join on (band index, bucket) — candidate pairs are docs
@@ -289,7 +292,7 @@ def minhash_band_candidates(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # both sides of the self-join read `bands`; persist so the
     # signature computation upstream runs once, not twice
-    bands = bands.persist()
+    bands = pin(bands, cache_registry)
     if star_cap is not None:
         # bucket stats via aggregate + join, not a window: the window
         # form sort-shuffles every band row, while the partial-agg
@@ -332,6 +335,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     metric: str = "jaccard",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for near-dup verification.
 
@@ -361,7 +365,7 @@ def jaccard_pairs(
         sh = sh.join(freq_ok, on="shingle")
     # `sh` feeds several plan branches (sizes + both join sides) —
     # persist so shingling runs once instead of per-branch
-    sh = sh.persist()
+    sh = pin(sh, cache_registry)
     if candidates is not None:
         # verify via per-doc shingle SETS: reduce shingles to one
         # sorted-set array per doc, join each candidate pair to its
@@ -436,6 +440,7 @@ def prefix_filter_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """EXACT Jaccard >= ``threshold`` pairs via prefix filtering
     (SSJoin/PPJoin candidate generation) — the subquadratic path to
@@ -507,10 +512,10 @@ def prefix_filter_jaccard_pairs(
             <= F.col("__n") - F.expr(f"({p} * __n + {q - 1}) div {q}") + F.lit(1)
         )
         .select(id_col, "shingle", "__rn", "__n")
-        # feeds BOTH sides of the candidate join — persist so the
-        # window pipeline runs once, not per branch
-        .persist()
     )
+    # feeds BOTH sides of the candidate join — persist so the
+    # window pipeline runs once, not per branch
+    index_pref = pin(index_pref, cache_registry)
     # probe prefix (role: SMALLER of a pair) is tighter: with the
     # length filter in force (|larger| partners only), overlap >=
     # ceil(2t/(1+t) * n), so the probe side keeps only
@@ -839,6 +844,7 @@ def paragraph_dedup_stats(
     text_col: str = "text",
     delim: str = "\n\n",
     min_chars: int = 1,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Paragraph-grain exact dedup scorecard — the CCNet paragraph-hash
     step (Wenzek et al., "CCNet", LREC'20 §3; the sub-document grain
@@ -882,7 +888,8 @@ def paragraph_dedup_stats(
             F.md5(seg).alias("_h"),
             F.length(seg).cast("long").alias("_len"),
         )
-    ).persist()
+    )
+    paras = pin(paras, cache_registry)
     freq = paras.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
     return (
         paras.join(freq, on="_h")
@@ -1140,6 +1147,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 8,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact duplicated-span REMOVAL (the ExactSubstr rewrite of Lee
     et al., "Deduplicating Training Data Makes Language Models
@@ -1178,7 +1186,7 @@ def remove_duplicate_spans(
     # three joins (occurrence stats, canonical index, keep filter) —
     # persist both so tokenization/hashing runs once (caller clears
     # via session.release_cached, the suite-wide contract)
-    base = base.persist()
+    base = pin(base, cache_registry)
     chunks = base.select(
         F.col(id_col),
         F.posexplode(
@@ -1189,7 +1197,8 @@ def remove_duplicate_spans(
                 ),
             )
         ).alias("_i", "_h"),
-    ).persist()
+    )
+    chunks = pin(chunks, cache_registry)
     occ = chunks.groupBy("_h").agg(
         F.count_distinct(F.col(id_col)).alias("_nd"),
         F.min(id_col).alias("_mdoc"),
@@ -1242,6 +1251,7 @@ def source_overlap_matrix(
     group_col: str = "source",
     text_col: str = "text",
     chunk_tokens: int = 8,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Cross-source duplication matrix: for every source pair, how
     many distinct ``chunk_tokens``-token chunks they share, with the
@@ -1277,8 +1287,8 @@ def source_overlap_matrix(
         ).alias("chunk_hash"),
     ).distinct()
     # read 3x (sizes + both self-join sides); callers reclaim via
-    # session.release_cached between queries
-    sc = sc.persist()
+    # session.release_cached or the per-call cache_registry
+    sc = pin(sc, cache_registry)
     sizes = sc.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     a = sc.select(F.col(group_col).alias("src_a"), "chunk_hash")
     b = sc.select(F.col(group_col).alias("src_b"), "chunk_hash")

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from nhl_data_warehouse_spark.operators.caching import pin
+
 
 def pagerank(
     nodes: DataFrame,
@@ -234,6 +236,7 @@ def bfs_hops(
     dst: str = "dst",
     node_col: str = "node",
     max_hops: int = 4,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over a directed edge list,
     bounded breadth-first expansion (<= ``max_hops`` levels).
@@ -256,7 +259,7 @@ def bfs_hops(
     # pin the edge list: every level's join + isEmpty() is an action,
     # and an unpinned edge DataFrame re-runs its whole derivation
     # (often a multi-join aggregate) once per level
-    edges = edges.persist()
+    edges = pin(edges, cache_registry)
     visited = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).alias("hop")
     ).distinct()  # duplicate seed rows must not duplicate hop-0 output
@@ -548,6 +551,7 @@ def association_rules(
     item_col: str,
     min_pair_count: int = 3,
     top_k: int = 30,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Association-rule mining over the co-occurrence projection:
     support, directional confidence and lift per item pair — the
@@ -566,7 +570,7 @@ def association_rules(
     items = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
     ).distinct()
-    items = items.persist()  # pair join (both sides) + item counts + N
+    items = pin(items, cache_registry)  # pair join (both sides) + item counts + N
     item_counts = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_n_item"))
     total = items.select("_g").distinct().agg(
         F.count(F.lit(1)).alias("_n_groups")

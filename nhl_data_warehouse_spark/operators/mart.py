@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nhl_data_warehouse_spark.operators.caching import pin
+
 GAME_COLS = [
     "game_date",
     "game_time",
@@ -127,6 +129,7 @@ def rfm_segments(
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
     n_tiles: int = 5,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """RFM customer segmentation: recency (days since the customer's
     last order, measured from the corpus's latest order date),
@@ -158,8 +161,8 @@ def rfm_segments(
         .drop("_last", "_cmax")
     )
     # per feeds the melt AND the final join — persist; callers
-    # reclaim via session.release_cached
-    per = per.persist()
+    # reclaim via session.release_cached or the per-call registry
+    per = pin(per, cache_registry)
     tiles = grouped_ntile(
         per,
         id_col=cust_col,

@@ -22,6 +22,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nhl_data_warehouse_spark.operators.caching import pin
+
+try:
+    # Hint-resolution only (ADVICE r12): under ``from __future__ import
+    # annotations`` a pandas_udf's string hints (``v: pd.Series``)
+    # resolve in MODULE globals, so ``pd`` must live here for the
+    # hint-based (non-deprecated) pandas_udf form to work. The try
+    # keeps pandas a SOFT dependency of the module import — absent
+    # pandas, every non-UDF operator still imports and runs; only the
+    # pandas-UDF operators fail, at call time, as they always did.
+    import pandas as pd
+except ImportError:  # pragma: no cover - exercised via subprocess test
+    pd = None
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Exact JVM-side dot product of two equal-length float arrays,
@@ -110,6 +124,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs share a
     hyperplane-LSH bucket (never all pairs), then exact cosine filters
@@ -125,7 +140,7 @@ def embedding_near_dup_pairs(
     # per-row norm folded once before the self-join (per-pair folds
     # would redo two 64-element folds per candidate)
     bucketed = bucketed.withColumn("_nv", _norm(F.col(vec_col)))
-    bucketed = bucketed.persist()  # both join sides read it
+    bucketed = pin(bucketed, cache_registry)  # both join sides read it
     a = bucketed.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("_va"),
@@ -195,6 +210,7 @@ def _bucketed_cosine_pairs(
     dim: int,
     id_col: str,
     vec_col: str,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Directed candidate pairs inside shared LSH buckets with their
     exact 6dp cosine — the common core of the kNN join and hard-negative
@@ -203,7 +219,7 @@ def _bucketed_cosine_pairs(
     # norms are per-vector: fold once per row BEFORE the self-join —
     # per-pair norm folds would redo two 64-element folds per candidate
     bucketed = bucketed.withColumn("_nv", _norm(F.col(vec_col)))
-    bucketed = bucketed.persist()  # both self-join sides read it
+    bucketed = pin(bucketed, cache_registry)  # both self-join sides read it
     a = bucketed.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("_va"),
@@ -231,6 +247,7 @@ def knn_join_bucketed(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Batch approximate kNN JOIN: for EVERY vector, its top-k cosine
     neighbors among vectors sharing its LSH bucket — the kNN-graph
@@ -245,7 +262,9 @@ def knn_join_bucketed(
     alone in their bucket yield no rows — recall repair is the same
     multi-probe dial as ``ann_multiprobe_topk``.
     """
-    scored = _bucketed_cosine_pairs(embeddings, n_planes, dim, id_col, vec_col)
+    scored = _bucketed_cosine_pairs(
+        embeddings, n_planes, dim, id_col, vec_col, cache_registry
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("a_id").orderBy(
@@ -266,6 +285,7 @@ def hard_negative_pairs(
     k: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: per anchor, the most
     similar bucket-mates BELOW the positive threshold — candidates
@@ -278,7 +298,9 @@ def hard_negative_pairs(
     window input shrinks with the positive set rather than growing
     with it.
     """
-    scored = _bucketed_cosine_pairs(embeddings, n_planes, dim, id_col, vec_col)
+    scored = _bucketed_cosine_pairs(
+        embeddings, n_planes, dim, id_col, vec_col, cache_registry
+    )
     negatives = scored.filter(F.col("cosine") < pos_threshold)
     from pyspark.sql.window import Window
 
@@ -482,11 +504,11 @@ def vector_stats_pandas(
     absorbs it — suite-wide convention).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    # NB: no signature annotations — this module uses postponed
-    # annotation evaluation, which pandas_udf's inspector can't resolve
+    # unannotated signature = SCALAR pandas_udf (the default flavor);
+    # the guarded module-level ``pd`` exists for the hint-based
+    # GROUPED_AGG UDFs elsewhere in this module
     @pandas_udf("double")
     def l2_norm(v):
         return v.map(
@@ -1303,29 +1325,29 @@ def embedding_robust_profile(
     grouped-agg boundedness contract: dims are bounded, rows are
     not, so the group axis must be the bounded one — which it is).
     """
-    # pandas is needed only inside these UDF bodies, so it is not a
-    # module-import-time dependency (ADVICE r11). The explicit
-    # PandasUDFType form is REQUIRED here, not style: under
-    # ``from __future__ import annotations`` hint strings resolve in
-    # module globals, where ``pd`` no longer lives (the round-4
-    # learning; hint inference raises UNSUPPORTED_SIGNATURE).
+    # Hint-based GROUPED_AGG form (the ``pd.Series -> scalar``
+    # signature selects the aggregate flavor): the explicit
+    # ``PandasUDFType.GROUPED_AGG`` enum has been deprecated since
+    # Spark 3.0 and warns on PySpark 4.1.2 (ADVICE r12). The hint
+    # strings resolve against the module-level guarded ``pd`` import
+    # above, so postponed annotation evaluation is no obstacle.
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _med(v):
+    @pandas_udf("double")
+    def _med(v: pd.Series) -> float:
         a = v.dropna().to_numpy(dtype="float64")
         return float(np.median(a)) if a.size else None
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _mad(v):
+    @pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
         a = v.dropna().to_numpy(dtype="float64")
         if a.size == 0:
             return None
         return float(np.median(np.abs(a - np.median(a))))
 
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def _nout(v):
+    @pandas_udf("long")
+    def _nout(v: pd.Series) -> int:
         a = v.dropna().to_numpy(dtype="float64")
         if a.size == 0:
             return 0
@@ -1333,8 +1355,8 @@ def embedding_robust_profile(
         md = np.median(np.abs(a - m))
         return int((np.abs(a - m) > 3.0 * 1.4826 * md).sum())
 
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def _n(v):
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
         return int(v.dropna().size)
 
     vals = embeddings.select(

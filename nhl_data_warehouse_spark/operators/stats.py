@@ -565,6 +565,17 @@ def wasserstein_two_sample(
     by n1*n2*scale, emitted in original value units. Empty sides give
     explicit NULL.
 
+    Exactness BOUND (ADVICE r12): a per-term product is capped at
+    DECIMAL(38,0), so the guarantee holds iff n1 * n2 * max_cell_gap
+    < 10^38 (the |cum1*n2 - cum2*n1| factor itself is <= n1*n2 <
+    2^126 < 10^38 always; only the gap multiply can overflow — e.g.
+    two 10^15-row sides with a value range of 10^6 cells). Under
+    Spark's default ``allowPrecisionLoss`` an overflowing term would
+    become NULL and be silently DROPPED by SUM, so the query guards
+    explicitly: any NULL term (only possible via overflow — every
+    input to the term is non-null past the where) raises
+    ``raise_error`` instead of emitting a silently-wrong statistic.
+
     Scale shape: same as KS — one map-side-combined cents histogram,
     one window over the BOUNDED cell grain (cells are bounded by the
     value RANGE times scale, not by rows — the documented
@@ -586,30 +597,44 @@ def wasserstein_two_sample(
         F.max("cum1").cast("long").alias("n1"),
         F.max("cum2").cast("long").alias("n2"),
     )
+    term = F.abs(
+        F.col("cum1").cast("decimal(19,0)") * F.col("n2").cast("decimal(19,0)")
+        - F.col("cum2").cast("decimal(19,0)") * F.col("n1").cast("decimal(19,0)")
+    ) * (F.col("cnext") - F.col("c")).cast("decimal(19,0)")
     num = (
         cum.crossJoin(F.broadcast(tot))
         .where(F.col("cnext").isNotNull())
         .agg(
-            F.sum(
-                F.abs(
-                    F.col("cum1").cast("decimal(19,0)")
-                    * F.col("n2").cast("decimal(19,0)")
-                    - F.col("cum2").cast("decimal(19,0)")
-                    * F.col("n1").cast("decimal(19,0)")
-                )
-                * (F.col("cnext") - F.col("c")).cast("decimal(19,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("wnum"),
+            F.sum(term).cast("decimal(38,0)").alias("wnum"),
+            # every input to `term` is non-null on rows passing the
+            # where, so a NULL term can only be decimal(38,0) overflow
+            # under allowPrecisionLoss — count them so the final
+            # select can fail loudly instead of summing a subset
+            F.sum(F.when(term.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("_null_terms"),
             F.max("n1").alias("n1"),
             F.max("n2").alias("n2"),
         )
     )
+    return _w1_final_select(num, scale)
+
+
+def _w1_final_select(num: DataFrame, scale: int) -> DataFrame:
+    """Final W1 projection over the one-row aggregate
+    (wnum, _null_terms, n1, n2) — split out so the overflow guard is
+    testable without a >=1e38 corpus: a NULL term can only mean
+    decimal(38,0) overflow, and SUM would silently drop it, so the
+    guard raises instead of emitting a wrong statistic."""
     return num.select(
         "n1",
         "n2",
         F.expr(
-            "CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)"
+            "CASE WHEN _null_terms > 0 THEN CAST(raise_error("
+            "'wasserstein_two_sample: decimal(38,0) term overflow"
+            " (n1 * n2 * max_cell_gap >= 1e38); the exactness bound"
+            " is exceeded - rescale the value grain') AS DOUBLE)"
+            " WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)"
             " ELSE CAST(COALESCE(wnum, 0) AS DOUBLE)"
             f" / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * {float(scale)})"
             " END"

@@ -11,6 +11,8 @@ import pandas as pd  # module-level so pandas_udf string hints resolve
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from nhl_data_warehouse_spark.operators.caching import pin
 from pyspark.sql.window import Window
 
 # whitespace tokens vs BPE-ish units: words OR single non-space symbols
@@ -735,7 +737,10 @@ def inverted_index(
 
 
 def unigram_logprob_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Perplexity-style quality score from a unigram LM trained on the
     corpus itself (the CCNet idea with the KenLM swapped for the
@@ -760,7 +765,7 @@ def unigram_logprob_score(
             "tok"
         ),
     )
-    toks = toks.persist()  # feeds vocab counts AND the score join
+    toks = pin(toks, cache_registry)  # feeds vocab counts AND the score join
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     logp = vocab.join(F.broadcast(total)).select(
@@ -1269,7 +1274,10 @@ def oov_rate(
 
 
 def bigram_logprob_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-doc average negative log-probability under an add-one-
     smoothed bigram LM trained on the corpus itself — one model order
@@ -1292,7 +1300,7 @@ def bigram_logprob_score(
     bi = df.select(
         F.col(id_col), F.explode(_word_bigrams(text_col)).alias("gram")
     )
-    bi = bi.persist()  # corpus counts AND the score join
+    bi = pin(bi, cache_registry)  # corpus counts AND the score join
     c_bi = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
     c_left = (
         c_bi.groupBy(F.split("gram", " ").getItem(0).alias("w1"))

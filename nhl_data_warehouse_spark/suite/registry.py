@@ -22,6 +22,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, *, oracle: str | None, op_ids: str, description: str):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # silent overwrite shrank the registry twice in round 12
+            # (duplicate Benford / Count-Min implementations, caught
+            # only by hand — VERDICT r12 item 2): a name collision
+            # must fail the import, not drop a query
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered — pick a distinct name (register() never "
+                "overwrites; see duplicate-query-prevention notes)"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, op_ids, description)
         return fn
 
