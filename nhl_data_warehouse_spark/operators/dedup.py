@@ -1487,3 +1487,102 @@ def cdc_dedup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+_TRACKING_PARAM_RE = "^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
+
+
+def canonical_url(col="url") -> F.Column:
+    """Canonical form of an absolute URL — the C4/CCNet *first-line*
+    dedup grain: web corpora dedup by normalized URL before any
+    content pass, because the same page is crawled under dozens of
+    encodings (case-shifted hosts, default ports, tracking params,
+    trailing slashes, fragments) and dropping those re-crawls is free
+    compared to content hashing. Pure expression work — no UDF, no
+    shuffle; Catalyst folds the whole normalization into the scan
+    projection.
+
+    Normalization spec (deterministic, engine-portable):
+
+    1. trim surrounding whitespace; strip the fragment (first ``#``
+       to end);
+    2. scheme and host (authority) lowercased;
+    3. default ports stripped (``:80`` iff scheme http, ``:443`` iff
+       scheme https — a non-default port is identity-bearing and
+       kept, including ``http://...:443``);
+    4. trailing slashes trimmed from the path (``/a/b/`` == ``/a/b``,
+       a bare ``/`` collapses to the empty path);
+    5. query split on ``&``; empty params and tracking params
+       (``utm_*``, ``gclid``, ``fbclid``, bare ``ref`` — prefix-safe:
+       ``refresh=1`` survives) dropped; survivors sorted
+       lexicographically (byte order, both engines' default for
+       ASCII) and re-joined — param order never identifies a page;
+    6. reassembled as ``scheme://host[path][?query]``; URLs with no
+       parseable scheme or empty host canonicalize to NULL (relative
+       URLs have no global identity to dedup on).
+
+    Percent-encoding case and IDN/punycode are NOT normalized (both
+    need codepoint tables, not expressions); at the corpus level the
+    miss rate of those two is negligible next to tracking-param and
+    slash noise.
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+        ),
+        "/+$",
+        "",
+    )
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.sort_array(keep), "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(out)
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-grain exact dedup: one row per canonical URL with the
+    representative (min id) and the duplicate count — ``exact_dedup``
+    with ``canonical_url`` as the content fingerprint. Rows whose URL
+    does not canonicalize (NULL) are excluded: they have no URL
+    identity to collapse on (content-grain dedup still sees them).
+
+    Scale shape: the normalization is a narrow per-row projection
+    folded into the scan; the only shuffle is the md5-of-canonical
+    group-by (32-char keys, never the raw URL text at width) with
+    map-side partial aggregation. Identical to ``exact_dedup``'s
+    contract, one grain up the C4/CCNet ladder: URL -> document ->
+    paragraph -> chunk -> n-gram.
+    """
+    canon = canonical_url(url_col)
+    return (
+        df.select(F.col(id_col), canon.alias("canonical_url"))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )

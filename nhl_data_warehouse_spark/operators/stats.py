@@ -19,6 +19,9 @@ DuckDB rounds via a double multiply, Spark via BigDecimal).
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1872,5 +1875,99 @@ def classifier_gate_report(
                 F.col("n_kept").cast("double")
                 / F.col("n_docs").cast("double")
             ).alias("kept_frac"),
+        )
+    )
+
+
+def quantile_bucket_report(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    weight_col: str | None = None,
+    n_buckets: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group quantile bucketing of a score with doc/weight mass
+    per bucket — the CCNet head/middle/tail split (Wenzek et al.,
+    LREC'20 §4.3: each language's documents are cut into perplexity
+    terciles, and downstream sampling keeps head > middle > tail).
+    ``n_buckets=3`` IS that split; any B works.
+
+    Bucket semantics at the integer grain: scores collapse to cells
+    ``round(score * scale)``; boundary cell b_i (i = 1..B-1) is the
+    smallest cell whose cumulative count covers fraction i/B of the
+    group (``cum * B >= i * n``); a row lands in bucket i+1 iff its
+    cell is above b_i for exactly i boundaries. All rows sharing a
+    cell land in ONE bucket (value-grain buckets — CCNet thresholds
+    on the perplexity VALUE), unlike NTILE's row-splitting of ties;
+    with B > distinct cells, upper buckets are simply empty. Every
+    decision is an integer compare, so the report is bit-stable on
+    any engine or partitioning.
+
+    Scale shape (the KS/W1 bounded-grain contract): rows collapse
+    map-side to a (group, cell) histogram — bounded by group count x
+    score RANGE x scale, not by rows; the cumulative window runs over
+    that bounded grain partitioned by group; boundaries are one
+    B-column aggregate per group, broadcast back onto the histogram
+    (never onto rows); the final report aggregates the histogram, so
+    nothing row-scale passes a window or a join after the first
+    map-side combine.
+    """
+    wexpr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cell = F.round(F.col(score_col) * scale).cast("long")
+    hist = (
+        df.select(
+            F.col(group_col).alias("_g"), cell.alias("_c"), wexpr.alias("_w")
+        )
+        .where(F.col("_c").isNotNull())
+        .groupBy("_g", "_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_w").cast("long").alias("_ws"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("_cum", F.sum("_n").over(w))
+    tot = cum.groupBy("_g").agg(F.max("_cum").alias("_ng"))
+    bounds = (
+        cum.join(F.broadcast(tot), on="_g")
+        .groupBy("_g")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cum") * n_buckets >= i * F.col("_ng"),
+                        F.col("_c"),
+                    )
+                ).alias(f"_b{i}")
+                for i in range(1, n_buckets)
+            ]
+        )
+    )
+    above = reduce(
+        add,
+        [
+            (F.col("_c") > F.col(f"_b{i}")).cast("int")
+            for i in range(1, n_buckets)
+        ],
+    )
+    return (
+        hist.join(F.broadcast(bounds), on="_g")
+        .select(
+            F.col("_g").alias(group_col),
+            (above + 1).alias("bucket"),
+            "_n",
+            "_ws",
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.sum("_ws").cast("long").alias("weight_total"),
         )
     )

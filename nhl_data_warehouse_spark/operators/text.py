@@ -1725,3 +1725,88 @@ def cross_lang_gram_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def heldout_unigram_nll(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Per-doc mean negative log-likelihood under an add-k-smoothed
+    unigram LM trained on a HELD-OUT reference corpus — the CCNet
+    quality gate shape (Wenzek et al., LREC'20 §4.3: score the crawl
+    against an LM trained on a trusted corpus, then gate on
+    perplexity). The two in-corpus scorers
+    (``unigram_logprob_score``/``bigram_logprob_score``) ask "is this
+    doc typical of THIS corpus"; this one asks "does this doc look
+    like the REFERENCE" — the form that needs real smoothing, because
+    target tokens can be absent from the reference vocabulary:
+
+        p(w) = (c_ref(w) + k) / (N_ref + k * (V_ref + 1))
+
+    (one extra vocabulary slot absorbs all OOV mass; any unseen token
+    scores p = k / (N + k(V+1)) > 0). Returns (id, n_tokens,
+    oov_tokens, avg_nll); perplexity is exp(avg_nll). High avg_nll =
+    unlike the reference (gibberish, wrong language, boilerplate).
+
+    Determinism: counts are exact integers; each token's ln p is one
+    fixed-order double expression rounded to 6 dp and summed as
+    DECIMAL (order-free); the mean divides once as double — the
+    suite's libm-proofing convention.
+
+    Scale shape: the reference pass is one map-side-combined vocab
+    count; (N, V) ride a 1-row broadcast; the score join shuffles
+    target tokens against the (much smaller) vocab relation on the
+    token key — for a Zipf-heavy corpus broadcast the vocabulary head
+    and join only the tail, as with the in-corpus scorers. OOV
+    handling is a LEFT join + coalesce, not a second pass.
+    """
+    vocab = (
+        ref_df.select(
+            F.explode(_ws_tokens(text_col)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # feeds the (N, V) totals AND the score join — persist so the
+    # reference corpus is scanned once, not twice
+    vocab = pin(vocab, cache_registry)
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("n_ref"),
+        F.count(F.lit(1)).cast("long").alias("v_ref"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("tok")
+    )
+    denom = (
+        F.col("n_ref") + F.lit(add_k) * (F.col("v_ref") + 1)
+    ).cast("double")
+    scored = (
+        toks.join(vocab, on="tok", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.col("c").isNull().cast("long").alias("_oov"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(add_k)).cast(
+                        "double"
+                    )
+                    / denom
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_oov").cast("long").alias("oov_tokens"),
+        (-(F.sum("_logp").cast("double")) / F.count(F.lit(1))).alias(
+            "avg_nll"
+        ),
+    )

@@ -6991,3 +6991,253 @@ def lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("macro_f1")
     )
     return scored.crossJoin(F.broadcast(macro))
+
+
+@register(
+    "url_canonical_dedup",
+    op_ids="beyond-reference URL-canonicalization dedup (the C4/CCNet "
+    "first-line dedup grain: normalize scheme/host case, default "
+    "ports, tracking params, trailing slashes, fragments -> exact "
+    "group-by; pure-expression normalization, no UDF)",
+    description="documents re-keyed by synthetic crawl URLs (4 messy "
+    "encodings per page, http/https alternating per page): canonical "
+    "URL groups with representative and copy count",
+    oracle=r"""
+        WITH urls AS (
+            SELECT doc_id,
+                   doc_id // 4 AS k,
+                   doc_id % 4 AS v,
+                   CASE WHEN (doc_id // 4) % 2 = 0 THEN 'https' ELSE 'http' END AS sch,
+                   CASE WHEN (doc_id // 4) % 2 = 0 THEN ':443' ELSE ':80' END AS port
+            FROM documents
+        ),
+        built AS (
+            SELECT doc_id,
+                   CASE v
+                     WHEN 0 THEN upper(sch) || '://Example.COM' || port || '/a/'
+                                 || CAST(k AS VARCHAR) || '/?utm_source=feed&b=2&q=1#frag'
+                     WHEN 1 THEN sch || '://example.com/a/' || CAST(k AS VARCHAR) || '?q=1&b=2'
+                     WHEN 2 THEN sch || '://EXAMPLE.com' || port || '/a/'
+                                 || CAST(k AS VARCHAR) || '/?q=1&b=2&utm_campaign=x&'
+                     ELSE sch || '://example.com/a/' || CAST(k AS VARCHAR)
+                          || '?b=2&gclid=z&q=1&ref=tw#x'
+                   END AS url
+            FROM urls
+        ),
+        stripped AS (
+            SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM built
+        ),
+        comp AS (
+            SELECT doc_id,
+                   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth,
+                   regexp_replace(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                   regexp_extract(u, '\?(.*)$', 1) AS q
+            FROM stripped
+        ),
+        normed AS (
+            SELECT doc_id, scheme,
+                   CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                        ELSE auth END AS host,
+                   path,
+                   array_to_string(list_sort(list_filter(string_split(q, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)'))), '&') AS qs
+            FROM comp
+        ),
+        canon AS (
+            SELECT doc_id,
+                   CASE WHEN scheme = '' OR host = '' THEN NULL
+                        ELSE scheme || '://' || host || path ||
+                             CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                   END AS canonical_url
+            FROM normed
+        )
+        SELECT canonical_url,
+               MIN(doc_id) AS representative_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM canon
+        WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain first-line dedup (C4 §2.1 / CCNet §3 both dedup by
+    normalized URL before any content pass). The testdata has no URL
+    column, so every page gets FOUR deterministic messy encodings of
+    the same crawl URL (case-shifted scheme+host, explicit default
+    port, tracking params in shuffled positions, trailing slash,
+    fragment — one per ``doc_id % 4``), alternating http/https per
+    page: groups of 4 consecutive doc_ids collapse to one canonical
+    URL iff the normalization handles every axis of the spec.
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 4")
+    v = F.col("doc_id") % 4
+    sch = F.when(k % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    port = F.when(k % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+    ks = k.cast("string")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.upper(sch),
+                F.lit("://Example.COM"),
+                port,
+                F.lit("/a/"),
+                ks,
+                F.lit("/?utm_source=feed&b=2&q=1#frag"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(sch, F.lit("://example.com/a/"), ks, F.lit("?q=1&b=2")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                sch,
+                F.lit("://EXAMPLE.com"),
+                port,
+                F.lit("/a/"),
+                ks,
+                F.lit("/?q=1&b=2&utm_campaign=x&"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                sch,
+                F.lit("://example.com/a/"),
+                ks,
+                F.lit("?b=2&gclid=z&q=1&ref=tw#x"),
+            )
+        )
+    )
+    return dedup.url_dedup_groups(
+        documents.select("doc_id", url.alias("url"))
+    )
+
+
+# shared by the two held-out-LM queries: per-target-doc mean NLL under
+# an add-1-smoothed unigram LM trained on the doc_id % 10 = 0 slice
+_HELDOUT_NLL_CTES = """
+        refslice AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM refslice GROUP BY tok),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_ref,
+                   CAST(COUNT(*) AS BIGINT) AS v_ref
+            FROM vocab
+        ),
+        tgt AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        tokscored AS (
+            SELECT t.doc_id,
+                   CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov,
+                   CAST(round(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+                        / CAST(n_ref + 1 * (v_ref + 1) AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS logp
+            FROM tgt t LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+                   CAST(-(CAST(SUM(logp) AS DOUBLE)) / COUNT(*) AS DOUBLE) AS avg_nll
+            FROM tokscored GROUP BY doc_id
+        )
+"""
+
+
+@register(
+    "heldout_perplexity_scores",
+    op_ids="beyond-reference held-out n-gram LM quality score (the "
+    "CCNet/KenLM gate shape: add-k-smoothed unigram LM trained on a "
+    "held-out reference slice, OOV mass in one extra vocab slot, "
+    "per-doc mean NLL; exact integer counts + 6dp-rounded logs "
+    "summed as DECIMAL)",
+    description="docs outside the doc_id%10=0 reference slice scored "
+    "by mean negative log-likelihood under the slice's add-1 unigram "
+    "LM; (doc_id, n_tokens, oov_tokens, avg_nll)",
+    oracle="WITH " + _HELDOUT_NLL_CTES + """
+        SELECT doc_id, n_tokens, oov_tokens, avg_nll FROM perdoc
+    """,
+)
+def heldout_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    ref = documents.where(F.col("doc_id") % 10 == 0)
+    tgt = documents.where(F.col("doc_id") % 10 != 0)
+    return text.heldout_unigram_nll(tgt, ref)
+
+
+@register(
+    "perplexity_tertile_gate",
+    op_ids="beyond-reference perplexity corpus gate (CCNet "
+    "head/middle/tail: per-language value-grain terciles of the "
+    "held-out-LM NLL over the bounded cell histogram; doc + token "
+    "mass per bucket — the table that decides per-language sampling "
+    "rates)",
+    description="per (lang, tercile-bucket) doc count and token mass, "
+    "buckets cut at the smallest NLL cell covering 1/3 and 2/3 of "
+    "each language's scored docs",
+    oracle="WITH " + _HELDOUT_NLL_CTES + """,
+        cells AS (
+            SELECT d.lang,
+                   CAST(round(p.avg_nll * 1000000) AS BIGINT) AS c,
+                   p.n_tokens
+            FROM perdoc p JOIN documents d USING (doc_id)
+        ),
+        hist AS (
+            SELECT lang, c, COUNT(*) AS n, SUM(n_tokens) AS ws
+            FROM cells GROUP BY lang, c
+        ),
+        cum AS (
+            SELECT lang, c, n, ws,
+                   SUM(n) OVER (PARTITION BY lang ORDER BY c) AS cumn
+            FROM hist
+        ),
+        langtot AS (SELECT lang, MAX(cumn) AS ng FROM cum GROUP BY lang),
+        bounds AS (
+            SELECT cum.lang,
+                   MIN(CASE WHEN cumn * 3 >= 1 * ng THEN c END) AS b1,
+                   MIN(CASE WHEN cumn * 3 >= 2 * ng THEN c END) AS b2
+            FROM cum JOIN langtot ON cum.lang = langtot.lang
+            GROUP BY cum.lang
+        )
+        SELECT hist.lang,
+               CAST(CASE WHEN c > b1 THEN 1 ELSE 0 END
+                    + CASE WHEN c > b2 THEN 1 ELSE 0 END + 1 AS INTEGER)
+                   AS bucket,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS tokens_total
+        FROM hist JOIN bounds ON hist.lang = bounds.lang
+        GROUP BY hist.lang, bucket
+    """,
+)
+def perplexity_tertile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end perplexity-gates-the-corpus: the held-out LM scores
+    every non-reference doc, and ``quantile_bucket_report`` cuts each
+    language into CCNet-style terciles with doc + token mass — the
+    report that sets per-language head/middle/tail sampling rates."""
+    from nhl_data_warehouse_spark.operators import stats
+
+    (documents,) = load(spark, sf_dir, "documents")
+    ref = documents.where(F.col("doc_id") % 10 == 0)
+    tgt = documents.where(F.col("doc_id") % 10 != 0)
+    scored = text.heldout_unigram_nll(tgt, ref)
+    labeled = scored.join(
+        documents.select("doc_id", "lang"), on="doc_id"
+    )
+    return (
+        stats.quantile_bucket_report(
+            labeled, "lang", "avg_nll", weight_col="n_tokens", n_buckets=3
+        )
+        .withColumnRenamed("weight_total", "tokens_total")
+    )

@@ -53,6 +53,15 @@ def test_sessionize_runs_on_driver_parquet(spark):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_registry_size_pinned():
+    """Exact registry count (VERDICT r12 item 2): a silent drop —
+    e.g. a future register() bypass — must fail a test, not wait for
+    the driver count to dip. Bump the constant when adding queries."""
+    from nhl_data_warehouse_spark.suite import REGISTRY
+
+    assert len(REGISTRY) == 326
+
+
 def test_every_registered_query_builds_a_plan(spark):
     """Analysis-time smoke over the full registry at sf0.001: building
     the DataFrame catches schema/type errors (the class of failure the

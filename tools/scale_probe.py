@@ -304,6 +304,19 @@ PROBES = [
     # map-side-combined aggregate — ~linear scan, flat tail)
     "partname_edit_near_dups",
     "orders_table_checksum",
+    # round-13: URL-canonicalization dedup (pure-expression
+    # normalization folded into the scan projection + ONE md5-grain
+    # group-by — ~linear scan, flat tail; replication with remapped
+    # doc ids mints new URLs, so group count grows linearly while
+    # group size stays the planted 4), the held-out LM score (vocab
+    # combine over the 10% slice + token-keyed score join — ~linear
+    # in tokens, the unigram_logprob class), and the perplexity
+    # tercile gate (same scan + bounded (lang x NLL-cell) histogram
+    # windows + broadcast boundary join — ~linear scan, flat
+    # gate tail, the KS/W1 bounded-grain class)
+    "url_canonical_dedup",
+    "heldout_perplexity_scores",
+    "perplexity_tertile_gate",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
