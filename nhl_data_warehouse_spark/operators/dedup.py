@@ -1586,3 +1586,168 @@ def url_dedup_groups(
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
+
+
+def within_doc_segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n\n",
+    min_chars: int = 1,
+    join_delim: str | None = None,
+) -> DataFrame:
+    """WITHIN-document segment dedup — the Dolma/CCNet per-document
+    repetition strip: a segment (paragraph/line) repeated INSIDE one
+    document keeps only its first occurrence, and the survivors are
+    stitched back in order. The corpus-grain twin is
+    ``remove_duplicate_spans`` (cross-document); this one never looks
+    outside the document, so templated pages that repeat their own
+    nav/footer blocks shrink even when nothing repeats corpus-wide.
+
+    Semantics: split on ``delim`` (Java regex), trim, drop segments
+    under ``min_chars``; within each document keep the first (minimum
+    split position) occurrence of each distinct trimmed segment;
+    output one row per document that retains >= 1 segment:
+    (id, n_segs, n_kept, chars_removed, clean_text) with clean_text
+    the kept segments joined in original order. ``delim`` is a Java
+    REGEX for the split; the stitch uses the LITERAL ``join_delim``
+    (default: ``delim`` verbatim — pass both when the split pattern
+    contains regex metacharacters).
+
+    Scale shape: the first-occurrence decision happens at the
+    (document, segment-hash) grain — the dedup window partitions by
+    (id, md5), so no partition outgrows one document's distinct
+    segments; segment TEXT shuffles exactly once, keyed by the doc
+    id, for the stitch (the ``remove_duplicate_spans`` contract —
+    linear in corpus bytes, and a document must fit an executor,
+    which the chunking ops upstream guarantee in a real pipeline).
+    """
+    seg = F.trim(F.col("_p"))
+    segs = (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("_i", "_p"),
+        )
+        .where(F.length(seg) >= min_chars)
+        .select(id_col, "_i", seg.alias("_s"))
+    )
+    w = Window.partitionBy(id_col, F.md5(F.col("_s")))
+    flagged = segs.withColumn("_first", F.min("_i").over(w) == F.col("_i"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.col("_first").cast("long")).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(~F.col("_first"), F.length("_s")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_first"),
+                                F.struct(F.col("_i"), F.col("_s")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_s"],
+                ),
+                delim if join_delim is None else join_delim,
+            ).alias("clean_text"),
+        )
+    )
+
+
+def site_key(url_col="url") -> F.Column:
+    """Site identity of a URL — the canonical host with a leading
+    ``www.`` stripped: the grain C4-style corpora gate and report on
+    (domain blocklists, per-site caps, head-concentration checks).
+    Registrable-domain folding (public-suffix lists — ``co.uk``
+    grouping) needs a lookup table, not an expression, and is out of
+    scope; ``www.``-stripping plus the ``canonical_url`` host rules
+    (lowercase, default ports removed) cover the overwhelming share
+    of same-site aliasing. NULL for URLs with no parseable host.
+    """
+    u = F.trim(F.col(url_col) if isinstance(url_col, str) else url_col)
+    u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(host)
+
+
+def domain_concentration(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Head-concentration report over site keys: the top-``top_k``
+    sites by document count with their share — and cumulative share —
+    of the whole corpus. This is the table a curation lead reads
+    before setting per-site caps (C4/FineWeb both cap or drop
+    dominant hosts): a corpus whose top-20 sites carry half the
+    token mass trains a model on those sites' voice.
+
+    Determinism: shares are single divisions of exact integers; the
+    cumulative sum runs over INTEGER doc counts (order-free) and
+    divides once. Ranking breaks ties on the site key.
+
+    Scale shape: one map-side-combined site aggregate (site grain <<
+    rows), a 1-row broadcast total, a global top-k (TakeOrdered — no
+    full sort shuffle), and the cumulative window runs over the
+    ``top_k``-row result only — the unbounded site-grain relation
+    never passes an unpartitioned window.
+    """
+    wexpr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    sites = (
+        df.select(site_key(url_col).alias("site"), wexpr.alias("_w"))
+        .where(F.col("site").isNotNull())
+        .groupBy("site")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("weight_total"),
+        )
+    )
+    totals = sites.agg(
+        F.sum("n_docs").cast("long").alias("_td"),
+        F.sum("weight_total").cast("long").alias("_tw"),
+    )
+    top = (
+        sites.orderBy(F.col("n_docs").desc(), F.col("site").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    wcum = Window.orderBy(F.col("n_docs").desc(), F.col("site").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.select(
+        "site",
+        "n_docs",
+        "weight_total",
+        (F.col("n_docs").cast("double") / F.col("_td").cast("double")).alias(
+            "doc_share"
+        ),
+        (
+            F.sum("n_docs").over(wcum).cast("double")
+            / F.col("_td").cast("double")
+        ).alias("cum_doc_share"),
+        (
+            F.col("weight_total").cast("double") / F.col("_tw").cast("double")
+        ).alias("weight_share"),
+    )

@@ -7241,3 +7241,182 @@ def perplexity_tertile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("weight_total", "tokens_total")
     )
+
+
+@register(
+    "within_doc_dedup_stitch",
+    op_ids="beyond-reference WITHIN-document segment dedup + stitch "
+    "(the Dolma/CCNet per-document repetition strip — first "
+    "occurrence of each distinct trimmed segment survives, survivors "
+    "rejoined in order; dedup decided at the (doc, segment-hash) "
+    "window grain, text shuffles once keyed by doc id for the "
+    "stitch)",
+    description="documents seeded with a repeated ' table '-delimited "
+    "promo segment (twice unless doc_id%3=0): per doc the segment "
+    "counts, removed char mass, and the stitched clean text",
+    oracle="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ''
+                      ELSE ' table promo block ' || CAST(doc_id % 7 AS VARCHAR)
+                      END
+                   || ' table promo block ' || CAST(doc_id % 7 AS VARCHAR)
+                       AS text
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, string_split(text, ' table ') AS ps FROM seeded
+        ),
+        segs AS (
+            SELECT doc_id, i, trim(ps[i]) AS s
+            FROM parts, unnest(generate_series(1, len(ps))) AS u(i)
+            WHERE length(trim(ps[i])) >= 1
+        ),
+        flagged AS (
+            SELECT doc_id, i, s,
+                   MIN(i) OVER (PARTITION BY doc_id, md5(s)) = i AS keep
+            FROM segs
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE length(s) END) AS BIGINT)
+                   AS chars_removed,
+               string_agg(CASE WHEN keep THEN s END, ' table ' ORDER BY i)
+                   AS clean_text
+        FROM flagged
+        GROUP BY doc_id
+    """,
+)
+def within_doc_dedup_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition strip on the newline-free testdata:
+    ``' table '`` stands in for blank-line boundaries (the
+    paragraph_dedup_stats convention) and every document is seeded
+    with a deterministic repeated promo segment — twice for
+    doc_id%3!=0 (one removable copy), once otherwise (nothing to
+    remove) — so the dedup, the char accounting, and the stitch all
+    have planted ground truth. (Docs whose text happens to end in the
+    corpus word 'table' merge the first planted delimiter — an
+    overlapping-split property both engines share, so the oracle
+    agrees on those rows too.)"""
+    (documents,) = load(spark, sf_dir, "documents")
+    promo = F.concat(
+        F.lit(" table promo block "), (F.col("doc_id") % 7).cast("string")
+    )
+    seeded = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(promo),
+            promo,
+        ).alias("text"),
+    )
+    return dedup.within_doc_segment_dedup(seeded, delim=" table ")
+
+
+@register(
+    "domain_concentration_report",
+    op_ids="beyond-reference domain head-concentration report (the "
+    "C4/FineWeb per-site cap diagnostic: site key = canonical host "
+    "minus www., one map-side site aggregate, broadcast total, "
+    "global top-k via TakeOrdered, cumulative share over the k-row "
+    "result only — the unbounded site grain never passes an "
+    "unpartitioned window)",
+    description="synthetic crawl hosts with geometric skew (6 sites, "
+    "mass ~1/2/4/8/16/33 per 64 docs, case-shifted and www-prefixed "
+    "variants): top-4 sites by doc count with doc/char share and "
+    "cumulative share",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id, n_chars,
+                   CASE
+                     WHEN doc_id % 64 = 0 THEN 0
+                     WHEN doc_id % 64 < 3 THEN 1
+                     WHEN doc_id % 64 < 7 THEN 2
+                     WHEN doc_id % 64 < 15 THEN 3
+                     WHEN doc_id % 64 < 31 THEN 4
+                     ELSE 5
+                   END AS d
+            FROM documents
+        ),
+        built AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'https://www.site' || CAST(d AS VARCHAR)
+                             || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://SITE' || CAST(d AS VARCHAR)
+                             || '.EXAMPLE.ORG/p/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM urls
+        ),
+        hosts AS (
+            SELECT doc_id, n_chars,
+                   regexp_replace(
+                       lower(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+                       '^www\\.', '') AS site
+            FROM built
+        ),
+        sites AS (
+            SELECT site,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS weight_total
+            FROM hosts
+            WHERE site <> ''
+            GROUP BY site
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                   CAST(SUM(weight_total) AS BIGINT) AS tw
+            FROM sites
+        ),
+        top AS (
+            SELECT * FROM sites ORDER BY n_docs DESC, site ASC LIMIT 4
+        )
+        SELECT site, n_docs, weight_total,
+               CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_share,
+               CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, site ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(td AS DOUBLE) AS cum_doc_share,
+               CAST(weight_total AS DOUBLE) / CAST(tw AS DOUBLE)
+                   AS weight_share
+        FROM top CROSS JOIN tot
+    """,
+)
+def domain_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-concentration over synthetic crawl hosts: 6 sites with
+    geometric doc mass, half the URLs ``www.``-prefixed lowercase and
+    half case-shifted bare — the report is correct only if the site
+    key folds both variants together."""
+    (documents,) = load(spark, sf_dir, "documents")
+    s = F.col("doc_id") % 64
+    d = (
+        F.when(s == 0, 0)
+        .when(s < 3, 1)
+        .when(s < 7, 2)
+        .when(s < 15, 3)
+        .when(s < 31, 4)
+        .otherwise(5)
+    ).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://www.site"),
+            d,
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://SITE"),
+            d,
+            F.lit(".EXAMPLE.ORG/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return dedup.domain_concentration(
+        documents.select(url.alias("url"), "n_chars"),
+        weight_col="n_chars",
+        top_k=4,
+    )

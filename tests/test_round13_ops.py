@@ -322,3 +322,120 @@ class TestQuantileBucketReport:
             if "HashAggregate" in ln and "_c#" in ln and i > win_at
         ]
         assert agg_below, "cell histogram must feed the window from below"
+
+
+def _within_ref(docs, delim=" | ", min_chars=1):
+    out = {}
+    for i, t in docs:
+        segs = [s.strip() for s in t.split(delim)]
+        segs = [(p, s) for p, s in enumerate(segs) if len(s) >= min_chars]
+        seen, kept, removed = set(), [], 0
+        for _, s in segs:
+            if s in seen:
+                removed += len(s)
+            else:
+                seen.add(s)
+                kept.append(s)
+        if segs:
+            out[i] = (len(segs), len(kept), removed, delim.join(kept))
+    return out
+
+
+class TestWithinDocSegmentDedup:
+    DOCS = [
+        (1, "alpha | beta | alpha | gamma"),  # one in-doc repeat
+        (2, "x | x | x"),  # all same: keep one
+        (3, "unique one | unique two"),  # nothing removed
+        (4, " |  | "),  # only empty segments: no row
+        (5, "a | b | a | b | a"),  # interleaved repeats
+    ]
+
+    def test_matches_python_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            within_doc_segment_dedup,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_segs, r.n_kept, r.chars_removed, r.clean_text)
+            for r in within_doc_segment_dedup(
+                df, delim=" \\| ", join_delim=" | "
+            ).collect()
+        }
+        exp = _within_ref(self.DOCS)
+        assert got == exp
+        assert 4 not in got  # empty-only doc drops out
+
+    def test_corpus_wide_repeats_untouched(self, spark):
+        # the SAME segment in two different docs is kept in both —
+        # this operator is strictly within-document
+        from nhl_data_warehouse_spark.operators.dedup import (
+            within_doc_segment_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "shared"), (2, "shared")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.n_kept
+            for r in within_doc_segment_dedup(
+                df, delim=" \\| ", join_delim=" | "
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1}
+
+    def test_window_partitioned_by_doc_and_hash(self, spark):
+        """Scale pin: the first-occurrence window must partition by
+        (id, segment-hash) — no unpartitioned window, no partition
+        larger than one document's occurrences of one segment."""
+        from nhl_data_warehouse_spark.operators.dedup import (
+            within_doc_segment_dedup,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        plan = (
+            within_doc_segment_dedup(df, delim=" \\| ", join_delim=" | ")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        win = [ln for ln in plan.splitlines() if "Window" in ln and "partition" in ln.lower() or "Window [" in ln]
+        assert win, plan
+        assert all("doc_id" in ln for ln in win), win
+
+
+class TestSiteKeyAndConcentration:
+    def test_site_key_folds_variants(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import site_key
+
+        rows = [
+            (1, "https://www.Site1.Example.ORG/p/1"),
+            (2, "https://site1.example.org:443/p/2?x=1"),
+            (3, "http://SITE1.example.org:80/p/3#f"),
+            (4, "https://wwwx.example.org/p"),  # not a www. prefix
+            (5, "nonsense"),
+        ]
+        df = spark.createDataFrame(rows, "i long, url string")
+        got = {r.i: r.s for r in df.select("i", site_key("url").alias("s")).collect()}
+        assert got[1] == got[2] == got[3] == "site1.example.org"
+        assert got[4] == "wwwx.example.org"
+        assert got[5] is None
+
+    def test_concentration_shares_and_topk(self, spark):
+        from nhl_data_warehouse_spark.operators.dedup import (
+            domain_concentration,
+        )
+
+        rows = (
+            [(f"https://big.org/{i}", 10) for i in range(6)]
+            + [(f"https://mid.org/{i}", 5) for i in range(3)]
+            + [("https://small.org/x", 1)]
+        )
+        df = spark.createDataFrame(rows, "url string, w long")
+        out = domain_concentration(df, weight_col="w", top_k=2).collect()
+        assert [r.site for r in out] == ["big.org", "mid.org"]
+        assert out[0].doc_share == pytest.approx(6 / 10)
+        assert out[0].cum_doc_share == pytest.approx(6 / 10)
+        assert out[1].cum_doc_share == pytest.approx(9 / 10)
+        # shares are of the WHOLE corpus, not the top-k slice
+        assert out[0].weight_share == pytest.approx(60 / 76)

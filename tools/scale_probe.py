@@ -317,6 +317,14 @@ PROBES = [
     "url_canonical_dedup",
     "heldout_perplexity_scores",
     "perplexity_tertile_gate",
+    # round-13 batch 2: within-doc segment dedup (first-occurrence
+    # window at the (doc, segment-hash) grain + one doc-keyed stitch
+    # shuffle — ~linear in corpus bytes, the duplicate_span_removal
+    # class) and the domain concentration report (site-grain map-side
+    # combine + broadcast total + global TakeOrdered top-k; the cum
+    # window runs over k rows only — ~linear scan, flat tail)
+    "within_doc_dedup_stitch",
+    "domain_concentration_report",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
