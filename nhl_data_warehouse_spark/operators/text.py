@@ -1810,3 +1810,99 @@ def heldout_unigram_nll(
             "avg_nll"
         ),
     )
+
+
+def heldout_interp_bigram_nll(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    add_k: int = 1,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Per-doc mean NLL under a Jelinek-Mercer INTERPOLATED bigram LM
+    trained on a held-out reference — one model order beyond
+    ``heldout_unigram_nll``, the standard backoff recipe when the
+    higher order is sparse: p(w2|w1) = lam * p_bi + (1-lam) * p_uni
+    with p_bi the reference's unsmoothed ML conditional
+    c(w1 w2)/c(w1 .) (0 when the context or gram is unseen) and p_uni
+    the add-k unigram WITH the extra OOV slot — strictly positive, so
+    the interpolation never takes ln(0). This is the practical shape
+    of the CCNet/KenLM gate at order 2 (real KenLM is 5-gram
+    Kneser-Ney; the interpolation structure, context sparsity, and
+    OOV handling — the parts that change the PLAN — are all here).
+
+    ``lam`` should be dyadic (default 0.75) so lam and 1-lam are
+    exact doubles; every probability is a single division of exact
+    integer counts and the interpolation is one fixed-order
+    fused-free expression, identical on any engine; ln rounds to
+    6 dp, sums as DECIMAL, one final division (suite convention).
+    Docs with < 2 tokens emit no row. Returns (id, n_bigrams,
+    unseen_bigrams, avg_interp_nll).
+
+    Scale shape: reference bigram/unigram counts are map-side
+    combined; left-context counts derive from the (small) bigram
+    relation, not a second corpus pass; (N, V) ride a 1-row
+    broadcast; scoring is three token-keyed LEFT equi-joins (gram,
+    context, unigram) — the Zipf-head broadcast stance of the other
+    LM scorers applies to all three.
+    """
+    one_minus = 1.0 - lam
+    vocab = (
+        ref_df.select(F.explode(_ws_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = pin(vocab, cache_registry)  # totals + the w2 join
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("n_ref"),
+        F.count(F.lit(1)).cast("long").alias("v_ref"),
+    )
+    cb = (
+        ref_df.select(F.explode(_word_bigrams(text_col)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    cb = pin(cb, cache_registry)  # left-context derivation + gram join
+    cl = cb.groupBy(
+        F.split("gram", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c_ab").alias("c_w1"))
+    tgt = df.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("gram")
+    ).select(
+        id_col,
+        "gram",
+        F.split("gram", " ").getItem(0).alias("w1"),
+        F.split("gram", " ").getItem(1).alias("w2"),
+    )
+    p_bi = F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") / F.coalesce(
+        F.col("c_w1"), F.lit(1)
+    ).cast("double")
+    p_uni = (
+        F.coalesce(F.col("c"), F.lit(0)) + F.lit(add_k)
+    ).cast("double") / (
+        F.col("n_ref") + F.lit(add_k) * (F.col("v_ref") + 1)
+    ).cast("double")
+    scored = (
+        tgt.join(cb, on="gram", how="left")
+        .join(cl, on="w1", how="left")
+        .join(vocab.withColumnRenamed("tok", "w2"), on="w2", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.col("c_ab").isNull().cast("long").alias("_unseen"),
+            F.round(
+                F.log(F.lit(lam) * p_bi + F.lit(one_minus) * p_uni), 6
+            )
+            .cast("decimal(12,6)")
+            .alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_unseen").cast("long").alias("unseen_bigrams"),
+        (-(F.sum("_logp").cast("double")) / F.count(F.lit(1))).alias(
+            "avg_interp_nll"
+        ),
+    )

@@ -7420,3 +7420,80 @@ def domain_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         top_k=4,
     )
+
+
+@register(
+    "heldout_interp_bigram_scores",
+    op_ids="beyond-reference Jelinek-Mercer interpolated bigram LM "
+    "scoring against a held-out reference (lam * ML-bigram + "
+    "(1-lam) * add-1 unigram with OOV slot — the order-2 backoff "
+    "shape of the CCNet/KenLM gate; unseen contexts back off to the "
+    "strictly-positive unigram arm, three token-keyed LEFT joins)",
+    description="docs outside the doc_id%10=0 reference slice scored "
+    "by mean NLL under the slice's interpolated bigram LM (lam=0.75); "
+    "(doc_id, n_bigrams, unseen_bigrams, avg_interp_nll)",
+    oracle="""
+        WITH reft AS (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        vocab AS (
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(ts) AS tok FROM reft) GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_ref,
+                   CAST(COUNT(*) AS BIGINT) AS v_ref
+            FROM vocab
+        ),
+        refbi AS (
+            SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS gram
+            FROM (SELECT ts, CAST(unnest(range(1, len(ts))) AS BIGINT) AS i
+                  FROM reft WHERE len(ts) >= 2)
+        ),
+        cb AS (SELECT gram, COUNT(*) AS c_ab FROM refbi GROUP BY gram),
+        cl AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c_ab) AS c_w1
+               FROM cb GROUP BY 1),
+        tgt AS (
+            SELECT doc_id,
+                   ts[CAST(i AS INT)] AS w1,
+                   ts[CAST(i + 1 AS INT)] AS w2,
+                   ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] AS gram
+            FROM (SELECT doc_id, ts,
+                         CAST(unnest(range(1, len(ts))) AS BIGINT) AS i
+                  FROM (SELECT doc_id,
+                               list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                        FROM documents WHERE doc_id % 10 <> 0)
+                  WHERE len(ts) >= 2)
+        ),
+        scoredbi AS (
+            SELECT t.doc_id,
+                   CASE WHEN cb.c_ab IS NULL THEN 1 ELSE 0 END AS unseen,
+                   CAST(ROUND(ln(
+                       CAST(0.75 AS DOUBLE)
+                         * (CAST(COALESCE(cb.c_ab, 0) AS DOUBLE)
+                            / CAST(COALESCE(cl.c_w1, 1) AS DOUBLE))
+                       + CAST(0.25 AS DOUBLE)
+                         * (CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+                            / CAST(tot.n_ref + 1 * (tot.v_ref + 1) AS DOUBLE))
+                   ), 6) AS DECIMAL(12,6)) AS logp
+            FROM tgt t
+            LEFT JOIN cb ON cb.gram = t.gram
+            LEFT JOIN cl ON cl.w1 = t.w1
+            LEFT JOIN vocab v ON v.tok = t.w2
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(unseen) AS BIGINT) AS unseen_bigrams,
+               CAST(-(CAST(SUM(logp) AS DOUBLE)) / COUNT(*) AS DOUBLE)
+                   AS avg_interp_nll
+        FROM scoredbi GROUP BY doc_id
+    """,
+)
+def heldout_interp_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load(spark, sf_dir, "documents")
+    ref = documents.where(F.col("doc_id") % 10 == 0)
+    tgt = documents.where(F.col("doc_id") % 10 != 0)
+    return text.heldout_interp_bigram_nll(tgt, ref)

@@ -439,3 +439,88 @@ class TestSiteKeyAndConcentration:
         assert out[1].cum_doc_share == pytest.approx(9 / 10)
         # shares are of the WHOLE corpus, not the top-k slice
         assert out[0].weight_share == pytest.approx(60 / 76)
+
+
+def _interp_ref(ref_docs, tgt_docs, lam=0.75, k=1):
+    """Pure-Python interpolated bigram NLL reference."""
+    from collections import Counter
+
+    toks = lambda t: [w for w in t.split(" ") if w != ""]
+    uni = Counter(w for _, t in ref_docs for w in toks(t))
+    n, v = sum(uni.values()), len(uni)
+    bi = Counter()
+    left = Counter()
+    for _, t in ref_docs:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            left[a] += 1
+    out = {}
+    for i, t in tgt_docs:
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        logps, unseen = [], 0
+        for a, b in zip(ws, ws[1:]):
+            p_bi = bi.get((a, b), 0) / (left.get(a) or 1)
+            p_uni = (uni.get(b, 0) + k) / (n + k * (v + 1))
+            logps.append(round(math.log(lam * p_bi + (1 - lam) * p_uni), 6))
+            unseen += (a, b) not in bi
+        out[i] = (len(logps), unseen, -sum(logps) / len(logps))
+    return out
+
+
+class TestHeldoutInterpBigram:
+    REF = [(100, "a b c a b"), (101, "b c d")]
+    TGT = [
+        (1, "a b c"),  # all grams seen
+        (2, "a b x"),  # unseen w2 (pure OOV backoff)
+        (3, "c a d"),  # seen words, one unseen gram
+        (4, "solo"),  # <2 tokens: no row
+        (5, "q q"),  # unseen context AND unseen word
+    ]
+
+    def test_matches_python_reference(self, spark):
+        from nhl_data_warehouse_spark.operators.text import (
+            heldout_interp_bigram_nll,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        tgt = spark.createDataFrame(self.TGT, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.unseen_bigrams, r.avg_interp_nll)
+            for r in heldout_interp_bigram_nll(tgt, ref).collect()
+        }
+        exp = _interp_ref(self.REF, self.TGT)
+        assert set(got) == set(exp) == {1, 2, 3, 5}
+        for i in exp:
+            assert got[i][:2] == exp[i][:2], i
+            assert got[i][2] == pytest.approx(exp[i][2], abs=1e-9), i
+
+    def test_never_ln_zero(self, spark):
+        # a fully-unseen doc still gets a finite score via the
+        # unigram arm's OOV slot
+        from nhl_data_warehouse_spark.operators.text import (
+            heldout_interp_bigram_nll,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(1, "zz yy xx")], "doc_id long, text string"
+        )
+        row = heldout_interp_bigram_nll(tgt, ref).collect()[0]
+        assert math.isfinite(row.avg_interp_nll)
+        assert row.unseen_bigrams == row.n_bigrams == 2
+
+    def test_cache_registry_two_pins(self, spark):
+        from nhl_data_warehouse_spark.operators.text import (
+            heldout_interp_bigram_nll,
+        )
+
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        tgt = spark.createDataFrame(self.TGT, "doc_id long, text string")
+        reg: list = []
+        heldout_interp_bigram_nll(tgt, ref, cache_registry=reg).collect()
+        assert len(reg) == 2 and all(fr.is_cached for fr in reg)
+        for fr in reg:
+            fr.unpersist(blocking=True)

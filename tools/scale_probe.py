@@ -325,6 +325,11 @@ PROBES = [
     # window runs over k rows only — ~linear scan, flat tail)
     "within_doc_dedup_stitch",
     "domain_concentration_report",
+    # round-13 batch 3: interpolated bigram held-out LM (reference
+    # counts map-side combined, left-context derived from the bigram
+    # relation, three token-keyed LEFT joins — ~linear in tokens,
+    # the unigram/bigram logprob class)
+    "heldout_interp_bigram_scores",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
