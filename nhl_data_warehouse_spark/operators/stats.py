@@ -22,6 +22,8 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
+from nhl_data_warehouse_spark.operators.caching import pin
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1886,6 +1888,7 @@ def quantile_bucket_report(
     weight_col: str | None = None,
     n_buckets: int = 3,
     scale: int = 1_000_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Per-group quantile bucketing of a score with doc/weight mass
     per bucket — the CCNet head/middle/tail split (Wenzek et al.,
@@ -1911,7 +1914,12 @@ def quantile_bucket_report(
     B-column aggregate per group, broadcast back onto the histogram
     (never onto rows); the final report aggregates the histogram, so
     nothing row-scale passes a window or a join after the first
-    map-side combine.
+    map-side combine. The histogram is PERSISTED: its three consumers
+    (cumulative window, boundary aggregate, final report) would
+    otherwise re-execute the row-scale upstream — e.g. the LM scoring
+    join feeding the perplexity gate — once each (plan audit r13: 46
+    unique Exchanges unpinned vs 24 pinned); released via
+    ``cache_registry`` or the session sweep.
     """
     wexpr = (
         F.col(weight_col).cast("long")
@@ -1930,6 +1938,9 @@ def quantile_bucket_report(
             F.sum("_w").cast("long").alias("_ws"),
         )
     )
+    # bounded (group, cell) grain read by THREE consumers — pin so
+    # the row-scale upstream runs once
+    hist = pin(hist, cache_registry)
     w = Window.partitionBy("_g").orderBy("_c").rowsBetween(
         Window.unboundedPreceding, 0
     )
