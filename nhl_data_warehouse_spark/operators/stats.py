@@ -1982,3 +1982,461 @@ def quantile_bucket_report(
             F.sum("_ws").cast("long").alias("weight_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-sample rank / variance tests, partition agreement, multiple testing
+# ---------------------------------------------------------------------------
+
+
+def kw_h_expr(k: int) -> str:
+    """Fixed-order SQL text of the tie-corrected Kruskal-Wallis H over
+    columns ``n`` (total count), ``tsum`` (sum of t^3 - t over tie
+    groups) and ``n{i}``/``two_r{i}`` (group count / twice the group
+    rank sum) for i = 1..k. Shared VERBATIM with the suite oracle so
+    both engines run the identical IEEE operation sequence (the
+    MW_SIGMA convention). Groups planned but absent contribute a 0.0
+    term (CASE guard), keeping the expression total."""
+    terms = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 0.0 ELSE "
+        f"CAST(two_r{i} AS DOUBLE) * CAST(two_r{i} AS DOUBLE) "
+        f"/ CAST(n{i} AS DOUBLE) END)"
+        for i in range(1, k + 1)
+    )
+    return (
+        "(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) "
+        f"* 0.25 * ({terms}) - 3.0 * CAST(n + 1 AS DOUBLE)) "
+        "/ (1.0 - CAST(tsum AS DOUBLE) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+        "- CAST(n AS DOUBLE)))"
+    )
+
+
+def kruskal_wallis_h(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Kruskal-Wallis H (one-way ANOVA on ranks, Kruskal & Wallis
+    1952) across a DECLARED group enumeration, tie-corrected, from
+    all-integer sufficient statistics.
+
+    The k-sample generalization of ``mann_whitney_u``: values collapse
+    to the fixed-point cents histogram, midranks never materialize
+    (twice the group-i rank sum is sum(n_i(c) * (2*cum(c) + n(c) + 1)),
+    an integer), and H is one fixed-order double expression
+    (``kw_h_expr``) over the k pivoted integer pairs — bit-stable
+    across engines. ``groups`` must be the explicit ordered label
+    list (e.g. the five TPC-H order priorities): determinism of the
+    final sum REQUIRES a declared group order, since a data-driven
+    pivot would sum in engine-dependent order. Rows outside ``groups``
+    are excluded from the test entirely (ranks included).
+
+    Scale shape (the MW/KS bounded-grain contract): rows collapse
+    map-side to the value histogram — bounded by the value RANGE x
+    scale, not the corpus; the one unpartitioned cumulative window
+    runs over that bounded grain; everything after is a single
+    k-column conditional aggregate. Rank-sum and tie cross-products
+    accumulate in DECIMAL(38,0) (2R <= N(N+1), t^3 <= N^3 — the int64
+    wrap past ~2e9 rows/side is the ADVICE-r11 KS lesson), so the
+    statistic stays exact to ~1e12 rows per side. One row out:
+    (n, k_groups, h_statistic); df = k - 1.
+    """
+    k = len(groups)
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    vals = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(list(groups))
+    ).select(
+        F.round(F.col(value_col) * scale).cast("long").alias("c"),
+        *[
+            F.when(F.col(group_col) == g, 1).otherwise(0).alias(f"g{i}")
+            for i, g in enumerate(groups, start=1)
+        ],
+    )
+    hist = vals.groupBy("c").agg(
+        F.count(F.lit(1)).alias("nv"),
+        *[F.sum(f"g{i}").alias(f"n{i}v") for i in range(1, k + 1)],
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("cumn", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(dec(F.col("nv")) * dec(F.col("nv")) * F.col("nv") - F.col("nv"))
+        .cast("decimal(38,0)")
+        .alias("tsum"),
+        *[
+            c
+            for i in range(1, k + 1)
+            for c in (
+                F.sum(f"n{i}v").cast("long").alias(f"n{i}"),
+                F.sum(
+                    dec(F.col(f"n{i}v"))
+                    * dec(2 * F.col("cumn") + F.col("nv") + 1)
+                )
+                .cast("decimal(38,0)")
+                .alias(f"two_r{i}"),
+            )
+        ],
+    )
+    return agg.select(
+        "n",
+        F.lit(k).cast("int").alias("k_groups"),
+        F.expr(kw_h_expr(k)).alias("h_statistic"),
+    )
+
+
+def bf_w_expr(k: int) -> str:
+    """Fixed-order SQL text of the Brown-Forsythe W over columns ``n``
+    (total), ``s1all`` (sum of all group deviation sums) and
+    ``n{i}``/``s1_{i}``/``s2_{i}`` (group count / sum of |2v - 2med| /
+    sum of its square) for i = 1..k. Shared VERBATIM with the suite
+    oracle. The doubled-deviation units cancel between numerator and
+    denominator (both quadratic), so no /2 appears."""
+    mean_all = "CAST(s1all AS DOUBLE) / CAST(n AS DOUBLE)"
+    num = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 0.0 ELSE CAST(n{i} AS DOUBLE) * "
+        f"(CAST(s1_{i} AS DOUBLE) / CAST(n{i} AS DOUBLE) - ({mean_all})) * "
+        f"(CAST(s1_{i} AS DOUBLE) / CAST(n{i} AS DOUBLE) - ({mean_all})) END)"
+        for i in range(1, k + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN n{i} = 0 THEN 0.0 ELSE CAST(s2_{i} AS DOUBLE) "
+        f"- CAST(s1_{i} AS DOUBLE) * CAST(s1_{i} AS DOUBLE) "
+        f"/ CAST(n{i} AS DOUBLE) END)"
+        for i in range(1, k + 1)
+    )
+    return (
+        f"(CAST(n - {k} AS DOUBLE) / CAST({k} - 1 AS DOUBLE)) "
+        f"* ({num}) / ({den})"
+    )
+
+
+def brown_forsythe_w(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity (Brown & Forsythe
+    1974): one-way ANOVA F on Z_ij = |x_ij - median_i|, the
+    median-centered (robust) Levene variant, from all-integer
+    sufficient statistics.
+
+    Values collapse to the fixed-point grid; each group's median is
+    EXACT on that grid (2*median = c_at(floor((n+1)/2)) +
+    c_at(ceil((n+1)/2)), both found by one conditional MIN over the
+    per-group cumulative histogram), so the doubled deviations
+    |2c - 2med| are integers. Per-group (n_i, sum Z', sum Z'^2)
+    accumulate in DECIMAL(38,0); W is one fixed-order double
+    expression over the k pivoted triples (``bf_w_expr``) — the
+    declared-group-order determinism contract of
+    ``kruskal_wallis_h``. Complements it: KW tests location shift,
+    BF tests SPREAD shift — the drift mode a location test misses
+    (same mean, fatter tail).
+
+    Scale shape: one map-side collapse to the (group, cell) histogram
+    (bounded by k x value range x scale); the cumulative window is
+    partitioned BY GROUP over that bounded grain; medians broadcast
+    back onto the histogram, never onto rows. One row out:
+    (n, k_groups, w_statistic); df = (k - 1, n - k).
+    """
+    k = len(groups)
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    vals = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(list(groups))
+    ).select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * scale).cast("long").alias("c"),
+    )
+    hist = vals.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("g").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("ng"))
+    med2 = (
+        cum.join(F.broadcast(tot), on="g")
+        .groupBy("g")
+        .agg(
+            (
+                F.min(F.when(F.col("cum") >= F.expr("(ng + 1) DIV 2"), F.col("c")))
+                + F.min(F.when(F.col("cum") >= F.expr("(ng + 2) DIV 2"), F.col("c")))
+            ).alias("med2")
+        )
+    )
+    devs = hist.join(F.broadcast(med2), on="g").select(
+        "g",
+        "cnt",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("z2"),
+    )
+    per = devs.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("ng"),
+        F.sum(dec(F.col("z2")) * F.col("cnt")).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("z2")) * dec(F.col("z2")) * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    one = per.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s1").cast("decimal(38,0)").alias("s1all"),
+        *[
+            c
+            for i, g in enumerate(groups, start=1)
+            for c in (
+                F.coalesce(
+                    F.sum(F.when(F.col("g") == g, F.col("ng"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"n{i}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("g") == g, F.col("s1"))),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                .cast("decimal(38,0)")
+                .alias(f"s1_{i}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("g") == g, F.col("s2"))),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                .cast("decimal(38,0)")
+                .alias(f"s2_{i}"),
+            )
+        ],
+    )
+    return one.select(
+        "n",
+        F.lit(k).cast("int").alias("k_groups"),
+        F.expr(bf_w_expr(k)).alias("w_statistic"),
+    )
+
+
+# adjusted-Rand final expression shared VERBATIM with the suite
+# oracle: columns n (BIGINT row count) and sij2/sa2/sb2 (DOUBLE,
+# each = sum of m*(m-1) over cells / A-marginals / B-marginals, i.e.
+# TWICE the pair counts — the /2 and the expected-index term fold
+# into one fixed operation sequence). Degenerate denominators take
+# the Hubert-Arabie conventions: identical trivial partitions -> 1.
+ARI_EXPR = """
+CASE WHEN n < 2 THEN 0.0
+     WHEN ((sa2 + sb2) / 4.0
+           - sa2 * sb2 / (2.0 * CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0))) = 0.0 THEN 1.0
+     ELSE (sij2 / 2.0
+           - sa2 * sb2 / (2.0 * CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - 1.0)))
+          / ((sa2 + sb2) / 4.0
+             - sa2 * sb2 / (2.0 * CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0))) END
+"""
+
+
+def partition_agreement_ari(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two
+    partitions of the same rows — the permutation-invariant agreement
+    score between two clusterings (label identities never compared,
+    only co-membership), the standard way to score a dedup/clustering
+    pass against a reference partition.
+
+    Pair counting from exact integers: the (a, b) contingency cell
+    counts n_ij, their A/B marginals, and the three pair sums
+    sum(m*(m-1)) accumulate in DECIMAL(38,0) (a pair sum wraps int64
+    past ~3e9 co-members — the ADVICE-r11 KS lesson); ARI is the one
+    fixed-order double expression ``ARI_EXPR``. Chance-corrected: 0 =
+    what random co-membership would score, 1 = identical partitions;
+    a sketch partition that over-merges scores below the exact-dup
+    partition's self-agreement.
+
+    Scale shape: one map-side collapse to the contingency grain
+    (bounded by the number of DISTINCT (a, b) label pairs, not rows);
+    marginal sums are two further keyed aggregates of that grain; the
+    three single-row totals broadcast-crossjoin. The contingency
+    relation is pinned (three consumers — cell, A-marginal and
+    B-marginal pair sums — would re-execute the row-scale upstream
+    once each); released via ``cache_registry`` or the session sweep.
+    Output doubles are exact below 2^53 (pair sums at any tested
+    scale); beyond, both engines round-to-nearest identically.
+    """
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    cells = (
+        df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    cells = pin(cells, cache_registry)
+    pair2 = lambda c: F.sum(dec(F.col(c)) * (F.col(c) - 1)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    tot = cells.agg(
+        F.sum("nij").cast("long").alias("n"), pair2("nij").alias("sij2_d")
+    )
+    am = cells.groupBy("_a").agg(F.sum("nij").alias("na")).agg(
+        pair2("na").alias("sa2_d")
+    )
+    bm = cells.groupBy("_b").agg(F.sum("nij").alias("nb")).agg(
+        pair2("nb").alias("sb2_d")
+    )
+    one = tot.crossJoin(F.broadcast(am)).crossJoin(F.broadcast(bm)).select(
+        "n",
+        F.col("sij2_d").cast("double").alias("sij2"),
+        F.col("sa2_d").cast("double").alias("sa2"),
+        F.col("sb2_d").cast("double").alias("sb2"),
+    )
+    return one.select(
+        F.col("n").alias("n_rows"),
+        F.col("sij2").alias("pairs2_both"),
+        F.col("sa2").alias("pairs2_a"),
+        F.col("sb2").alias("pairs2_b"),
+        F.expr(ARI_EXPR).alias("ari_statistic"),
+    )
+
+
+def bh_z_thresholds(m: int, alpha: float = 0.05) -> list[float]:
+    """|z| thresholds for Benjamini-Hochberg at two-sided level
+    ``alpha`` over ``m`` planned tests: entry k (1-based) solves
+    erfc(z / sqrt(2)) = k * alpha / m, i.e. the two-sided normal
+    p-value at z equals the BH boundary k*alpha/m. Computed ONCE,
+    driver-side, in pure Python (math.erfc bisection) and embedded as
+    double literals in BOTH engines' expressions — the runtime plan
+    stays transcendental-free (exp/erf differ across libm builds; a
+    shared literal cannot)."""
+    import math
+
+    out = []
+    for k in range(1, m + 1):
+        target = k * alpha / m
+        lo, hi = 0.0, 40.0
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if math.erfc(mid / math.sqrt(2)) > target:
+                lo = mid
+            else:
+                hi = mid
+        out.append((lo + hi) / 2)
+    return out
+
+
+def mwu_screen_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """One-vs-rest Mann-Whitney U per group over a SHARED combined
+    ranking — the screening stage of a multiple-testing drift scan
+    (one z per group, all from the same population midranks, so the
+    m tests price their ranks once).
+
+    Midranks come from the ONE combined cents histogram (the
+    ``mann_whitney_u`` identity: 2R_g = sum(n_g(c) * (2*cum(c) + n(c)
+    + 1))); each group's tie-corrected z reuses the combined tie sum.
+    Rank-sum and tie cross-products accumulate in DECIMAL(38,0).
+
+    Scale shape: one map-side collapse to the combined histogram
+    (bounded by value range x scale) + one to the (group, cell) grain;
+    the single unpartitioned cumulative window runs over the bounded
+    combined grain; the (group, cell) relation joins it ON THE CELL
+    KEY and collapses immediately to one row per group. Output: one
+    row per group present — (group, n1, n2, u_statistic, z_value).
+    """
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    vals = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * scale).cast("long").alias("c"),
+    )
+    comb = vals.groupBy("c").agg(F.count(F.lit(1)).alias("nv"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    comb = comb.withColumn(
+        "cumn", F.coalesce(F.sum("nv").over(w), F.lit(0))
+    )
+    glob = comb.agg(
+        F.sum("nv").cast("long").alias("n"),
+        F.sum(dec(F.col("nv")) * dec(F.col("nv")) * F.col("nv") - F.col("nv"))
+        .cast("decimal(38,0)")
+        .alias("tsum"),
+    )
+    per = vals.groupBy("g", "c").agg(F.count(F.lit(1)).alias("ngv"))
+    grp = (
+        per.join(comb, on="c")
+        .groupBy("g")
+        .agg(
+            F.sum("ngv").cast("long").alias("n1"),
+            F.sum(dec(F.col("ngv")) * dec(2 * F.col("cumn") + F.col("nv") + 1))
+            .cast("decimal(38,0)")
+            .alias("two_r"),
+        )
+    )
+    res = grp.crossJoin(F.broadcast(glob)).select(
+        "g",
+        "n1",
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        "n",
+        "tsum",
+        (F.col("two_r") - dec(F.col("n1")) * (F.col("n1") + 1)).alias("u2"),
+    )
+    return res.select(
+        "g",
+        "n1",
+        "n2",
+        F.expr("CAST(u2 AS DOUBLE) / 2.0").alias("u_statistic"),
+        F.expr(f"({MW_MEAN_DIFF}) / ({MW_SIGMA})").alias("z_value"),
+    )
+
+
+def bh_fdr_select(
+    df: DataFrame,
+    z_col: str,
+    key_col: str,
+    z_crits: list[float],
+) -> DataFrame:
+    """Benjamini-Hochberg step-up selection (Benjamini & Hochberg
+    1995) over per-test z statistics: rank tests by |z| descending
+    (= p ascending, ties broken by ``key_col``), find k* = max{k :
+    |z|_(k) >= z_crit(k)} against the precomputed ``z_crits`` ladder
+    (``bh_z_thresholds`` — entry k is the |z| whose two-sided p
+    equals k*alpha/m), and reject ranks 1..k* — FDR control at alpha
+    over the m PLANNED tests (absent groups leave their thresholds
+    unclaimed: conservative, and deterministic on both engines).
+
+    Runtime plan is transcendental-free: literal-array lookup by
+    rank + one comparison; the two unpartitioned windows (row_number,
+    max) run over the m test rows — bounded by the planned-test
+    count, never by data. NULL z (degenerate sigma) ranks last and
+    never rejects.
+    """
+    m = len(z_crits)
+    # string-cast literals: a bare 2.93... literal parses as DECIMAL
+    # in both engines; CAST('...' AS DOUBLE) round-trips the repr()
+    # shortest-string to the identical double on both
+    arr = "array(" + ", ".join(
+        f"CAST('{float(z)!r}' AS DOUBLE)" for z in z_crits
+    ) + ")"
+    wr = Window.orderBy(
+        F.abs(F.col(z_col)).desc_nulls_last(), F.col(key_col)
+    )
+    d = df.withColumn("p_rank", F.row_number().over(wr))
+    # nested CASE keeps element_at's index in [1, m] even if more
+    # groups than planned tests show up (ANSI element_at throws OOB)
+    zc = F.when(F.col("p_rank") <= m, F.expr(f"element_at({arr}, p_rank)"))
+    d = d.withColumn(
+        "_ok",
+        F.when(F.abs(F.col(z_col)) >= zc, F.col("p_rank")).otherwise(
+            F.lit(0)
+        ),
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = d.withColumn("k_star", F.max("_ok").over(wall))
+    return d.withColumn(
+        "rejected", F.col("p_rank") <= F.col("k_star")
+    ).drop("_ok", "k_star")

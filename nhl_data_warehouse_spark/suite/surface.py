@@ -2698,3 +2698,253 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = load(spark, sf_dir, "orders")
     return rep(orders, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: k-sample tests + multiple-testing control
+# ---------------------------------------------------------------------------
+
+# the H / W / BH operation sequences are shared VERBATIM with the
+# Spark operators (operators/stats.py) — the MW_SIGMA convention
+from nhl_data_warehouse_spark.operators.stats import (  # noqa: E402
+    bf_w_expr as _bf_w_expr,
+    bh_z_thresholds as _bh_z_thresholds,
+    kw_h_expr as _kw_h_expr,
+)
+
+_KW_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_KW_IN = ", ".join(f"'{g}'" for g in _KW_GROUPS)
+_KW_CASES = ",\n                   ".join(
+    f"CASE WHEN o_orderpriority = '{g}' THEN 1 ELSE 0 END AS g{i}"
+    for i, g in enumerate(_KW_GROUPS, start=1)
+)
+_KW_HSUMS = ",\n                   ".join(
+    f"SUM(g{i}) AS n{i}v" for i in range(1, 6)
+)
+_KW_STATS = ",\n                   ".join(
+    f"CAST(SUM(n{i}v) AS BIGINT) AS n{i},\n                   "
+    f"SUM(CAST(n{i}v AS HUGEINT) * (2 * cumn + nv + 1)) AS two_r{i}"
+    for i in range(1, 6)
+)
+
+
+@register(
+    "kruskal_wallis_priority_values",
+    op_ids="beyond-reference k-sample rank test: Kruskal-Wallis H "
+    "(one-way ANOVA on ranks) across a DECLARED group enumeration, "
+    "tie-corrected, from ALL-INTEGER sufficient statistics (per-group "
+    "2R_i and sum(t^3 - t) off ONE combined cents histogram, "
+    "DECIMAL(38,0) cross-products) — H is one fixed-order double "
+    "expression over the k pivoted integer pairs, shared verbatim "
+    "with the oracle",
+    description="do order values differ by priority? Kruskal-Wallis "
+    "H across the five TPC-H order priorities (df = 4), the k-sample "
+    "generalization of the Mann-Whitney A/B gate",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   {_KW_CASES}
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderpriority IN ({_KW_IN})
+        ),
+        hist AS (
+            SELECT c, COUNT(*) AS nv,
+                   {_KW_HSUMS}
+            FROM vals GROUP BY c
+        ),
+        cum AS (
+            SELECT *, COALESCE(SUM(nv) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+            FROM hist
+        ),
+        stats AS (
+            SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                   SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum,
+                   {_KW_STATS}
+            FROM cum
+        )
+        SELECT n, CAST(5 AS INT) AS k_groups,
+               ({_kw_h_expr(5)}) AS h_statistic
+        FROM stats
+    """,
+)
+def kruskal_wallis_priority_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import kruskal_wallis_h
+
+    (orders,) = load(spark, sf_dir, "orders")
+    return kruskal_wallis_h(
+        orders, "o_totalprice", "o_orderpriority", _KW_GROUPS
+    )
+
+
+_BF_GROUPS = ["A", "N", "R"]
+_BF_PIVOT = ",\n                   ".join(
+    f"COALESCE(SUM(CASE WHEN g = '{g}' THEN ng END), 0) AS n{i},\n"
+    f"                   COALESCE(SUM(CASE WHEN g = '{g}' THEN s1 END), 0)"
+    f" AS s1_{i},\n"
+    f"                   COALESCE(SUM(CASE WHEN g = '{g}' THEN s2 END), 0)"
+    f" AS s2_{i}"
+    for i, g in enumerate(_BF_GROUPS, start=1)
+)
+
+
+@register(
+    "brown_forsythe_quantity_spread",
+    op_ids="beyond-reference variance-homogeneity test: "
+    "Brown-Forsythe W (median-centered Levene) from ALL-INTEGER "
+    "sufficient statistics — per-group medians EXACT on the cents "
+    "grid (2*median via two conditional MINs over the per-group "
+    "cumulative histogram), doubled deviations |2c - 2med| integer, "
+    "(n, sum Z', sum Z'^2) in DECIMAL(38,0), W one fixed-order "
+    "double expression; the SPREAD-drift gate the location tests "
+    "(MW/KW) miss",
+    description="is quantity dispersion homogeneous across return "
+    "flags? Brown-Forsythe W over A/N/R (df = 2, n - 3)",
+    oracle=f"""
+        WITH vals AS (
+            SELECT l_returnflag AS g,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS c
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A','N','R')
+        ),
+        hist AS (SELECT g, c, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+        cumh AS (
+            SELECT g, c, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+            FROM hist
+        ),
+        tot AS (SELECT g, SUM(cnt) AS ng FROM hist GROUP BY 1),
+        med AS (
+            SELECT cumh.g AS g,
+                   MIN(CASE WHEN cm >= (ng + 1) // 2 THEN c END)
+                 + MIN(CASE WHEN cm >= (ng + 2) // 2 THEN c END) AS med2
+            FROM cumh JOIN tot ON cumh.g = tot.g GROUP BY 1
+        ),
+        per AS (
+            SELECT hist.g AS g, CAST(SUM(cnt) AS BIGINT) AS ng,
+                   SUM(CAST(ABS(2 * c - med2) AS HUGEINT) * cnt) AS s1,
+                   SUM(CAST(ABS(2 * c - med2) AS HUGEINT)
+                       * ABS(2 * c - med2) * cnt) AS s2
+            FROM hist JOIN med ON hist.g = med.g GROUP BY 1
+        ),
+        one AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   SUM(s1) AS s1all,
+                   {_BF_PIVOT}
+            FROM per
+        )
+        SELECT n, CAST(3 AS INT) AS k_groups,
+               ({_bf_w_expr(3)}) AS w_statistic
+        FROM one
+    """,
+)
+def brown_forsythe_quantity_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import brown_forsythe_w
+
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return brown_forsythe_w(
+        lineitem, "l_quantity", "l_returnflag", _BF_GROUPS
+    )
+
+
+_BH_M = 25  # p_brand is the 25-value TPC-H enumeration Brand#1..#25
+_BH_ALPHA = 0.05
+_BH_ZC = _bh_z_thresholds(_BH_M, _BH_ALPHA)
+_BH_ZLIST = ", ".join(f"CAST('{z!r}' AS DOUBLE)" for z in _BH_ZC)
+
+
+@register(
+    "bh_fdr_brand_price_screen",
+    op_ids="beyond-reference multiple-testing control: "
+    "Benjamini-Hochberg step-up FDR selection over an m=25 "
+    "one-vs-rest Mann-Whitney screen (per-brand price drift), all m "
+    "tests priced off ONE combined cents histogram (shared midranks "
+    "+ tie sum, DECIMAL(38,0) cross-products); the BH ladder is "
+    "precomputed driver-side (math.erfc bisection) and embedded as "
+    "shared double literals, so the runtime plan is "
+    "transcendental-free — rank windows run over the m test rows, "
+    "never data",
+    description="which brands' lineitem prices differ from the rest? "
+    "25 one-vs-rest MWU z's + BH step-up at FDR alpha=0.05 "
+    "(p_rank, k*-rejection per brand)",
+    oracle=f"""
+        WITH vals AS (
+            SELECT p.p_brand AS g,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_extendedprice IS NOT NULL AND p.p_brand IS NOT NULL
+        ),
+        comb AS (SELECT c, COUNT(*) AS nv FROM vals GROUP BY 1),
+        cumh AS (
+            SELECT c, nv, COALESCE(SUM(nv) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+            FROM comb
+        ),
+        gtot AS (
+            SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                   SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tsum
+            FROM cumh
+        ),
+        per AS (SELECT g, c, COUNT(*) AS ngv FROM vals GROUP BY 1, 2),
+        grp AS (
+            SELECT g, CAST(SUM(ngv) AS BIGINT) AS n1,
+                   SUM(CAST(ngv AS HUGEINT) * (2 * cumn + nv + 1)) AS two_r
+            FROM per JOIN cumh USING (c) GROUP BY 1
+        ),
+        scr AS (
+            SELECT g, n1, n - n1 AS n2, n, tsum,
+                   two_r - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2
+            FROM grp, gtot
+        ),
+        z AS (
+            SELECT g, n1, n2,
+                   CAST(u2 AS DOUBLE) / 2.0 AS u_statistic,
+                   ({{MW_FINAL}}) / ({{MW_SIGMA}}) AS z_value
+            FROM scr
+        ),
+        ranked AS (
+            SELECT g, n1, n2, u_statistic, z_value,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ABS(z_value) DESC NULLS LAST, g) AS p_rank
+            FROM z
+        ),
+        ok AS (
+            SELECT *,
+                   CASE WHEN p_rank <= {_BH_M}
+                             AND ABS(z_value) >= ([{_BH_ZLIST}])[p_rank]
+                        THEN p_rank ELSE 0 END AS okk
+            FROM ranked
+        ),
+        ks AS (SELECT MAX(okk) AS k_star FROM ok)
+        SELECT g AS p_brand, n1 AS n_brand, n2 AS n_rest,
+               u_statistic, z_value, CAST(p_rank AS INT) AS p_rank,
+               p_rank <= k_star AS rejected
+        FROM ok, ks
+    """.replace("{MW_FINAL}", _MW_FINAL).replace("{MW_SIGMA}", _MW_SIGMA),
+)
+def bh_fdr_brand_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        bh_fdr_select,
+        mwu_screen_by_group,
+    )
+
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+    )
+    scr = mwu_screen_by_group(joined, "l_extendedprice", "p_brand")
+    sel = bh_fdr_select(scr, "z_value", "g", _BH_ZC)
+    return sel.select(
+        F.col("g").alias("p_brand"),
+        F.col("n1").alias("n_brand"),
+        F.col("n2").alias("n_rest"),
+        "u_statistic",
+        "z_value",
+        "p_rank",
+        "rejected",
+    )

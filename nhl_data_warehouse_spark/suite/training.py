@@ -7497,3 +7497,84 @@ def heldout_interp_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = documents.where(F.col("doc_id") % 10 == 0)
     tgt = documents.where(F.col("doc_id") % 10 != 0)
     return text.heldout_interp_bigram_nll(tgt, ref)
+
+
+# round 13: clustering-agreement scoring of a sketch partition
+from nhl_data_warehouse_spark.operators.stats import (  # noqa: E402
+    ARI_EXPR as _ARI_EXPR,
+)
+
+
+@register(
+    "dedup_partition_ari",
+    op_ids="beyond-reference clustering-agreement eval: Adjusted "
+    "Rand Index (pair-counting, chance-corrected, "
+    "label-permutation-invariant) between the exact-duplicate "
+    "partition (md5 of content) and the simhash-16 sketch partition "
+    "— the dedup-eval question 'does the cheap sketch partition "
+    "agree with exact-dup truth, or does it over-merge?'. Contingency "
+    "cells + marginals are exact integers, pair sums accumulate in "
+    "DECIMAL(38,0), ARI is ONE fixed-order double expression shared "
+    "verbatim with the oracle",
+    description="ARI between exact-content groups and simhash-16 "
+    "buckets over documents, with the three raw pair sums",
+    oracle=f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS tok
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   CASE WHEN strpos('89abcdef',
+                                    substring(md5(tok), b.bit + 1, 1)) > 0
+                        THEN 1 ELSE -1 END AS vote
+            FROM tokens, (SELECT unnest(generate_series(0, 15)) AS bit) b
+        ),
+        sums AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY 1, 2),
+        sk AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id
+        ),
+        lab AS (
+            SELECT md5(d.text) AS a, sk.simhash AS b
+            FROM documents d JOIN sk ON d.doc_id = sk.doc_id
+        ),
+        cells AS (SELECT a, b, COUNT(*) AS nij FROM lab GROUP BY 1, 2),
+        tot AS (
+            SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                   CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS DOUBLE)
+                       AS sij2
+            FROM cells
+        ),
+        am AS (
+            SELECT CAST(SUM(CAST(na AS HUGEINT) * (na - 1)) AS DOUBLE)
+                       AS sa2
+            FROM (SELECT SUM(nij) AS na FROM cells GROUP BY a)
+        ),
+        bm AS (
+            SELECT CAST(SUM(CAST(nb AS HUGEINT) * (nb - 1)) AS DOUBLE)
+                       AS sb2
+            FROM (SELECT SUM(nij) AS nb FROM cells GROUP BY b)
+        )
+        SELECT n AS n_rows, sij2 AS pairs2_both, sa2 AS pairs2_a,
+               sb2 AS pairs2_b,
+               ({_ARI_EXPR}) AS ari_statistic
+        FROM tot, am, bm
+    """,
+)
+def dedup_partition_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.stats import (
+        partition_agreement_ari,
+    )
+
+    (documents,) = load(spark, sf_dir, "documents")
+    sk = dedup.simhash(documents, bits=16)
+    lab = (
+        documents.select("doc_id", F.md5("text").alias("pa"))
+        .join(sk, on="doc_id")
+        .select("pa", F.col("simhash").alias("pb"))
+    )
+    return partition_agreement_ari(lab, "pa", "pb")

@@ -678,3 +678,45 @@ def test_round10_new_query_plan_shapes(spark, registry):
     assert "CartesianProduct" not in wm
     # rank windows keyed by the priority slice
     assert "windowspecdefinition(cents#" not in wm
+
+
+def test_round13_stats_plan_shapes(spark, registry):
+    """Round-13 k-sample/multiple-testing additions: KW's one
+    cumulative window runs over the bounded cents grain (the MW/KS
+    doctrine) with no joins at all; BF keys its cumulative window BY
+    GROUP and only broadcasts the k-row totals/medians; the BH screen
+    equi-joins the (group, cell) grain to the histogram (never a
+    theta join) and its only BNLJ is the 1-row global fold, with the
+    rank windows over the m test rows; ARI pins the contingency grain
+    (three consumers) and folds two 1-row marginal totals."""
+    kw = plan_of(registry["kruskal_wallis_priority_values"].fn(spark, SF))
+    assert "CartesianProduct" not in kw
+    assert "BroadcastNestedLoopJoin" not in kw
+    assert "SortMergeJoin" not in kw  # aggregates + one bounded window
+    assert kw.count("windowspecdefinition") == 1
+
+    bf = plan_of(registry["brown_forsythe_quantity_spread"].fn(spark, SF))
+    assert "CartesianProduct" not in bf
+    assert "BroadcastNestedLoopJoin" not in bf
+    # the cumulative window is keyed by the group slice
+    assert "windowspecdefinition(g#" in bf
+    # totals + medians come back as broadcasts, never shuffled joins
+    assert "SortMergeJoin" not in bf
+    assert bf.count("BroadcastHashJoin") >= 2
+
+    bh = plan_of(registry["bh_fdr_brand_price_screen"].fn(spark, SF))
+    assert "CartesianProduct" not in bh
+    # the only BNLJ is the 1-row (n, tsum) global fold
+    assert bh.count("BroadcastNestedLoopJoin") <= 1
+    # part joins in as a broadcast dim
+    assert bh.count("BroadcastHashJoin") >= 1
+    # rank + k* windows exist alongside the bounded histogram cum
+    assert bh.count("windowspecdefinition") == 3
+
+    ari = plan_of(registry["dedup_partition_ari"].fn(spark, SF))
+    assert "CartesianProduct" not in ari
+    assert "windowspecdefinition" not in ari  # pure keyed aggregates
+    # two 1-row marginal folds, nothing bigger nested-loops
+    assert ari.count("BroadcastNestedLoopJoin") <= 2
+    # the contingency grain is pinned for its three consumers
+    assert ari.count("InMemoryTableScan") >= 3

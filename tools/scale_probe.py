@@ -330,6 +330,18 @@ PROBES = [
     # relation, three token-keyed LEFT joins — ~linear in tokens,
     # the unigram/bigram logprob class)
     "heldout_interp_bigram_scores",
+    # round-13 batch 4 (k-sample tests + multiple testing): KW and BF
+    # collapse map-side to bounded value-grain histograms (the MW/KS
+    # contract — cells bounded by value range x scale, not rows), so
+    # expect ~linear scan with a flat statistic tail; the BH brand
+    # screen adds one broadcast dim join + a cell-keyed histogram
+    # join, rank windows over the 25 test rows only; the ARI pair
+    # count is two keyed aggregates over the contingency grain
+    # (replication multiplies cell counts, not the grain)
+    "kruskal_wallis_priority_values",
+    "brown_forsythe_quantity_spread",
+    "bh_fdr_brand_price_screen",
+    "dedup_partition_ari",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
