@@ -137,3 +137,77 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             "hot_key",
         )
     )
+
+
+def join_size_estimate(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Self-equi-join output-cardinality estimation — the
+    cost-based-optimizer statistic that decides whether a blocking
+    key is usable before running a pairwise stage (near-dup
+    verification, feature self-joins): EXACT join size sum(c_k^2)
+    against two estimators, System-R uniformity n^2/d and
+    heavy-hitter-corrected (exact top-k key counts + uniform
+    remainder) — the end-biased-histogram estimate (Ioannidis &
+    Christodoulakis' optimality argument for join-size bounds).
+
+    All sufficient statistics are exact integers: per-key counts
+    collapse map-side, squares accumulate in DECIMAL(38,0) (sum c^2
+    wraps int64 past ~3e9 rows on one key), the top-k heavy hitters
+    come off a TakeOrdered (count desc, key asc — deterministic under
+    ties), never a global sort. The estimates and relative errors are
+    fixed-order double expressions over those integers. One row out:
+    (n_rows, n_keys, exact_pairs, est_uniform, est_topk,
+    err_uniform, err_topk).
+
+    Scale shape: one keyed aggregate (bounded by distinct keys), one
+    single-row total, one top-k; the remainder stats derive from
+    totals minus the broadcast top-k's own aggregate — the big side
+    is never touched twice.
+    """
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per = df.select(F.col(key_col).alias("_k")).groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = per.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c")))
+        .cast("decimal(38,0)")
+        .alias("_exact"),
+    )
+    top = per.orderBy(F.col("_c").desc(), F.col("_k").asc()).limit(top_k)
+    topagg = top.agg(
+        F.count(F.lit(1)).cast("long").alias("_tk"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("_tn"),
+        F.coalesce(
+            F.sum(dec(F.col("_c")) * dec(F.col("_c"))),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("decimal(38,0)")
+        .alias("_texact"),
+    )
+    one = tot.crossJoin(F.broadcast(topagg))
+    est_uniform = (
+        "CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) "
+        "/ CAST(n_keys AS DOUBLE)"
+    )
+    # exact head + uniform tail: (n - n_top)^2 / (d - k_top)
+    est_topk = (
+        "CAST(_texact AS DOUBLE) + CASE WHEN n_keys - _tk <= 0 THEN 0.0 "
+        "ELSE (CAST(n_rows - _tn AS DOUBLE) * CAST(n_rows - _tn AS DOUBLE)) "
+        "/ CAST(n_keys - _tk AS DOUBLE) END"
+    )
+    return one.select(
+        "n_rows",
+        "n_keys",
+        F.col("_exact").cast("double").alias("exact_pairs"),
+        F.expr(est_uniform).alias("est_uniform"),
+        F.expr(est_topk).alias("est_topk"),
+        F.expr(f"({est_uniform}) / CAST(_exact AS DOUBLE)").alias(
+            "err_uniform"
+        ),
+        F.expr(f"({est_topk}) / CAST(_exact AS DOUBLE)").alias("err_topk"),
+    )

@@ -1057,3 +1057,84 @@ def seasonal_decompose_daily(
             ).alias("resid"),
         )
     )
+
+
+def logrank_two_sample(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "observed",
+    group1_col: str = "g1",
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) over right-censored
+    (duration, observed, group) spells — does group 1's survival
+    curve differ from the rest's? The hypothesis test COMPANION of
+    ``km_survival`` (which estimates one curve but compares nothing).
+
+    At each distinct event time t: d_t total events, n_t / n1_t total
+    and group-1 at-risk counts (reverse-cumulative sums over the
+    distinct-durations relation, the km_survival shape). O1 = sum d1_t
+    is an exact integer; the expected-count and hypergeometric-
+    variance terms e1_t = d_t * n1_t / n_t and
+    v_t = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t) / (n_t - 1)
+    are per-row doubles from exact integers, rounded to 6dp and
+    DECIMAL-summed (order-free, engine-stable — the km_survival ln-
+    factor recipe; term magnitudes <= d_t keep round(x*1e6) far
+    inside 2^53 where both engines' rounding agrees). One row out:
+    (n_spells, o1, e1, v, z_value) with z = (O1 - E1)/sqrt(V) as one
+    fixed-order double expression; z^2 is the 1-df chi-square.
+
+    Scale shape: spells collapse map-side to the (duration, counts)
+    grain — bounded by distinct durations (days), not spells; both
+    windows run over that bounded relation; the final reduce is one
+    row. Single-spell times with n_t = 1 carry v_t = 0 (the n_t - 1
+    guard), matching the hypergeometric-variance convention.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(duration_col)
+    per_t = df.groupBy(duration_col).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.col(group1_col).cast("long")).alias("_m1"),
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.sum(
+            (F.col(event_col) * F.col(group1_col)).cast("long")
+        ).alias("_d1"),
+    )
+    w = Window.orderBy(t).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    stepped = per_t.select(
+        "_d",
+        "_d1",
+        F.sum("_m").over(w).cast("long").alias("_n"),
+        F.sum("_m1").over(w).cast("long").alias("_n1"),
+    ).where(F.col("_d") > 0)
+    frac = F.col("_n1") / F.col("_n").cast("double")
+    e1 = F.round(F.col("_d") * frac, 6).cast("decimal(18,6)")
+    v = F.when(F.col("_n") <= 1, F.lit(0).cast("decimal(18,6)")).otherwise(
+        F.round(
+            F.col("_d")
+            * frac
+            * (F.lit(1.0) - frac)
+            * ((F.col("_n") - F.col("_d"))
+               / (F.col("_n") - F.lit(1)).cast("double")),
+            6,
+        ).cast("decimal(18,6)")
+    )
+    agg = stepped.agg(
+        F.sum("_d").cast("long").alias("d_total"),
+        F.sum("_d1").cast("long").alias("o1"),
+        F.sum(e1).cast("decimal(38,6)").alias("_e1s"),
+        F.sum(v).cast("decimal(38,6)").alias("_vs"),
+    )
+    return agg.select(
+        "d_total",
+        "o1",
+        F.col("_e1s").cast("double").alias("e1_expected"),
+        F.col("_vs").cast("double").alias("v_variance"),
+        F.expr(
+            "CASE WHEN CAST(_vs AS DOUBLE) <= 0.0 THEN NULL "
+            "ELSE (CAST(o1 AS DOUBLE) - CAST(_e1s AS DOUBLE)) "
+            "/ sqrt(CAST(_vs AS DOUBLE)) END"
+        ).alias("z_value"),
+    )

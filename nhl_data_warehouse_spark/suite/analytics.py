@@ -2366,3 +2366,110 @@ def grouped_hybrid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         orders, "o_totalprice", [0.5, 0.9], group_col="o_orderpriority"
     )
+
+
+@register(
+    "logrank_segment_gap_survival",
+    op_ids="beyond-reference two-sample log-rank (Mantel-Cox) test: "
+    "the hypothesis-test companion of km_order_gap_survival — O1 "
+    "exact integer, expected/variance terms are per-row doubles from "
+    "exact at-risk integers, 6dp-rounded and DECIMAL-summed "
+    "(order-free, the km ln-factor recipe), z one fixed-order double "
+    "expression; windows run over the distinct-durations grain only",
+    description="do BUILDING-segment customers reorder at a "
+    "different rate? log-rank z over right-censored inter-order "
+    "gaps, BUILDING vs rest",
+    oracle="""
+        WITH cm AS (SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE)
+                        AS cmax FROM orders),
+        seg AS (
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                       AS g1
+            FROM customer
+        ),
+        seq AS (
+            SELECT s.g1, CAST(o_orderdate AS DATE) AS d,
+                   LEAD(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS nxt
+            FROM orders o JOIN seg s ON o.o_custkey = s.c_custkey
+        ),
+        spells AS (
+            SELECT CAST(date_diff('day', d, COALESCE(nxt, cmax)) AS BIGINT)
+                       AS duration,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed,
+                   g1
+            FROM seq, cm
+        ),
+        per_t AS (
+            SELECT duration, COUNT(*) AS m, SUM(g1) AS m1,
+                   SUM(observed) AS d, SUM(observed * g1) AS d1
+            FROM spells GROUP BY 1
+        ),
+        stepped AS (
+            SELECT d, d1,
+                   CAST(SUM(m) OVER (ORDER BY duration
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n,
+                   CAST(SUM(m1) OVER (ORDER BY duration
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS BIGINT) AS n1
+            FROM per_t
+        ),
+        terms AS (
+            SELECT d, d1,
+                   CAST(ROUND(d * (n1 / CAST(n AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS e1,
+                   CASE WHEN n <= 1 THEN CAST(0 AS DECIMAL(18,6))
+                        ELSE CAST(ROUND(d * (n1 / CAST(n AS DOUBLE))
+                                  * (1.0 - n1 / CAST(n AS DOUBLE))
+                                  * ((n - d) / CAST(n - 1 AS DOUBLE)), 6)
+                                  AS DECIMAL(18,6)) END AS v
+            FROM stepped WHERE d > 0
+        ),
+        agg AS (
+            SELECT CAST(SUM(d) AS BIGINT) AS d_total,
+                   CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(e1) AS DECIMAL(38,6)) AS e1s,
+                   CAST(SUM(v) AS DECIMAL(38,6)) AS vs
+            FROM terms
+        )
+        SELECT d_total, o1,
+               CAST(e1s AS DOUBLE) AS e1_expected,
+               CAST(vs AS DOUBLE) AS v_variance,
+               CASE WHEN CAST(vs AS DOUBLE) <= 0.0 THEN NULL
+                    ELSE (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+                         / sqrt(CAST(vs AS DOUBLE)) END AS z_value
+        FROM agg
+    """,
+)
+def logrank_segment_gap_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    seg = customer.select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.join(
+        F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"]
+    ).select(
+        "g1",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("nxt"),
+    )
+    cm = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("cmax"))
+    spells = seq.crossJoin(F.broadcast(cm)).select(
+        F.datediff(F.coalesce("nxt", "cmax"), "d")
+        .cast("long")
+        .alias("duration"),
+        F.col("nxt").isNotNull().cast("int").alias("observed"),
+        "g1",
+    )
+    return timeseries.logrank_two_sample(
+        spells, "duration", "observed", "g1"
+    )

@@ -2948,3 +2948,63 @@ def bh_fdr_brand_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_rank",
         "rejected",
     )
+
+
+@register(
+    "selfjoin_cardinality_estimate",
+    op_ids="beyond-reference CBO join-size statistics: exact "
+    "self-equi-join output cardinality sum(c_k^2) vs the System-R "
+    "uniformity estimate n^2/d and the end-biased-histogram estimate "
+    "(exact top-100 heavy-hitter counts + uniform remainder) — the "
+    "planning statistic that gates a pairwise blocking stage; "
+    "squares in DECIMAL(38,0), top-k off a deterministic "
+    "TakeOrdered (count desc, key asc), estimates and error ratios "
+    "fixed-order double expressions",
+    description="events self-join on user_id: exact pair count vs "
+    "uniform and heavy-hitter-corrected estimates with error ratios",
+    oracle="""
+        WITH per AS (
+            SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   SUM(CAST(c AS HUGEINT) * c) AS exact_d
+            FROM per
+        ),
+        top AS (SELECT c FROM per ORDER BY c DESC, k ASC LIMIT 100),
+        ta AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS tk,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tn,
+                   COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS texact
+            FROM top
+        )
+        SELECT n_rows, n_keys,
+               CAST(exact_d AS DOUBLE) AS exact_pairs,
+               CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                   / CAST(n_keys AS DOUBLE) AS est_uniform,
+               CAST(texact AS DOUBLE)
+                   + CASE WHEN n_keys - tk <= 0 THEN 0.0
+                          ELSE (CAST(n_rows - tn AS DOUBLE)
+                                * CAST(n_rows - tn AS DOUBLE))
+                               / CAST(n_keys - tk AS DOUBLE) END
+                   AS est_topk,
+               (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                   / CAST(n_keys AS DOUBLE)) / CAST(exact_d AS DOUBLE)
+                   AS err_uniform,
+               (CAST(texact AS DOUBLE)
+                   + CASE WHEN n_keys - tk <= 0 THEN 0.0
+                          ELSE (CAST(n_rows - tn AS DOUBLE)
+                                * CAST(n_rows - tn AS DOUBLE))
+                               / CAST(n_keys - tk AS DOUBLE) END)
+                   / CAST(exact_d AS DOUBLE) AS err_topk
+        FROM tot, ta
+    """,
+)
+def selfjoin_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from nhl_data_warehouse_spark.operators.skew import join_size_estimate
+
+    (events,) = load(spark, sf_dir, "events")
+    return join_size_estimate(events, "user_id", top_k=100)

@@ -720,3 +720,25 @@ def test_round13_stats_plan_shapes(spark, registry):
     assert ari.count("BroadcastNestedLoopJoin") <= 2
     # the contingency grain is pinned for its three consumers
     assert ari.count("InMemoryTableScan") >= 3
+
+
+def test_round13_logrank_joinsize_plan_shapes(spark, registry):
+    """Log-rank: the lead window is keyed by customer, the at-risk
+    reverse-cumulative windows run over the distinct-durations grain;
+    the segment dim comes in broadcast and the only BNLJ is the 1-row
+    corpus-max fold. Join-size estimate: the top-k is a TakeOrdered
+    (never a global sort), the only BNLJ is the 1-row head-stats
+    fold, and nothing theta-joins."""
+    lr = plan_of(registry["logrank_segment_gap_survival"].fn(spark, SF))
+    assert "CartesianProduct" not in lr
+    assert lr.count("BroadcastNestedLoopJoin") <= 1  # 1-row cmax fold
+    assert lr.count("BroadcastHashJoin") >= 1  # segment dim broadcast
+    assert "SortMergeJoin" not in lr
+    assert "windowspecdefinition(o_custkey#" in lr  # lead keyed by cust
+
+    js = plan_of(registry["selfjoin_cardinality_estimate"].fn(spark, SF))
+    assert "CartesianProduct" not in js
+    assert js.count("BroadcastNestedLoopJoin") <= 1  # 1-row head fold
+    assert "SortMergeJoin" not in js
+    assert "TakeOrderedAndProject" in js  # top-k never a global sort
+    assert "windowspecdefinition" not in js

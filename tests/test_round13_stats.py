@@ -328,3 +328,124 @@ def test_bh_screen_tiny_alpha_rejects_nothing(spark):
         scr, "z_value", "g", bh_z_thresholds(3, 1e-12)
     ).collect()
     assert not any(r["rejected"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# log-rank two-sample
+# ---------------------------------------------------------------------------
+
+
+def _logrank_ref(
+    spells: list[tuple[int, int, int]],
+) -> tuple[int, float, float]:
+    """Textbook Mantel-Cox (o1, e1, v) over (duration, observed, g1)
+    — unrounded terms (the operator rounds each to 6dp before the
+    decimal sum, so comparisons carry a #terms * 5e-7 band)."""
+    times = sorted({d for d, o, _ in spells if o == 1})
+    o1 = sum(g for d, o, g in spells if o == 1)
+    e1 = v = 0.0
+    for t in times:
+        n = sum(1 for d, _, _ in spells if d >= t)
+        n1 = sum(g for d, _, g in spells if d >= t)
+        dt = sum(o for d, o, _ in spells if d == t and o == 1)
+        e1 += dt * n1 / n
+        if n > 1:
+            v += dt * (n1 / n) * (1 - n1 / n) * ((n - dt) / (n - 1))
+    return o1, e1, v
+
+
+def _mk_spells(seed: int, shift1: int) -> list[tuple[int, int, int]]:
+    rng = random.Random(seed)
+    spells = []
+    for g in (0, 1):
+        for _ in range(250):
+            d = rng.randint(1, 60) + (shift1 if g == 1 else 0)
+            observed = 1 if rng.random() < 0.8 else 0
+            spells.append((d, observed, g))
+    return spells
+
+
+def test_logrank_vs_reference(spark):
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        logrank_two_sample,
+    )
+
+    spells = _mk_spells(31, shift1=15)
+    df = spark.createDataFrame(
+        spells, "duration long, observed int, g1 int"
+    )
+    row = logrank_two_sample(df, "duration", "observed", "g1").collect()[0]
+    o1, e1, v = _logrank_ref(spells)
+    assert row["o1"] == o1
+    assert row["d_total"] == sum(o for _, o, _ in spells)
+    assert math.isclose(row["e1_expected"], e1, rel_tol=0, abs_tol=1e-3)
+    assert math.isclose(row["v_variance"], v, rel_tol=0, abs_tol=1e-3)
+    z = (o1 - e1) / math.sqrt(v)
+    assert math.isclose(row["z_value"], z, rel_tol=0, abs_tol=1e-3)
+    # group 1 survives LONGER (shifted +15 days): fewer early group-1
+    # events than expected -> z must be decisively negative
+    assert row["z_value"] < -3.0
+
+
+def test_logrank_null_when_groups_identical(spark):
+    from nhl_data_warehouse_spark.operators.timeseries import (
+        logrank_two_sample,
+    )
+
+    spells = _mk_spells(37, shift1=0)
+    df = spark.createDataFrame(
+        spells, "duration long, observed int, g1 int"
+    )
+    row = logrank_two_sample(df, "duration", "observed", "g1").collect()[0]
+    o1, e1, v = _logrank_ref(spells)
+    assert math.isclose(
+        row["z_value"], (o1 - e1) / math.sqrt(v), rel_tol=0, abs_tol=1e-3
+    )
+    assert abs(row["z_value"]) < 3.0  # same generator: no real signal
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation
+# ---------------------------------------------------------------------------
+
+
+def test_join_size_estimate_vs_reference(spark):
+    from nhl_data_warehouse_spark.operators.skew import join_size_estimate
+
+    rng = random.Random(41)
+    # one mega-key + a long tail: uniformity must underestimate,
+    # the heavy-hitter correction must recover it
+    keys = [0] * 3000 + [rng.randint(1, 900) for _ in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    row = join_size_estimate(df, "k", top_k=100).collect()[0]
+    cnt = Counter(keys)
+    exact = sum(c * c for c in cnt.values())
+    n, d = len(keys), len(cnt)
+    assert row["n_rows"] == n and row["n_keys"] == d
+    assert row["exact_pairs"] == float(exact)
+    assert row["est_uniform"] == n * n / d
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    texact = sum(c * c for _, c in top)
+    tn = sum(c for _, c in top)
+    est_topk = texact + (n - tn) ** 2 / (d - len(top))
+    assert math.isclose(
+        row["est_topk"], est_topk, rel_tol=0, abs_tol=1e-6
+    )
+    # skew story: uniform underestimates badly, correction recovers
+    assert row["err_uniform"] < 0.5
+    assert row["err_topk"] > row["err_uniform"]
+    assert 0.9 < row["err_topk"] <= 1.5
+
+
+def test_join_size_estimate_topk_covers_all_keys(spark):
+    from nhl_data_warehouse_spark.operators.skew import join_size_estimate
+
+    rng = random.Random(43)
+    keys = [rng.randint(1, 40) for _ in range(2000)]  # 40 keys < top_k
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    row = join_size_estimate(df, "k", top_k=100).collect()[0]
+    cnt = Counter(keys)
+    exact = float(sum(c * c for c in cnt.values()))
+    # every key is in the exact head: the corrected estimate IS exact
+    assert row["est_topk"] == exact
+    assert row["err_topk"] == 1.0

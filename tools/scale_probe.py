@@ -342,6 +342,13 @@ PROBES = [
     "brown_forsythe_quantity_spread",
     "bh_fdr_brand_price_screen",
     "dedup_partition_ari",
+    # round-13 batch 5: log-rank (spells collapse to the distinct-
+    # durations grain — replication adds spells, not durations, so
+    # the at-risk windows see a ~fixed relation: ~linear scan, flat
+    # test tail) and the join-size estimate (one keyed aggregate +
+    # 1-row total + TakeOrdered top-k — ~linear scan, flat tail)
+    "logrank_segment_gap_survival",
+    "selfjoin_cardinality_estimate",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
