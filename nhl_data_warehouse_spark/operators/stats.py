@@ -2040,9 +2040,13 @@ def kruskal_wallis_h(
     runs over that bounded grain; everything after is a single
     k-column conditional aggregate. Rank-sum and tie cross-products
     accumulate in DECIMAL(38,0) (2R <= N(N+1), t^3 <= N^3 — the int64
-    wrap past ~2e9 rows/side is the ADVICE-r11 KS lesson), so the
-    statistic stays exact to ~1e12 rows per side. One row out:
-    (n, k_groups, h_statistic); df = k - 1.
+    wrap past ~2e9 rows/side is the ADVICE-r11 KS lesson). Exactness
+    bounds: every per-cell product has both factors inside int64, so
+    single terms cannot exceed ~8.5e37 < 10^38; the tie term t^3
+    stays exact while no single tied CELL holds more than ~4.6e12
+    rows (beyond that the DECIMAL(38) product overflows — a constant
+    column at planetary scale; pre-aggregate or re-grain first). One
+    row out: (n, k_groups, h_statistic); df = k - 1.
     """
     k = len(groups)
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
