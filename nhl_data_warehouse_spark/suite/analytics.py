@@ -2473,3 +2473,103 @@ def logrank_segment_gap_survival(
     return timeseries.logrank_two_sample(
         spells, "duration", "observed", "g1"
     )
+
+
+# round 13: privacy / governance release passes
+from nhl_data_warehouse_spark.operators import privacy  # noqa: E402
+from nhl_data_warehouse_spark.operators.privacy import (  # noqa: E402
+    laplace_noise_expr as _laplace_expr,
+)
+from nhl_data_warehouse_spark.suite.training import (  # noqa: E402
+    _hex_int_sql,
+)
+
+
+@register(
+    "dp_laplace_priority_counts",
+    op_ids="beyond-reference differential privacy release: Laplace "
+    "mechanism on counting queries (sensitivity 1, scale 1/epsilon) "
+    "with a SEEDED md5 draw — 32 uniform bits -> u=(k+0.5)/2^32 -> "
+    "one shared inverse-CDF ln expression — so the audit-form "
+    "release is reproducible and oracle-checkable; one keyed "
+    "aggregate at the released grain, noise a pure per-row "
+    "expression over it",
+    description="epsilon=1 Laplace-noised order counts by priority x "
+    "order year, with true counts and noise for utility auditing",
+    oracle=f"""
+        WITH per AS (
+            SELECT o_orderpriority,
+                   CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS oyear,
+                   CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM orders GROUP BY 1, 2
+        ),
+        keyed AS (
+            SELECT *,
+                   CAST({_hex_int_sql(
+                       "md5('dp-v1|' || o_orderpriority || '|' "
+                       "|| CAST(oyear AS VARCHAR))", 8)} AS BIGINT) AS kk
+            FROM per
+        )
+        SELECT o_orderpriority, oyear, true_count,
+               ({_laplace_expr(repr(1.0))}) AS noise,
+               true_count + ({_laplace_expr(repr(1.0))}) AS noisy_count,
+               CAST('1.0' AS DOUBLE) AS epsilon
+        FROM keyed
+    """,
+)
+def dp_laplace_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.year(F.col("o_orderdate")).cast("int").alias("oyear"),
+    )
+    return privacy.dp_laplace_counts(
+        base, ["o_orderpriority", "oyear"], epsilon=1.0, salt="dp-v1"
+    )
+
+
+@register(
+    "k_anonymity_customer_audit",
+    op_ids="beyond-reference k-anonymity risk audit: equivalence "
+    "classes over a declared quasi-identifier set (nation x market "
+    "segment x account-balance thousand-bucket), per-threshold "
+    "below-k class/row counts — all integers off the class-grain "
+    "relation, one division for the at-risk fraction; the threshold "
+    "list cross-joins the bounded class grain, never rows",
+    description="re-identification risk of the customer dimension: "
+    "for k in 2/5/10/25, classes and rows in equivalence classes "
+    "smaller than k",
+    oracle="""
+        WITH eq AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+                   CAST(COUNT(*) AS BIGINT) AS sz
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_classes_below,
+               CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_rows_below,
+               CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(sz) AS DOUBLE) AS frac_rows_below
+        FROM eq, (VALUES (2), (5), (10), (25)) ks(k)
+        GROUP BY k
+    """,
+)
+def k_anonymity_customer_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (customer,) = load(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_kb"),
+    )
+    return privacy.k_anonymity_audit(
+        base, ["c_nationkey", "c_mktsegment", "bal_kb"], ks=(2, 5, 10, 25)
+    )

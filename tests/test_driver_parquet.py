@@ -59,7 +59,7 @@ def test_registry_size_pinned():
     the driver count to dip. Bump the constant when adding queries."""
     from nhl_data_warehouse_spark.suite import REGISTRY
 
-    assert len(REGISTRY) == 335
+    assert len(REGISTRY) == 337
 
 
 def test_every_registered_query_builds_a_plan(spark):

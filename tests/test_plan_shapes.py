@@ -742,3 +742,21 @@ def test_round13_logrank_joinsize_plan_shapes(spark, registry):
     assert "SortMergeJoin" not in js
     assert "TakeOrderedAndProject" in js  # top-k never a global sort
     assert "windowspecdefinition" not in js
+
+
+def test_round13_privacy_plan_shapes(spark, registry):
+    """DP release: ONE exchange (the release-grain aggregate) and the
+    noise is pure projection — no joins, no windows. k-anonymity: the
+    only nested-loop is the 4-row threshold list broadcast against
+    the bounded class grain."""
+    dp = plan_of(registry["dp_laplace_priority_counts"].fn(spark, SF))
+    assert "CartesianProduct" not in dp
+    assert "BroadcastNestedLoopJoin" not in dp
+    assert "windowspecdefinition" not in dp
+    assert dp.count("Exchange") == 1
+
+    ka = plan_of(registry["k_anonymity_customer_audit"].fn(spark, SF))
+    assert "CartesianProduct" not in ka
+    assert ka.count("BroadcastNestedLoopJoin") <= 1  # 4-row k list
+    assert "SortMergeJoin" not in ka
+    assert "windowspecdefinition" not in ka

@@ -349,6 +349,14 @@ PROBES = [
     # 1-row total + TakeOrdered top-k — ~linear scan, flat tail)
     "logrank_segment_gap_survival",
     "selfjoin_cardinality_estimate",
+    # round-13 batch 6 (privacy/governance): the DP release is one
+    # keyed aggregate at the released grain + per-row noise (~linear
+    # scan, flat tail — replication multiplies counts, not groups);
+    # the k-anonymity audit collapses to the quasi-identifier class
+    # grain then cross-joins the 4-row threshold list (~linear scan,
+    # flat tail)
+    "dp_laplace_priority_counts",
+    "k_anonymity_customer_audit",
 ]
 
 # big tables replicated with remapped keys; dims copied as-is so join
