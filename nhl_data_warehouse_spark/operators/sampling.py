@@ -664,6 +664,8 @@ def poisson_bootstrap_means(
     Output: (b, n_eff, mean_value) x B — exact integers and one
     double division per replicate, hash-stable on any engine.
     """
+    from nhl_data_warehouse_spark.operators.dedup import scale_out
+
     x = F.col(value_col)
     aggs = []
     for b in range(n_replicates):
@@ -672,7 +674,13 @@ def poisson_bootstrap_means(
             F.sum(w * x).cast("long").alias(f"sx{b}"),
             F.sum(w).cast("long").alias(f"sw{b}"),
         ]
-    st = df.agg(*aggs)
+    # ceil(B/4) md5 digests per ROW dominate this single map-side
+    # pass; a one-file scan hands all of it to ONE task (1-row-group
+    # parquet can't split), serializing the whole bootstrap onto one
+    # core. scale_out re-spreads under-partitioned input (weights are
+    # content-addressed — partitioning cannot change any value) and
+    # no-ops at real scale where the file layout provides parallelism.
+    st = scale_out(df).agg(*aggs)
     reps = [
         F.struct(
             F.lit(b).cast("long").alias("b"),

@@ -678,6 +678,7 @@ def theil_sen_trend(
     residuals only (thousands, not millions — the exact_percentiles
     recipe), 6dp-rounded with the -0.0 guard.
     """
+    from nhl_data_warehouse_spark.operators.dedup import scale_out
     from nhl_data_warehouse_spark.operators.stats import prefix_sum_cells
 
     q = 1_000_000.0
@@ -685,7 +686,15 @@ def theil_sen_trend(
         F.unix_date(F.col(time_col).cast("date")).cast("long").alias("de"),
         F.col(value_col).cast("long").alias("x"),
     )
-    a = daily.select(F.col("de").alias("d1"), F.col("x").alias("x1"))
+    # The pair theta-join fans every probe row out against the whole
+    # broadcast day relation: D rows of input become D(D-1)/2 slope
+    # evaluations, so the probe side's PARTITION COUNT — not its byte
+    # size — bounds the parallelism of the quadratic stage. Post-agg
+    # AQE coalescing sees a few KB and hands the BNLJ ONE task
+    # (guide §2.5: byte-based heuristics misjudge fan-out stages);
+    # scale_out re-spreads the day grain when under-partitioned and
+    # no-ops at real scale where the agg is already wide.
+    a = scale_out(daily).select(F.col("de").alias("d1"), F.col("x").alias("x1"))
     b = daily.select(F.col("de").alias("d2"), F.col("x").alias("x2"))
     cells = (
         a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
