@@ -355,6 +355,47 @@ def jaccard_pairs(
     which have low Jaccard anyway).
     """
     sh = shingles
+    if candidates is None:
+        # ALL-PAIRS path, window form (the prefix_filter doctrine): the
+        # frequency cap and the per-doc size are WINDOW counts, not
+        # groupBy+join-backs — the freq window shuffles the shingle
+        # relation once on exactly the key the self-join below
+        # co-locates on anyway (both join sides then read ONE reused
+        # exchange), and carrying __n on the rows lets the pair
+        # aggregate pick the sizes up with first() instead of two
+        # pair-grain size joins. Plan shape drops from ~8 exchanges +
+        # 2 broadcast builds + a persist barrier to 4 exchanges and no
+        # pin; measured 8.1 -> 5.6 s median (interleaved, sf0.1) on
+        # jaccard_near_dups with identical output.
+        if max_shingle_freq is not None:
+            sh = (
+                sh.withColumn(
+                    "__tf", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+                )
+                .filter(F.col("__tf") <= max_shingle_freq)
+                .drop("__tf")
+            )
+        sh = sh.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        a = sh.select(
+            F.col(id_col).alias("a_id"), "shingle", F.col("__n").alias("n_a")
+        )
+        b = sh.select(
+            F.col(id_col).alias("b_id"), "shingle", F.col("__n").alias("n_b")
+        )
+        scored = (
+            a.join(b, on="shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                # constant per doc by construction (window count)
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+        )
+        return _pair_score(scored, metric, threshold)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("shingle")
@@ -363,66 +404,69 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, on="shingle")
-    # `sh` feeds several plan branches (sizes + both join sides) —
-    # persist so shingling runs once instead of per-branch
+    # `sh` feeds both docset join sides below — persist so shingling
+    # (and the freq-cap join, when active) runs once instead of twice
     sh = pin(sh, cache_registry)
-    if candidates is not None:
-        # verify via per-doc shingle SETS: reduce shingles to one
-        # sorted-set array per doc, join each candidate pair to its
-        # two arrays (two equi-joins on doc id, one array per row),
-        # and compute |A∩B| JVM-side with array_intersect. This
-        # replaces the |candidates| x |doc_len| row fan-out join
-        # (~100M shuffled rows at sf0.1 for 265k candidates x 283
-        # shingles/doc) with |candidates| rows of O(n_a+n_b) codegen
-        # array ops — the per-row doc-bounded payload is the same
-        # assumption the minhash fold already makes. Shingles are
-        # distinct per doc (char_shingles does a local distinct), so
-        # size(set) == shingle count and the intersect is exact.
-        # shuffle_hash hint: sort-merge would SORT the array payloads
-        # (expensive, pure overhead — the join key is just the doc id);
-        # hash join partitions by id and never orders the arrays.
-        # Unlike a broadcast hint this stays valid when docsets is
-        # 100TB-scale: build side is hashed per partition, not shipped
-        # to every task.
-        docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
-        scored = (
-            candidates.join(
-                docsets.select(
-                    F.col(id_col).alias("a_id"), F.col("__set").alias("__set_a")
-                ).hint("shuffle_hash"),
-                on="a_id",
-            )
-            .join(
-                docsets.select(
-                    F.col(id_col).alias("b_id"), F.col("__set").alias("__set_b")
-                ).hint("shuffle_hash"),
-                on="b_id",
-            )
-            .select(
-                "a_id",
-                "b_id",
-                F.size(F.array_intersect("__set_a", "__set_b")).alias("n_common"),
-                F.size("__set_a").alias("n_a"),
-                F.size("__set_b").alias("n_b"),
-            )
+    # verify via per-doc shingle SETS: reduce shingles to one
+    # sorted-set array per doc, join each candidate pair to its
+    # two arrays (two equi-joins on doc id, one array per row),
+    # and compute |A∩B| JVM-side with array_intersect. This
+    # replaces the |candidates| x |doc_len| row fan-out join
+    # (~100M shuffled rows at sf0.1 for 265k candidates x 283
+    # shingles/doc) with |candidates| rows of O(n_a+n_b) codegen
+    # array ops — the per-row doc-bounded payload is the same
+    # assumption the minhash fold already makes. Shingles are
+    # distinct per doc (char_shingles does a local distinct), so
+    # size(set) == shingle count and the intersect is exact.
+    # shuffle_hash hint: sort-merge would SORT the array payloads
+    # (expensive, pure overhead — the join key is just the doc id);
+    # hash join partitions by id and never orders the arrays.
+    # Unlike a broadcast hint this stays valid when docsets is
+    # 100TB-scale: build side is hashed per partition, not shipped
+    # to every task.
+    docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    scored = (
+        candidates.join(
+            docsets.select(
+                F.col(id_col).alias("a_id"), F.col("__set").alias("__set_a")
+            ).hint("shuffle_hash"),
+            on="a_id",
         )
-    else:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-        a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-        b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-        inter = (
-            a.join(b, on="shingle")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            docsets.select(
+                F.col(id_col).alias("b_id"), F.col("__set").alias("__set_b")
+            ).hint("shuffle_hash"),
+            on="b_id",
         )
-        sa = sizes.select(
-            F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a")
+        .select(
+            "a_id",
+            "b_id",
+            # + 0*monotonically_increasing_id() is an exact no-op on
+            # the value (0 * anything = 0, long arithmetic) whose
+            # nondeterministic flag STOPS the threshold filter below
+            # from being substituted through this projection into the
+            # join condition. Without the barrier, Catalyst collapses
+            # filter+project into the second join and the score
+            # expression lands in the join condition with
+            # array_intersect expanded THREE times (n_common and both
+            # union terms), each evaluated interpreted per candidate
+            # pair — measured on the executed plan of the LSH verify.
+            # With it, the intersect runs ONCE per pair inside this
+            # whole-stage-codegen projection.
+            (
+                F.size(F.array_intersect("__set_a", "__set_b")).cast("long")
+                + F.lit(0) * F.monotonically_increasing_id()
+            ).alias("n_common"),
+            F.size("__set_a").alias("n_a"),
+            F.size("__set_b").alias("n_b"),
         )
-        sb = sizes.select(
-            F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b")
-        )
-        scored = inter.join(sa, on="a_id").join(sb, on="b_id")
+    )
+    return _pair_score(scored, metric, threshold)
+
+
+def _pair_score(scored: DataFrame, metric: str, threshold: float) -> DataFrame:
+    """Score (a_id, b_id, n_common, n_a, n_b) pair rows and apply the
+    threshold: jaccard = |A∩B| / |A∪B|, containment = |A∩B| / min."""
     assert metric in ("jaccard", "containment")
     if metric == "jaccard":
         score = F.col("n_common") / (
@@ -1397,7 +1441,11 @@ def cdc_chunks(
     tests/test_round11_fixes.py: no Exchange child may carry the text
     column together with a position/boundary-grain column.
     """
-    docs = df.where(F.length(F.col(text_col)) >= 1).select(
+    # the per-position md5 boundary scan below is the dominant cost
+    # (one digest per character window) and runs BEFORE any exchange —
+    # an under-partitioned scan (one small parquet file) would
+    # serialize all of it onto one task; no-op at real scale
+    docs = scale_out(df.where(F.length(F.col(text_col)) >= 1)).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     )
     Lt = F.length("_t")

@@ -191,8 +191,18 @@ def _canonical_deg_tri(
         .select("_o.src", "_o.dst", "_o.dst_deg")
     )
     # read 3x (wedge self-join both sides + closing-edge probe): pin it
-    # so canonicalize/degree/orient runs once, not three times
-    o = o.persist()
+    # so canonicalize/degree/orient runs once, not three times. The
+    # repartition spreads the cached relation to the cluster
+    # parallelism BEFORE the persist: the wedge stage below is a
+    # broadcast join whose parallelism is exactly the cached probe
+    # side's partition count, and an |E|-sized relation is small in
+    # BYTES while its wedge fan-out is O(sum deg_out^2) rows — the
+    # byte-based partitioning a tiny cached relation would otherwise
+    # keep serializes the whole wedge generation onto a few tasks
+    # (guide §2.5: size heuristics misjudge fan-out stages).
+    from nhl_data_warehouse_spark.operators.dedup import scale_out
+
+    o = scale_out(o).persist()
     if cache_registry is not None:
         cache_registry.append(o)
     o1, o2 = o.alias("o1"), o.alias("o2")
@@ -200,7 +210,15 @@ def _canonical_deg_tri(
         (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
         & (F.col("o1.dst") < F.col("o2.dst"))
     )
-    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & lt).select(
+    # broadcast the build side of the wedge join: the oriented edge
+    # relation already fits the same broadcast ceiling the closing-edge
+    # probe below assumes, and broadcasting keeps the wedge stage a
+    # NARROW map over the repartitioned cache instead of re-exchanging
+    # both sides by src (two shuffles fewer, and the fan-out stage
+    # inherits the cache's full parallelism).
+    wedges = o1.join(
+        F.broadcast(o2), (F.col("o1.src") == F.col("o2.src")) & lt
+    ).select(
         F.col("o1.src").alias("apex"),
         F.col("o1.dst").alias("x"),
         F.col("o2.dst").alias("y"),
