@@ -649,10 +649,15 @@ def connected_components(
     # the node seed, every iteration) would otherwise re-derive it
     edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
     sym = edges.union(edges.select(F.col("d"), F.col("s")))
+    # seed with the FIRST ROUND fused into the init: with identity
+    # labels, round 1's nbr_min is simply min(neighbor id), so
+    # least(self, min(nbr)) IS the round-1 label — one groupBy replaces
+    # the identity seed plus a full join+aggregate+checkpoint+count
+    # iteration (same fixpoint, one round fewer)
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy("s")
+        .agg(F.least(F.col("s"), F.min("d")).alias("label"))
+        .select(F.col("s").alias("node"), "label")
         .localCheckpoint()
     )
     for _ in range(max_iter):

@@ -1685,14 +1685,17 @@ def cross_lang_gram_overlap(
     COUNT (not corpus size), and per-language gram counts equi-join
     back. One double division per pair.
     """
-    grams = word_ngrams(df, id_col, text_col, n)
-    gl = (
-        grams.join(
-            df.select(id_col, F.col(lang_col).alias("lg")), on=id_col
-        )
-        .select("lg", "gram")
-        .distinct()
-    )
+    # carry the language through the explode instead of joining it
+    # back onto the gram relation afterwards: the old shape shuffled
+    # the EXPLODED (id, gram) rows through a doc-keyed equi-join just
+    # to pick up one dim column that was sitting on the source row all
+    # along (guide §2.4: remove shuffles outright)
+    gl = word_ngrams(
+        df.select(F.col(lang_col).alias("lg"), F.col(text_col)),
+        id_col="lg",
+        text_col=text_col,
+        n=n,
+    ).distinct()
     counts = gl.groupBy("lg").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

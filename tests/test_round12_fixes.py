@@ -139,7 +139,12 @@ class TestGraphCacheRegistry:
         )
 
         jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+        # compare RDD-id SETS, not global counts: the ContextCleaner
+        # asynchronously unpersists frames earlier tests dropped, so a
+        # global count can shrink mid-test and flip a count equality
+        # (observed flaking when run right after the hypothesis CC
+        # property test's localCheckpoint churn)
+        before = set(jsc.getPersistentRDDs().keySet().toString()[1:-1].split(", "))
         reg: list = []
         df = spark.createDataFrame(self.EDGES, "a string, b string")
         out = {
@@ -152,9 +157,10 @@ class TestGraphCacheRegistry:
         assert len(reg) == 2, "expected the e and o persisted relations"
         for frame in reg:
             frame.unpersist()
-        after = jsc.getPersistentRDDs().size()
-        assert after == before, (
-            f"clustering_coefficients stranded {after - before} caches"
+        after = set(jsc.getPersistentRDDs().keySet().toString()[1:-1].split(", "))
+        stranded = after - before
+        assert not stranded, (
+            f"clustering_coefficients stranded caches: {stranded}"
         )
 
     def test_triangle_counts_registry(self, spark):
