@@ -562,7 +562,13 @@ def test_round8_join_and_bootstrap_plan_shapes(spark, registry):
     bs = plan_of(registry["bootstrap_revenue_ci"].fn(spark, SF))
     assert "Join" not in bs
     assert "partial_sum" in bs  # 64 sums combine map-side
-    assert bs.count("Exchange") <= 1
+    # r13: scale_out may add ONE round-robin repartition so the md5
+    # aggregate isn't serialized onto a single scan task; the only
+    # other exchange is still the one-row final-agg merge, and no
+    # exchange may be keyed (no hashpartitioning = still no grouping
+    # before the global aggregate)
+    assert bs.count("Exchange") <= 2
+    assert "hashpartitioning" not in bs
 
 
 def test_round9_calibration_and_contamination_plan_shapes(spark, registry):
