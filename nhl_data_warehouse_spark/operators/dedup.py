@@ -140,6 +140,43 @@ def char_shingles(
     )
 
 
+def char_shingles_multiset(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 12
+) -> DataFrame:
+    """Char k-gram shingles per document WITHOUT the per-doc distinct —
+    for consumers whose aggregates dedupe anyway (``min`` in the
+    minhash fold, ``collect_set`` in the verify path), where duplicate
+    shingle rows change nothing.
+
+    Why it exists: ``char_shingles`` builds the distinct array with
+    ``transform(substring)``, and higher-order-function lambdas are
+    evaluated INTERPRETED per element (guide §4.1 — prefer built-ins;
+    the r11/r12 HOF findings measured the same). This variant is pure
+    whole-stage-codegen: explode the position ``sequence`` (a plain
+    Generate), then one ``substr`` per row. Duplicate in-doc shingles
+    are rare (k=12 char grams), so the row count is ~the same; the
+    per-row work drops out of the interpreter. Never use it where
+    per-doc distinctness is load-bearing (window/frequency counts:
+    the all-pairs and prefix-filter paths)."""
+    text = F.col(text_col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))
+    )
+    return (
+        scale_out(df)
+        .select(
+            F.col(id_col),
+            text.alias("__t"),
+            F.explode(positions).alias("__p"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__t").substr(F.col("__p"), F.lit(k)).alias("shingle"),
+        )
+        .filter(F.length("shingle") == k)
+    )
+
+
 def minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -404,9 +441,11 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, on="shingle")
-    # `sh` feeds both docset join sides below — persist so shingling
-    # (and the freq-cap join, when active) runs once instead of twice
-    sh = pin(sh, cache_registry)
+        # with the freq cap active `sh` feeds two subtrees (the cap
+        # aggregate and the join probe) — persist so shingling runs
+        # once; without it `sh` is read exactly once (by the docsets
+        # aggregate below) and the pin belongs on docsets instead
+        sh = pin(sh, cache_registry)
     # verify via per-doc shingle SETS: reduce shingles to one
     # sorted-set array per doc, join each candidate pair to its
     # two arrays (two equi-joins on doc id, one array per row),
@@ -424,7 +463,16 @@ def jaccard_pairs(
     # Unlike a broadcast hint this stays valid when docsets is
     # 100TB-scale: build side is hashed per partition, not shipped
     # to every task.
-    docsets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    # BOTH candidate-join sides read docsets — pin the AGGREGATED
+    # per-doc relation, not the raw shingle rows: the old pin(sh) left
+    # the collect_set aggregate to execute once per join side (two
+    # ObjectHashAggregate passes over the cached shingles), while
+    # pinning docsets runs shingling + the set aggregate exactly once
+    # and caches one row per doc instead of one per shingle (§2.4/§5).
+    docsets = pin(
+        sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set")),
+        cache_registry,
+    )
     scored = (
         candidates.join(
             docsets.select(

@@ -143,7 +143,7 @@ def dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     return dedup.minhash_signatures(sh, n_hashes=N_HASHES)
 
 
@@ -166,7 +166,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     return dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
 
@@ -234,7 +234,7 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()  # feeds signatures AND the verify stage
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
@@ -329,7 +329,7 @@ def prefix_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
@@ -354,7 +354,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_clusters_kiveris(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(sig, n_hashes=N_HASHES, band_size=BAND_SIZE)
@@ -433,7 +433,7 @@ def near_dup_clusters_kiveris(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_clusters_starcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(
@@ -4015,7 +4015,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     # read 3x (banding + both signature sides of the estimate join);
     # (doc, 8 slots) rows — tiny; release_cached reclaims it
     sigs = dedup.minhash_signatures(sh, n_hashes=N_HASHES).persist()
@@ -4812,7 +4812,7 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.select("doc_id"), ["doc_id"], {"train": 0.8, "heldout": 0.2},
         salt="split-v1",
     )
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sigs = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cands = dedup.minhash_band_candidates(
         sigs, n_hashes=N_HASHES, band_size=BAND_SIZE
@@ -5017,7 +5017,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(
@@ -5344,7 +5344,7 @@ def media_byte_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(documents, k=SHINGLE_K)
+    sh = dedup.char_shingles_multiset(documents, k=SHINGLE_K)
     sh = sh.persist()
     sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
     cand = dedup.minhash_band_candidates(

@@ -766,3 +766,50 @@ def test_round13_privacy_plan_shapes(spark, registry):
     assert ka.count("BroadcastNestedLoopJoin") <= 1  # 4-row k list
     assert "SortMergeJoin" not in ka
     assert "windowspecdefinition" not in ka
+
+
+def test_round14_verify_path_single_intersect(spark, registry):
+    """The LSH verify path must evaluate ``array_intersect`` exactly
+    ONCE per candidate pair. Without the nondeterminism barrier on
+    ``n_common`` (dedup.jaccard_pairs), Catalyst substitutes the
+    threshold filter through the score projection into the docset
+    join condition, expanding the intersect three times (n_common and
+    both union terms). The barrier is value-exact (0 * id = 0) but
+    relies on Catalyst never folding a nondeterministic product — pin
+    the plan shape so a Spark upgrade that silently collapses it
+    surfaces here instead of as a perf-only regression (ADVICE r13).
+    """
+    plan = plan_of(registry["lsh_verified_near_dups"].fn(spark, SF))
+    assert plan.count("array_intersect") == 1, plan.count("array_intersect")
+    # and the single evaluation sits in a projection, never in a join
+    # condition (the triple-expansion failure mode)
+    for line in plan.splitlines():
+        if "array_intersect" in line:
+            assert "Join" not in line, line
+
+
+def test_round14_multiset_shingles_codegen_shape(spark, registry):
+    """char_shingles_multiset must stay a pure codegen pipeline: the
+    shingle stage is Generate(explode(sequence)) + substring, with NO
+    higher-order-function lambda (transform/filter/aggregate lambdas
+    evaluate interpreted per element — guide §4.1). The distinct-array
+    form (char_shingles) keeps its lambdas; only consumers whose
+    aggregates dedupe anyway use the multiset variant."""
+    from nhl_data_warehouse_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "qrs")], "doc_id long, text string"
+    )
+    plan = plan_of(dedup.char_shingles_multiset(df, k=12))
+    assert "lambdafunction" not in plan.lower()
+    assert "Generate explode(sequence" in plan
+    # identical distinct shingle SETS as the reference implementation
+    ref = {
+        (r.doc_id, r.shingle)
+        for r in dedup.char_shingles(df, k=12).collect()
+    }
+    got = {
+        (r.doc_id, r.shingle)
+        for r in dedup.char_shingles_multiset(df, k=12).collect()
+    }
+    assert got == ref
