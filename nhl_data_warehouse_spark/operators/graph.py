@@ -96,6 +96,7 @@ def triangle_counts(
     a: str = "a",
     b: str = "b",
     cache_registry: list | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts on an undirected graph,
     via degree-ordered edge orientation (the MapReduce scheme of
@@ -125,7 +126,7 @@ def triangle_counts(
     list and unpersist its entries when done, instead of stranding
     two cache entries per call.
     """
-    return _canonical_deg_tri(edges, a, b, cache_registry)[1]
+    return _canonical_deg_tri(edges, a, b, cache_registry, assume_canonical)[1]
 
 
 def _canonical_deg_tri(
@@ -133,6 +134,7 @@ def _canonical_deg_tri(
     a: str,
     b: str,
     cache_registry: list | None = None,
+    assume_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of ``triangle_counts`` / ``clustering_coefficients``:
     canonicalize once (persisted — read by the degree aggregate AND
@@ -142,14 +144,22 @@ def _canonical_deg_tri(
     upstream edge projection twice (measured 6.9 -> 5.2-6.1 s warm on
     the co-supply graph at sf0.1 — parity with the bare triangle
     count's 5.3 s; the remaining cost IS the shared wedge machinery)."""
-    e = (
-        edges.select(
-            F.least(F.col(a), F.col(b)).alias("_a"),
-            F.greatest(F.col(a), F.col(b)).alias("_b"),
+    if assume_canonical:
+        # caller guarantees a < b, no duplicates, no self-loops (e.g.
+        # edges born from a groupBy(a, b) with an a < b join filter) —
+        # skip the canonicalize exchange + distinct aggregate outright
+        # (guide §2.4: a distinct on data that is already unique is a
+        # pure-overhead shuffle, and here it also costs a codegen stage)
+        e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(a), F.col(b)).alias("_a"),
+                F.greatest(F.col(a), F.col(b)).alias("_b"),
+            )
+            .filter(F.col("_a") < F.col("_b"))
+            .distinct()
         )
-        .filter(F.col("_a") < F.col("_b"))
-        .distinct()
-    )
     e = e.persist()  # read 3x: two degree projections + the orient join
     if cache_registry is not None:
         cache_registry.append(e)
@@ -705,6 +715,7 @@ def clustering_coefficients(
     a: str = "a",
     b: str = "b",
     cache_registry: list | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node LOCAL clustering coefficient cc(v) = 2*T(v) /
     (deg(v)*(deg(v)-1)) — how close each node's neighborhood is to a
@@ -729,7 +740,7 @@ def clustering_coefficients(
     warm at sf0.1, parity with triangle_cosupply's 5.3 s).
     ``cache_registry``: see ``triangle_counts`` (ADVICE r11).
     """
-    deg, tri = _canonical_deg_tri(edges, a, b, cache_registry)
+    deg, tri = _canonical_deg_tri(edges, a, b, cache_registry, assume_canonical)
     return (
         deg.join(tri, on="node", how="left")
         .select(

@@ -1127,7 +1127,9 @@ def cosupply_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared").cast("double") > 1.1 * F.col("m"))
         .select("a", "b")
     )
-    return clustering_coefficients(edges, "a", "b")
+    # edges come from a groupBy(a, b) over an a < b self-join — already
+    # canonical, so the operator skips its distinct (one exchange fewer)
+    return clustering_coefficients(edges, "a", "b", assume_canonical=True)
 
 
 @register(
@@ -1183,7 +1185,8 @@ def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared").cast("double") > 1.1 * F.col("m"))
         .select("a", "b")
     )
-    return triangle_counts(edges)
+    # same canonical-by-construction argument as the coefficient query
+    return triangle_counts(edges, assume_canonical=True)
 
 
 @register(
