@@ -636,11 +636,17 @@ def poisson_bootstrap_weight(
     bucket = F.substring(
         F.md5(F.concat_ws("|", *parts)), 1 + _HEX_DIGITS * window, _HEX_DIGITS
     )
+    # ONE ascending CaseWhen instead of 9 chained indicator CaseWhens
+    # summed: value-identical (w = count of thresholds <= bucket, and
+    # the thresholds are sorted), but ~3x less generated code — the
+    # 32-replicate bootstrap aggregate is codegen-COMPILE-bound (4 s
+    # at sf0.001 with nil data work), and the common draws also exit
+    # at the first branches (P(w=0) = 0.368) instead of evaluating
+    # all 9 comparisons (guide §1.2 step 2: per-task work).
     w = None
-    for t in POISSON1_HEX_THRESHOLDS:
-        term = F.when(bucket >= F.lit(t), 1).otherwise(0)
-        w = term if w is None else w + term
-    return w
+    for i, t in enumerate(POISSON1_HEX_THRESHOLDS):
+        w = F.when(bucket < F.lit(t), i) if w is None else w.when(bucket < F.lit(t), i)
+    return w.otherwise(len(POISSON1_HEX_THRESHOLDS))
 
 
 def poisson_bootstrap_means(
